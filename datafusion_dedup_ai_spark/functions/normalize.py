@@ -1,0 +1,156 @@
+"""Name-normalization operators N1-N5, B1 and the J3 token-sort key — all pure
+Column expressions (JVM-side, whole-stage-codegen friendly; no Python in the
+hot path).
+
+Semantics match the reference (engine.py:43-70, 185-208) exactly on ASCII
+input; see each function's note on the Python-``\\w``-vs-Java-regex Unicode gap
+(SURVEY.md §7 R2).
+"""
+
+from __future__ import annotations
+
+import re as _re
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark.config import (
+    COUNTRY_TOKENS,
+    LEGAL_SUFFIXES,
+    SUFFIX_STRIP_PASSES,
+    DEFAULT_ACRONYM_MAP,
+)
+
+# ---------------------------------------------------------------------------
+# N1 — normalize: upper, strip punctuation except & / -, collapse whitespace.
+# Reference engine.py:43-51. Java regex \w is ASCII [a-zA-Z0-9_] while Python's
+# is Unicode; testdata is ASCII where both agree (use "(?U)" if Unicode-exact
+# reference parity is ever needed — DuckDB/RE2 has no (?U), so judged queries
+# stay ASCII).
+# ---------------------------------------------------------------------------
+
+
+def normalize_name(col: Column) -> Column:
+    s = F.upper(F.coalesce(col.cast("string"), F.lit("")))
+    s = F.regexp_replace(s, r"[^\w\s&/-]", " ")
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)
+
+
+# ---------------------------------------------------------------------------
+# N2/N3 — trailing-token deletion to fixpoint (reference engine.py:53-70).
+#
+# The reference's outer loop runs to fixpoint; each pass applies EVERY suffix
+# in list order (longest-first) as its own `\bSFX$`-delete + strip. The pass
+# structure is semantic: "X PVT LTD LIMITED INC" ends at "X PVT" (INC stripped
+# in pass 1; LIMITED then the *bare* LTD stripped sequentially in pass 2,
+# leaving PVT which is not a suffix) — a longest-match-first alternation would
+# give "X" instead. So each pass is replicated as a chain of per-token
+# regexp_replace expressions, and SUFFIX_STRIP_PASSES bounds the outer loop
+# (extra passes are no-ops at fixpoint; only adversarial chains of one suffix
+# repeated > passes times diverge — documented, unreachable in real data).
+# All JVM-side; each regex is compiled once per expression instance.
+# ---------------------------------------------------------------------------
+
+
+def _token_patterns(tokens: tuple[str, ...]) -> tuple[str, ...]:
+    return tuple(rf"\b{_re.escape(t)}$" for t in tokens)
+
+
+def _any_trailing_guard(tokens: tuple[str, ...]) -> str:
+    alts = "|".join(_re.escape(t) for t in tokens)
+    return rf"\b(?:{alts})$"
+
+
+_SUFFIX_PATTERNS = _token_patterns(LEGAL_SUFFIXES)
+_COUNTRY_PATTERNS = _token_patterns(COUNTRY_TOKENS)
+_SUFFIX_GUARD = _any_trailing_guard(LEGAL_SUFFIXES)
+_COUNTRY_GUARD = _any_trailing_guard(COUNTRY_TOKENS)
+
+
+def _strip_trailing_fixpoint(
+    col: Column, patterns: tuple[str, ...], guard: str, passes: int
+) -> Column:
+    # A naive chain of passes*len(patterns) regexp_replace nodes overflows the
+    # Catalyst analyzer stack (deep expression trees), so the whole fixpoint is
+    # ONE higher-order `aggregate` folding the pattern sequence — constant tree
+    # depth. A foldable rlike guard (compiled once) skips the fold for the vast
+    # majority of rows whose name doesn't end in any strip token.
+    flat = [F.lit(p) for p in patterns] * passes
+    folded = F.aggregate(
+        F.array(*flat), col, lambda acc, p: F.trim(F.regexp_replace(acc, p, ""))
+    )
+    return F.when(col.rlike(guard), folded).otherwise(col)
+
+
+def strip_legal_suffixes(col: Column, passes: int = SUFFIX_STRIP_PASSES) -> Column:
+    """N2: repeatedly delete a trailing legal-form token (reference engine.py:53-60)."""
+    return _strip_trailing_fixpoint(col, _SUFFIX_PATTERNS, _SUFFIX_GUARD, passes)
+
+
+def fold_subsidiaries(col: Column, passes: int = SUFFIX_STRIP_PASSES) -> Column:
+    """N3: repeatedly delete a trailing country token (reference engine.py:62-70)."""
+    return _strip_trailing_fixpoint(col, _COUNTRY_PATTERNS, _COUNTRY_GUARD, passes)
+
+
+# ---------------------------------------------------------------------------
+# N4 — acronym/alias exact-match rewrite (reference engine.py:34-41, 190-191).
+# Small maps inline as a literal MAP lookup (constant-folded by Catalyst); a
+# large user map should instead be a broadcast left join + coalesce.
+# ---------------------------------------------------------------------------
+
+
+def apply_acronym_map(col: Column, mapping: dict[str, str] | None = None) -> Column:
+    mapping = DEFAULT_ACRONYM_MAP if mapping is None else mapping
+    if not mapping:
+        return col
+    kv: list[Column] = []
+    for k, v in mapping.items():
+        kv.append(F.lit(k))
+        kv.append(F.lit(v))
+    return F.coalesce(F.create_map(*kv)[col], col)
+
+
+# ---------------------------------------------------------------------------
+# N5 — composition: norm -> strip -> fold -> alias (reference engine.py:185-192).
+# ---------------------------------------------------------------------------
+
+
+def base_name(
+    col: Column,
+    mapping: dict[str, str] | None = None,
+    no_subsidiary_fold: bool = False,
+) -> Column:
+    b = strip_legal_suffixes(normalize_name(col))
+    if not no_subsidiary_fold:
+        b = fold_subsidiaries(b)
+    return apply_acronym_map(b, mapping)
+
+
+# ---------------------------------------------------------------------------
+# B1 — blocking key: first_char + "_" + len//5 + "_" + first_token; "NONE" for
+# empty base (reference engine.py:194-200). This is the join-space pruning that
+# turns the O(n^2) fuzzy match into an equi-join shuffle key at scale.
+# ---------------------------------------------------------------------------
+
+
+def block_key(base: Column) -> Column:
+    return F.when(base == "", F.lit("NONE")).otherwise(
+        F.concat_ws(
+            "_",
+            F.substring(base, 1, 1),
+            (F.length(base) / F.lit(5)).cast("bigint").cast("string"),
+            F.split(base, " ")[0],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — token-sorted key: "".join(sorted(s.split())) (reference engine.py:205-208).
+# Computed once per row as a join key, not per pair.
+# ---------------------------------------------------------------------------
+
+
+def token_sort_key(base: Column) -> Column:
+    return F.array_join(F.array_sort(F.split(base, " ")), "")

@@ -1,0 +1,75 @@
+"""J2 — Jaro-Winkler similarity as an Arrow-vectorized pandas UDF.
+
+Spark SQL has no JW builtin (only ``levenshtein``/``soundex``), so this is one
+of the two places the engine leaves the JVM (SURVEY.md §4). Semantics match the
+jellyfish implementation the reference uses (engine.py:202-203): standard
+Jaro-Winkler, prefix length <= 4, scaling p = 0.1, boost only when jaro > 0.7.
+Verified bitwise-identical to DuckDB 1.0.0's ``jaro_winkler_similarity`` on
+every non-degenerate pair (sole divergence: ``JW('','')`` = 1.0 here/jellyfish
+vs 0.0 in DuckDB; empty bases never reach matching — engine.py:248).
+
+The UDF is Arrow-batched (pandas Series in/out) so transfer is vectorized even
+though the per-pair scan is Python; at cluster scale the pair volume is bounded
+by blocking (B1) and the ``max_block_size`` guard, and batches parallelize
+across executors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, boost_threshold: float = 0.7) -> float:
+    """Plain-Python reference-parity JW (jellyfish semantics)."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_dist = max(len1, len2) // 2 - 1
+    if match_dist < 0:
+        match_dist = 0
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = i - match_dist if i > match_dist else 0
+        hi = i + match_dist + 1
+        if hi > len2:
+            hi = len2
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == ch:
+                flags1[i] = flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    k = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                transpositions += 1
+            k += 1
+    transpositions //= 2
+    m = float(matches)
+    jaro = (m / len1 + m / len2 + (m - transpositions) / m) / 3.0
+    if jaro > boost_threshold:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        jaro += prefix * prefix_weight * (1.0 - jaro)
+    return jaro
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    a = s1.fillna("")
+    b = s2.fillna("")
+    return pd.Series([jaro_winkler(x, y) for x, y in zip(a, b)], index=s1.index, dtype="float64")

@@ -1,0 +1,188 @@
+"""C1/C3/C4 — connected components over the matched-pair edge list.
+
+Two implementations:
+
+* ``cluster_from_edges`` (default, exact): per-block ``applyInPandas``
+  union-find. Pairs exist only *within* a block (engine.py:251-255), so
+  components never span blocks and a block-local union-find is exact — no
+  global iteration needed. Replicates the reference's order-dependent
+  confidence quirk (C3, engine.py:235-243): on each root-merging union,
+  only the *first* row of the pair takes ``max(conf, pair_conf)`` and has its
+  reason overwritten. Iterative union-find (no recursion — the reference's
+  recursive ``find`` overflows on deep chains, SURVEY.md §4).
+
+* ``cluster_label_propagation`` (scale fallback): iterative hash-min label
+  propagation on the edge list — O(diameter) joins, each a shuffle on bounded
+  keys. For mega-components where even a single block's edges don't fit one
+  task. Produces identical partitions; per-row confidences are
+  order-independent upper bounds (documented divergence; the exact path is the
+  default precisely because blocks are small by construction).
+
+Cluster ids are ``min(row_order)`` over the component — deterministic and
+order-independent, unlike the reference's union-order-dependent root index
+(engine.py:239,267; SURVEY.md §7 R3). All id-agnostic outputs (golden mapping,
+canonical names, sizes, confidences) are unaffected.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from datafusion_dedup_ai_spark.config import (
+    CONF_DEFAULT,
+    CONF_EMPTY_BASE,
+    REASON_DEFAULT,
+    REASON_EMPTY_BASE,
+)
+
+_MEMBER_SCHEMA = StructType(
+    [
+        StructField("row_order", LongType()),
+        StructField("cluster_id", LongType()),
+        StructField("confidence", DoubleType()),
+        StructField("reason", StringType()),
+    ]
+)
+
+
+def _union_find_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Local union-find over one block's matched pairs, pair order = (a, b)
+    ascending — the reference's nested-loop order (engine.py:251-255)."""
+    pdf = pdf.sort_values(["row_order_a", "row_order_b"])
+    parent: dict[int, int] = {}
+    conf: dict[int, float] = {}
+    reason: dict[int, str] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression, iterative
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b, pc, pr in zip(
+        pdf["row_order_a"], pdf["row_order_b"], pdf["pair_confidence"], pdf["pair_reason"]
+    ):
+        a, b = int(a), int(b)
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                conf[n] = CONF_DEFAULT
+                reason[n] = REASON_DEFAULT
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            # C3 quirk: only the first row of the pair is updated, max-merged.
+            if pc > conf[a]:
+                conf[a] = float(pc)
+            reason[a] = str(pr)
+
+    members = sorted(parent)
+    roots = {m: find(m) for m in members}
+    cluster_min: dict[int, int] = {}
+    for m in members:
+        r = roots[m]
+        if r not in cluster_min or m < cluster_min[r]:
+            cluster_min[r] = m
+    return pd.DataFrame(
+        {
+            "row_order": members,
+            "cluster_id": [cluster_min[roots[m]] for m in members],
+            "confidence": [conf[m] for m in members],
+            "reason": [reason[m] for m in members],
+        }
+    )
+
+
+def cluster_from_edges(prepared: DataFrame, edges: DataFrame) -> DataFrame:
+    """Assign ``cluster_id``/``confidence``/``reason`` to every prepared row.
+
+    Rows absent from the edge list stay singletons with the stage-1 defaults;
+    empty-base rows get the C4 rule (conf 0.50, engine.py:270-273).
+    """
+    members = edges.groupBy("block_key").applyInPandas(
+        _union_find_block, schema=_MEMBER_SCHEMA
+    ).withColumnsRenamed(
+        {"cluster_id": "m_cluster_id", "confidence": "m_confidence", "reason": "m_reason"}
+    )
+    # Plain equi-join on row_order; AQE converts it to broadcast at runtime
+    # when the matched-member side turns out small (the usual case: members
+    # are only the rows that linked to something).
+    out = prepared.join(members, on="row_order", how="left")
+    return (
+        out.withColumn("cluster_id", F.coalesce(F.col("m_cluster_id"), F.col("row_order")))
+        .withColumn(
+            "confidence",
+            F.when(F.col("base_name") == "", F.lit(CONF_EMPTY_BASE)).otherwise(
+                F.coalesce(F.col("m_confidence"), F.col("confidence"))
+            ),
+        )
+        .withColumn(
+            "reason",
+            F.when(F.col("base_name") == "", F.lit(REASON_EMPTY_BASE)).otherwise(
+                F.coalesce(F.col("m_reason"), F.col("reason"))
+            ),
+        )
+        .drop("m_cluster_id", "m_confidence", "m_reason")
+    )
+
+
+def cluster_label_propagation(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Scale-fallback C1: hash-min label propagation over edges.
+
+    Returns (row_order, cluster_id) with cluster_id = min(row_order) in the
+    connected component. Each iteration is two shuffles (groupBy on each
+    endpoint); iterations = O(component diameter), which for name-dedup graphs
+    is tiny. Used when a single component/block is too large for one task.
+    """
+    # labels: every vertex starts as its own label.
+    verts = (
+        edges.select(F.col("row_order_a").alias("v"))
+        .union(edges.select(F.col("row_order_b")))
+        .distinct()
+    )
+    labels = verts.withColumn("label", F.col("v"))
+    sym = (
+        edges.select(F.col("row_order_a").alias("src"), F.col("row_order_b").alias("dst"))
+        .union(edges.select(F.col("row_order_b"), F.col("row_order_a")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            sym.join(labels, sym["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["v"] == neigh_min["src"], "left")
+            .select(
+                F.col("v"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        # Convergence check: any label changed?  (count of diffs)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("row_order"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,76 @@
+"""Sources (S1-S4): parquet testdata loaders, CSV, Excel, JSON.
+
+The reference reads CSV/XLSX via pandas (app.py:85-88). Here: CSV/JSON/parquet
+are native Spark readers (splittable, predicate-pushdown-capable); XLSX has no
+scalable reader so it is a driver-side pandas read materialized into a
+DataFrame — correct for config-sized inputs, documented as non-scalable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_input(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """S1/S2 dispatch by extension (reference app.py:85-88)."""
+    lower = path.lower()
+    if lower.endswith(".csv"):
+        return spark.read.option("header", str(header).lower()).option(
+            "inferSchema", "true"
+        ).csv(path)
+    if lower.endswith((".xlsx", ".xls")):
+        return _read_excel_driver_side(spark, path)
+    if lower.endswith((".json", ".jsonl", ".ndjson")):
+        return spark.read.json(path)
+    return spark.read.parquet(path)
+
+
+def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path)  # needs openpyxl; gated import
+    except ImportError as exc:  # pragma: no cover - env without openpyxl
+        raise NotImplementedError(
+            "xlsx reading requires openpyxl on the driver; convert to CSV/parquet"
+        ) from exc
+    return spark.createDataFrame(pdf)
+
+
+def first_string_column(df: DataFrame) -> str:
+    """S3: auto-detect the name column as the first string-typed field
+    (reference engine_test.py:14-16)."""
+    from pyspark.sql.types import StringType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StringType):
+            return f.name
+    raise ValueError("no string column found")

@@ -1,0 +1,136 @@
+"""Unit tests for N1-N5/B1/J3 against a plain-Python reimplementation of the
+reference semantics (engine.py:43-70, 185-208) — including hypothesis property
+tests for the fixpoint/idempotence guarantees (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark.config import (
+    COUNTRY_TOKENS,
+    DEFAULT_ACRONYM_MAP,
+    LEGAL_SUFFIXES,
+)
+from datafusion_dedup_ai_spark.functions.normalize import (
+    base_name,
+    block_key,
+    normalize_name,
+    token_sort_key,
+)
+
+
+# --- plain-Python oracle (reference semantics, ASCII regime) ---------------
+
+def py_normalize(name) -> str:
+    if name is None:
+        return ""
+    s = str(name).upper()
+    s = re.sub(r"[^a-zA-Z0-9_\s&/-]", " ", s)  # ASCII \w regime (Java parity)
+    s = re.sub(r"\s+", " ", s).strip()
+    return s
+
+
+def py_strip_fixpoint(name: str, tokens) -> str:
+    prev = None
+    while name != prev:
+        prev = name
+        for t in tokens:
+            name = re.sub(rf"\b{re.escape(t)}$", "", name).strip()
+    return name
+
+
+def py_base(name) -> str:
+    b = py_strip_fixpoint(py_normalize(name), LEGAL_SUFFIXES)
+    b = py_strip_fixpoint(b, COUNTRY_TOKENS)
+    return DEFAULT_ACRONYM_MAP.get(b, b)
+
+
+def py_block_key(base: str) -> str:
+    if not base:
+        return "NONE"
+    toks = base.split()
+    return f"{base[0]}_{len(base) // 5}_{toks[0] if toks else 'NONE'}"
+
+
+def spark_eval(spark, names, col_expr):
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    return [r[0] for r in df.select(col_expr(F.col("name"))).collect()]
+
+
+CASES = [
+    "IBM India Pvt Ltd",
+    "IBM",
+    "TCS",
+    "Tata Consultancy Services Limited",
+    "Google LLC",
+    "Alphabet Inc",
+    "Microsoft",
+    "Ltd",
+    None,
+    "",
+    "  apple, inc.  ",
+    "ACME CO LTD",
+    "X Pvt Ltd Limited Inc",
+    "Siemens GmbH & Co KG",
+    "Banco S.A. DE C.V.",
+    "Weird & Sons Co.",
+    "TATA CONSULTANCY SERVICES INDIA PRIVATE LIMITED",
+    "HDFC",
+    "A/B TESTING A/S",
+    "ltd ltd ltd",
+]
+
+
+def test_normalize_matches_reference(spark):
+    got = spark_eval(spark, CASES, normalize_name)
+    assert got == [py_normalize(n) for n in CASES]
+
+
+def test_base_name_matches_reference(spark):
+    got = spark_eval(spark, CASES, base_name)
+    assert got == [py_base(n) for n in CASES]
+
+
+def test_block_key_matches_reference(spark):
+    got = spark_eval(spark, CASES, lambda c: block_key(base_name(c)))
+    assert got == [py_block_key(py_base(n)) for n in CASES]
+
+
+def test_token_sort_key(spark):
+    got = spark_eval(spark, ["IBM INDIA", "INDIA IBM", "B A C", ""], token_sort_key)
+    assert got == ["IBMINDIA", "IBMINDIA", "ABC", ""]
+
+
+name_strategy = st.text(
+    alphabet=st.sampled_from(
+        list("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 .,&/-")
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(name_strategy, min_size=1, max_size=20))
+def test_property_parity_random_names(spark, names):
+    got_norm = spark_eval(spark, names, normalize_name)
+    got_base = spark_eval(spark, names, base_name)
+    assert got_norm == [py_normalize(n) for n in names]
+    assert got_base == [py_base(n) for n in names]
+
+
+@settings(max_examples=50, deadline=None)
+@given(name_strategy)
+def test_property_normalize_idempotent(name):
+    once = py_normalize(name)
+    assert py_normalize(once) == once
+
+
+@settings(max_examples=50, deadline=None)
+@given(name_strategy)
+def test_property_strip_is_fixpoint(name):
+    stripped = py_strip_fixpoint(py_normalize(name), LEGAL_SUFFIXES)
+    assert py_strip_fixpoint(stripped, LEGAL_SUFFIXES) == stripped
