@@ -1,0 +1,120 @@
+"""DuckDB-SQL mirrors of the engine's Column expressions.
+
+The driver's t2 correctness gate runs each ``queries()[name]`` Spark plan AND
+the ``oracle_sql()[name]`` string on the same parquet and hash-compares the
+results. These generators build the SQL from the *same* config constants the
+Spark side uses, so the two stay in lockstep by construction.
+
+Dialect notes (verified against DuckDB 1.0.0):
+- DuckDB ``regexp_replace`` replaces the FIRST match unless the 'g' flag is
+  given; Spark replaces all. Anchored ``...$`` patterns match at most once, so
+  only the unanchored rewrites need 'g'.
+- RE2 ``\\w`` is ASCII, same as Java's default — parity holds on ASCII data
+  (SURVEY.md §7 R2).
+- The suffix-strip fixpoint mirrors the Spark HOF fold: a guarded
+  ``list_reduce`` over the same flattened pattern sequence.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from datafusion_dedup_ai_spark.config import (
+    COUNTRY_TOKENS,
+    DEFAULT_ACRONYM_MAP,
+    LEGAL_SUFFIXES,
+    SUFFIX_STRIP_PASSES,
+)
+
+
+def _q(s: str) -> str:
+    """SQL single-quote a literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def sql_normalize(expr: str) -> str:
+    """N1 mirror of functions.normalize.normalize_name."""
+    s = f"upper(coalesce(CAST({expr} AS VARCHAR), ''))"
+    s = f"regexp_replace({s}, '[^\\w\\s&/-]', ' ', 'g')"
+    s = f"regexp_replace({s}, '\\s+', ' ', 'g')"
+    return f"trim({s})"
+
+
+def _sql_strip_fixpoint(expr: str, tokens: tuple[str, ...], passes: int) -> str:
+    patterns = [rf"\b{_re.escape(t)}$" for t in tokens] * passes
+    pattern_list = "[" + ", ".join(_q(p) for p in patterns) + "]"
+    guard_alts = "|".join(_re.escape(t) for t in tokens)
+    guard = _q(rf"\b(?:{guard_alts})$")
+    fold = (
+        f"list_reduce(list_prepend({expr}, {pattern_list}), "
+        f"(acc, p) -> trim(regexp_replace(acc, p, '')))"
+    )
+    return f"(CASE WHEN regexp_matches({expr}, {guard}) THEN {fold} ELSE {expr} END)"
+
+
+def sql_strip_suffixes(expr: str, passes: int = SUFFIX_STRIP_PASSES) -> str:
+    """N2 mirror."""
+    return _sql_strip_fixpoint(expr, LEGAL_SUFFIXES, passes)
+
+
+def sql_fold_subsidiaries(expr: str, passes: int = SUFFIX_STRIP_PASSES) -> str:
+    """N3 mirror."""
+    return _sql_strip_fixpoint(expr, COUNTRY_TOKENS, passes)
+
+
+def sql_acronym_map(expr: str, mapping: dict[str, str] | None = None) -> str:
+    """N4 mirror."""
+    mapping = DEFAULT_ACRONYM_MAP if mapping is None else mapping
+    if not mapping:
+        return expr
+    whens = " ".join(
+        f"WHEN {expr} = {_q(k)} THEN {_q(v)}" for k, v in mapping.items()
+    )
+    return f"(CASE {whens} ELSE {expr} END)"
+
+
+def sql_base_name(
+    expr: str,
+    mapping: dict[str, str] | None = None,
+    no_subsidiary_fold: bool = False,
+) -> str:
+    """N5 mirror (norm -> strip -> fold -> alias)."""
+    b = sql_strip_suffixes(sql_normalize(expr))
+    if not no_subsidiary_fold:
+        b = sql_fold_subsidiaries(b)
+    return sql_acronym_map(b, mapping)
+
+
+def sql_block_key(expr: str) -> str:
+    """B1 mirror."""
+    return (
+        f"(CASE WHEN {expr} = '' THEN 'NONE' ELSE "
+        f"concat(substr({expr}, 1, 1), '_', "
+        f"CAST(length({expr}) // 5 AS VARCHAR), '_', "
+        f"string_split({expr}, ' ')[1]) END)"
+    )
+
+
+def sql_token_sort_key(expr: str) -> str:
+    """J3 mirror."""
+    return f"list_aggr(list_sort(string_split({expr}, ' ')), 'string_agg', '')"
+
+
+def sql_confidence(ratio: str, token_match: str) -> str:
+    """C2 mirror (tiers from config)."""
+    return (
+        f"(CASE WHEN {token_match} AND {ratio} >= 0.90 THEN 0.98 "
+        f"WHEN {ratio} >= 0.90 THEN 0.95 "
+        f"WHEN {ratio} >= 0.85 THEN 0.88 "
+        f"ELSE 0.70 END)"
+    )
+
+
+def sql_reason(ratio: str, token_match: str) -> str:
+    return (
+        f"(CASE WHEN {token_match} AND {ratio} >= 0.90 "
+        f"THEN 'token-sorted match AND ratio >= 0.90' "
+        f"WHEN {ratio} >= 0.90 THEN 'ratio >= 0.90' "
+        f"WHEN {ratio} >= 0.85 THEN 'ratio >= 0.85' "
+        f"ELSE 'Isolated or weak match' END)"
+    )

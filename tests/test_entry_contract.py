@@ -1,0 +1,81 @@
+"""Local mirror of the driver's t2 gate: run every declared query on Spark AND
+its DuckDB oracle on the same parquet, then compare row count, column names,
+and order-insensitive values. Defaults to sf0.001 for speed; set
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the full-size check."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from datafusion_dedup_ai_spark.sources.readers import TESTDATA_TABLES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _assert_frames_match(name: str, sdf: pd.DataFrame, odf: pd.DataFrame):
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs oracle {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    s = _canonicalize(sdf)
+    o = _canonicalize(odf)
+    for c in s.columns:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+            sv = sv.astype("float64")
+            ov = ov.astype("float64")
+            bad = ~((sv == ov) | (np.isnan(sv) & np.isnan(ov)))
+            assert not bad.any(), (
+                f"{name}.{c}: {int(bad.sum())} float mismatches; first: "
+                f"{sv[bad][:3]} vs {ov[bad][:3]} (exactness required for hash gate)"
+            )
+        else:
+            mism = sv != ov
+            assert not mism.any(), (
+                f"{name}.{c}: {int(mism.sum())} mismatches; first: "
+                f"{sv[mism][:3]} vs {ov[mism][:3]}"
+            )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.schema  # stable schema
+
+
+QUERY_NAMES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_vs_oracle(spark, sf_dir, duck, name):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, sf_dir).toPandas()
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        # rows-only contract: must run and be non-empty on testdata
+        assert len(sdf) > 0, f"{name}: rows-only query returned no rows"
+        return
+    odf = duck.execute(oracle).df()
+    _assert_frames_match(name, sdf, odf)
