@@ -1,0 +1,221 @@
+"""Fuzzy-dedup operator queries (SURVEY.md §2-A: N*, B*, J*, C* ops) with
+their DuckDB oracle mirrors."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark import oracles as O
+from datafusion_dedup_ai_spark.config import DedupConfig
+from datafusion_dedup_ai_spark.functions.normalize import (
+    base_name,
+    block_key,
+    normalize_name,
+    token_sort_key,
+)
+from datafusion_dedup_ai_spark.operators.blocking import candidate_pairs, prepare_names
+from datafusion_dedup_ai_spark.operators.matching import match_pairs
+from datafusion_dedup_ai_spark.plans.pipeline import dedup_pipeline
+from datafusion_dedup_ai_spark.sources.readers import load_table
+
+from datafusion_dedup_ai_spark.registry import register
+
+
+# ===========================================================================
+# Synthetic company names (shared Spark/SQL construction)
+#
+# The star-schema name columns carry no legal suffixes, so the N2/N3/N4
+# fixpoint logic would never fire on them. Both sides derive the same
+# suffix-bearing names deterministically from `part` (country before suffix,
+# matching real-world "X India Pvt Ltd" shapes; a few rows overridden with
+# acronym-map hits).
+# ===========================================================================
+
+
+def _synthetic_company_col() -> F.Column:
+    p = F.col("p_partkey")
+    ctry = (
+        F.when(p % 3 == 0, " India").when(p % 3 == 1, " Saudi Arabia").otherwise("")
+    )
+    sfx = (
+        F.when(p % 4 == 0, " Pvt Ltd")
+        .when(p % 4 == 1, " Inc")
+        .when(p % 4 == 2, " Co Ltd")
+        .otherwise("")
+    )
+    name = F.concat(F.col("p_name"), ctry, sfx)
+    return (
+        F.when(p % 53 == 0, "TCS")
+        .when(p % 57 == 0, "IBM India Pvt Ltd")
+        .otherwise(name)
+    )
+
+
+_SYNTH_COMPANY_SQL = """
+    CASE WHEN p_partkey % 53 = 0 THEN 'TCS'
+         WHEN p_partkey % 57 = 0 THEN 'IBM India Pvt Ltd'
+         ELSE concat(p_name,
+                     CASE WHEN p_partkey % 3 = 0 THEN ' India'
+                          WHEN p_partkey % 3 = 1 THEN ' Saudi Arabia'
+                          ELSE '' END,
+                     CASE WHEN p_partkey % 4 = 0 THEN ' Pvt Ltd'
+                          WHEN p_partkey % 4 = 1 THEN ' Inc'
+                          WHEN p_partkey % 4 = 2 THEN ' Co Ltd'
+                          ELSE '' END)
+    END
+"""
+
+
+# ===========================================================================
+# N1 — normalize (customer names, plain)
+# ===========================================================================
+
+
+@register(
+    "normalize_names",
+    f"""
+    SELECT c_custkey,
+           {O.sql_normalize('c_name')} AS normalized_name
+    FROM customer
+    """,
+)
+def q_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 (reference engine.py:43-51) as a pure projection over the scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", normalize_name(F.col("c_name")).alias("normalized_name")
+    )
+
+
+# ===========================================================================
+# N2-N5 + B1 + J3 — full base-name chain on suffix-bearing synthetic names
+# ===========================================================================
+
+
+@register(
+    "company_base_names",
+    f"""
+    WITH named AS (
+        SELECT p_partkey, {_SYNTH_COMPANY_SQL} AS raw_name FROM part
+    ), based AS (
+        SELECT p_partkey, raw_name,
+               {O.sql_normalize('raw_name')} AS normalized_name,
+               {O.sql_base_name('raw_name')} AS base_name
+        FROM named
+    )
+    SELECT p_partkey, raw_name, normalized_name, base_name,
+           {O.sql_block_key('base_name')} AS block_key,
+           {O.sql_token_sort_key('base_name')} AS token_key
+    FROM based
+    """,
+)
+def q_company_base_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 strip fixpoint + N3 fold + N4 alias map + B1 + J3 (engine.py:53-70,
+    185-208) over deterministic suffix-bearing names."""
+    part = load_table(spark, sf_dir, "part")
+    named = part.select("p_partkey", _synthetic_company_col().alias("raw_name"))
+    based = named.select(
+        "p_partkey",
+        "raw_name",
+        normalize_name(F.col("raw_name")).alias("normalized_name"),
+        base_name(F.col("raw_name")).alias("base_name"),
+    )
+    return based.select(
+        "p_partkey",
+        "raw_name",
+        "normalized_name",
+        "base_name",
+        block_key(F.col("base_name")).alias("block_key"),
+        token_sort_key(F.col("base_name")).alias("token_key"),
+    )
+
+
+# ===========================================================================
+# B2 + J1 — block grouping & candidate pair generation (supplier)
+# ===========================================================================
+
+_SUPPLIER_PREP_SQL = f"""
+    norm AS (
+        SELECT s_suppkey AS row_order, {O.sql_base_name('s_name')} AS base_name
+        FROM supplier
+    ), prep AS (
+        SELECT row_order, base_name,
+               {O.sql_block_key('base_name')} AS block_key,
+               {O.sql_token_sort_key('base_name')} AS token_key
+        FROM norm
+        WHERE base_name <> ''
+    )
+"""
+
+
+@register(
+    "candidate_pairs",
+    f"""
+    WITH {_SUPPLIER_PREP_SQL}
+    SELECT a.block_key AS block_key,
+           a.row_order AS row_order_a, b.row_order AS row_order_b,
+           a.base_name AS base_a, b.base_name AS base_b,
+           a.token_key AS token_a, b.token_key AS token_b
+    FROM prep a JOIN prep b USING (block_key)
+    WHERE a.row_order < b.row_order
+    """,
+)
+def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: within-block half-matrix self-join (engine.py:251-255). The block
+    key is the shuffle key; empty bases filtered before the join."""
+    supp = load_table(spark, sf_dir, "supplier")
+    prepared = prepare_names(supp, "s_name", DedupConfig(), order_col="s_suppkey")
+    return candidate_pairs(prepared)
+
+
+# ===========================================================================
+# J2 + J4 + C2 — scored, linked pairs (supplier)
+# ===========================================================================
+
+
+@register(
+    "matched_pairs",
+    f"""
+    WITH {_SUPPLIER_PREP_SQL}, pairs AS (
+        SELECT a.block_key AS block_key,
+               a.row_order AS row_order_a, b.row_order AS row_order_b,
+               jaro_winkler_similarity(a.base_name, b.base_name) AS jw,
+               (a.token_key = b.token_key) AS is_token_match
+        FROM prep a JOIN prep b USING (block_key)
+        WHERE a.row_order < b.row_order
+    )
+    SELECT block_key, row_order_a, row_order_b, jw, is_token_match,
+           {O.sql_confidence('jw', 'is_token_match')} AS pair_confidence,
+           {O.sql_reason('jw', 'is_token_match')} AS pair_reason
+    FROM pairs
+    WHERE (is_token_match AND jw >= 0.85) OR jw >= 0.90
+    """,
+)
+def q_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 Jaro-Winkler (pandas_udf, bitwise-equal to the DuckDB builtin) +
+    J4 link predicate + C2 confidence tiers (engine.py:257-260, 371-375)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    prepared = prepare_names(supp, "s_name", DedupConfig(), order_col="s_suppkey")
+    return match_pairs(candidate_pairs(prepared), DedupConfig())
+
+
+# ===========================================================================
+# Flagship — full dedup pipeline (used by entry(); rows-only check at t2:
+# cluster formation is not ANSI-SQL-expressible, SURVEY.md §2 C1/C3)
+# ===========================================================================
+
+
+@register("dedup_clusters", None)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C3/C4/C5/C6 end-to-end over synthetic company names derived from
+    part (same construction as company_base_names, so fuzzy variants of the
+    same part name cluster together)."""
+    part = load_table(spark, sf_dir, "part")
+    named = part.select(
+        F.col("p_partkey").alias("company_id"),
+        _synthetic_company_col().alias("company_name"),
+    )
+    return dedup_pipeline(
+        named, "company_name", DedupConfig(), order_col="company_id"
+    )

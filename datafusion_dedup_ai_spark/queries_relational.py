@@ -1,0 +1,525 @@
+"""Relational parity pack (SURVEY.md §2-B): the standard query-category
+checklist — scan/filter/project pushdown, hash aggregation, equi/theta/semi/
+anti joins, windows, sort/limit, set ops, rollup, distinct, string/date/math
+functions, JSON extraction, tumbling windows, sessionization — each as a
+Spark DataFrame plan with a DuckDB oracle.
+
+Float discipline: every aggregated money/value column goes through exact
+integer cents (`round(x*100)::BIGINT`) so sums are order-independent and
+bit-identical at any parallelism; raw doubles pass through only unaggregated.
+Timestamps cross the compare as epoch microseconds (unix_micros <-> epoch_us).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark.registry import register
+from datafusion_dedup_ai_spark.sources.readers import load_table
+
+
+def _cents(col: Column) -> Column:
+    return F.round(col * 100).cast("long")
+
+
+def _sql_cents(expr: str) -> str:
+    return f"CAST(round({expr} * 100) AS BIGINT)"
+
+
+# ===========================================================================
+# Scan + filter pushdown + hash aggregation (TPC-H Q1 shape on lineitem)
+# ===========================================================================
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_sql_cents('l_quantity')}) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM({_sql_cents('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM({_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM({_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')}) * (100 + {_sql_cents('l_tax')})) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(SUM({_sql_cents('l_quantity')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+           CAST(SUM({_sql_cents('l_extendedprice')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+           CAST(SUM({_sql_cents('l_discount')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 shape: predicate pushes to the parquet scan; partial (map-side)
+    aggregation before the single shuffle on the 2-column group key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (
+        _cents(F.col("l_quantity")),
+        _cents(F.col("l_extendedprice")),
+        _cents(F.col("l_discount")),
+        _cents(F.col("l_tax")),
+    )
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(price).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(price * (100 - disc)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(price * (100 - disc) * (100 + tax)).cast("double") / 1000000.0).alias("sum_charge"),
+            (F.sum(qty).cast("double") / 100.0 / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / 100.0 / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / 100.0 / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ===========================================================================
+# Equi-join + agg + deterministic top-k (sort/limit)
+# ===========================================================================
+
+
+@register(
+    "top_revenue_orders",
+    f"""
+    SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS order_date_us,
+           CAST(SUM({_sql_cents('l.l_extendedprice')} * (100 - {_sql_cents('l.l_discount')})) AS DOUBLE) / 10000.0 AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join on the fact keys + top-k; the tie-break on o_orderkey makes
+    LIMIT deterministic. Spark executes this as TakeOrderedAndProject (no full
+    sort materialization)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+        .select(
+            "o_orderkey",
+            # parquet ms-timestamps surface as TIMESTAMP_NTZ; session TZ is
+            # pinned to UTC so the cast preserves the wall-clock instant.
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_date_us"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Broadcast dimension joins (star join) + agg
+# ===========================================================================
+
+
+@register(
+    "region_order_stats",
+    f"""
+    SELECT r.r_name, c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM({_sql_cents('o.o_totalprice')}) AS DOUBLE) / 100.0 AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, c.c_mktsegment
+    """,
+)
+def q_region_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: nation/region (and customer at small SF) broadcast — no
+    shuffle of the orders fact for the dimension hops."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100.0).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# Anti join / semi join
+# ===========================================================================
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "customer_nations_with_orders",
+    """
+    SELECT n.n_name, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def q_customer_nations_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ===========================================================================
+# Window functions: per-group top-k
+# ===========================================================================
+
+
+@register(
+    "window_topk_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+        FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer; Spark pushes the rk<=3 filter into the
+    window sort (WindowGroupLimit) so no full per-group materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+# ===========================================================================
+# Rollup (grouping sets)
+# ===========================================================================
+
+
+@register(
+    "rollup_order_counts",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM({_sql_cents('o_totalprice')}) AS DOUBLE) / 100.0 AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100.0).alias(
+            "total_price"
+        ),
+    )
+
+
+# ===========================================================================
+# Set operations
+# ===========================================================================
+
+
+@register(
+    "repeat_status_customers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_repeat_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@register(
+    "finished_only_customers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+def q_finished_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    other = o.where(F.col("o_orderstatus") != "F").select("o_custkey")
+    return f.subtract(other)  # EXCEPT (distinct) semantics, matches the SQL
+
+
+# ===========================================================================
+# Distinct / count-distinct
+# ===========================================================================
+
+
+@register(
+    "distinct_order_stats",
+    """
+    SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+)
+def q_distinct_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ===========================================================================
+# Theta (inequality) join
+# ===========================================================================
+
+
+@register(
+    "acctbal_close_suppliers",
+    """
+    SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND abs(a.s_acctbal - b.s_acctbal) < 10.0
+    """,
+)
+def q_acctbal_close_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality join — Spark picks BroadcastNestedLoopJoin (supplier is
+    the small dimension); at scale this would be banded (bucketize acctbal,
+    equi-join on band, post-filter) to avoid the quadratic loop."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        & (F.abs(F.col("a.s_acctbal") - F.col("b.s_acctbal")) < 10.0),
+    ).select(
+        F.col("a.s_suppkey").alias("suppkey_a"),
+        F.col("b.s_suppkey").alias("suppkey_b"),
+    )
+
+
+# ===========================================================================
+# String functions
+# ===========================================================================
+
+
+@register(
+    "part_string_features",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+           reverse(p_name) AS name_rev,
+           CAST(levenshtein(p_name, lower(p_brand)) AS BIGINT) AS lev_to_brand
+    FROM part
+    """,
+)
+def q_part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_tokens"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.levenshtein("p_name", F.lower("p_brand")).cast("bigint").alias("lev_to_brand"),
+    )
+
+
+# ===========================================================================
+# Date/time functions
+# ===========================================================================
+
+
+@register(
+    "event_date_parts",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(day(ts) AS BIGINT) AS d,
+           CAST(hour(ts) AS BIGINT) AS h,
+           epoch_us(date_trunc('day', ts)) AS day_us
+    FROM events
+    """,
+)
+def q_event_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("m"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+    )
+
+
+# ===========================================================================
+# JSON extraction
+# ===========================================================================
+
+
+@register(
+    "json_event_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ===========================================================================
+# Tumbling time-window aggregation (batch analog of streaming windows)
+# ===========================================================================
+
+
+@register(
+    "hourly_event_stats",
+    f"""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM({_sql_cents('value')}) AS DOUBLE) / 100.0 AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window over event time — in Structured Streaming the same
+    plan is F.window(ts, '1 hour') + watermark (streaming/ module)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ===========================================================================
+# Gap-based sessionization (lag + running sum)
+# ===========================================================================
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "user_sessions",
+    f"""
+    WITH t AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ), marked AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id
+    """,
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in batch: gap > 30 min starts a new session. One
+    shuffle on user_id serves both window phases and the final aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = t.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
