@@ -1,0 +1,274 @@
+"""Text-analysis query pack over `documents` (extension scope): token stats,
+quality scores, language-ID, fingerprints, corpus term stats, and exact
+n-gram-Jaccard near-duplicate pairs — every one oracle-gated.
+
+The SQL mirrors are generated from the same constants (functions/text.py) so
+the two sides can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark.functions import text as T
+from datafusion_dedup_ai_spark.registry import register
+from datafusion_dedup_ai_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# SQL mirror helpers (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+
+
+def _sql_list_lit(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+def _sql_marker_count(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter({_TOKS}, x -> list_contains("
+        f"{_sql_list_lit(T.LANG_MARKERS[lang])}, x))) AS BIGINT)"
+    )
+
+
+def _sql_lang_id() -> str:
+    """Mirror of functions.text.lang_id: fold langs in sorted order,
+    strictly-greater marker count replaces the running best."""
+    langs = sorted(T.LANG_MARKERS)
+    best = f"'{langs[0]}'"
+    best_count = f"c_{langs[0]}"
+    for lang in langs[1:]:
+        cnt = f"c_{lang}"
+        best = f"(CASE WHEN {cnt} > {best_count} THEN '{lang}' ELSE {best} END)"
+        best_count = f"(CASE WHEN {cnt} > {best_count} THEN {cnt} ELSE {best_count} END)"
+    return f"(CASE WHEN {best_count} > 0 THEN {best} ELSE 'und' END)"
+
+
+_SQL_BIGRAMS = (
+    "[t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]"
+)
+
+_SQL_ROLLING_HASH = (
+    "list_reduce(list_concat([CAST(0 AS BIGINT)], "
+    "[CAST(ascii(ch) AS BIGINT) FOR ch IN string_split(text, '')]), "
+    f"(acc, x) -> (acc * {T.ROLLING_HASH_BASE} + x) % {T.ROLLING_HASH_MOD})"
+)
+
+_BPE_PATTERN = r"[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+# ===========================================================================
+# Token statistics
+# ===========================================================================
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(T.tokens(F.col("text")))).cast("bigint").alias(
+            "n_distinct_tokens"
+        ),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        T.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+# ===========================================================================
+# Quality scoring
+# ===========================================================================
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct,
+               CAST(len(list_filter({_TOKS}, x -> list_contains(
+                   {_sql_list_lit(T.STOPWORDS)}, x))) AS DOUBLE) AS sw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(sw AS BIGINT) AS n_stopwords,
+           least(n_tok / 50.0, 1.0) * 0.4
+             + (n_distinct / n_tok) * 0.4
+             + (CASE WHEN sw / n_tok >= 0.02 AND sw / n_tok <= 0.4
+                     THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+    FROM t
+    """,
+)
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.stopword_count(F.col("text")).alias("n_stopwords"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# ===========================================================================
+# Language identification (marker-word heuristic)
+# ===========================================================================
+
+
+@register(
+    "doc_language_id",
+    f"""
+    WITH c AS (
+        SELECT doc_id, lang AS claimed_lang,
+               {', '.join(f'{_sql_marker_count(lang)} AS c_{lang}' for lang in sorted(T.LANG_MARKERS))}
+        FROM documents
+    )
+    SELECT doc_id, claimed_lang,
+           {', '.join(f'c_{lang}' for lang in sorted(T.LANG_MARKERS))},
+           {_sql_lang_id()} AS pred_lang
+    FROM c
+    """,
+)
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cols = [
+        "doc_id",
+        F.col("lang").alias("claimed_lang"),
+        *[
+            T.lang_marker_count(F.col("text"), lang).alias(f"c_{lang}")
+            for lang in sorted(T.LANG_MARKERS)
+        ],
+        T.lang_id(F.col("text")).alias("pred_lang"),
+    ]
+    return d.select(*cols)
+
+
+# ===========================================================================
+# Fingerprints (md5 + order-sensitive rolling hash)
+# ===========================================================================
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id, md5(text) AS fp_md5, {_SQL_ROLLING_HASH} AS fp_rolling
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        T.rolling_hash(F.col("text")).alias("fp_rolling"),
+    )
+
+
+# ===========================================================================
+# Corpus term statistics (TF + DF, top-k)
+# ===========================================================================
+
+
+@register(
+    "corpus_top_terms",
+    f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    )
+    SELECT term,
+           COUNT(*) AS tf,
+           COUNT(DISTINCT doc_id) AS df
+    FROM ex
+    GROUP BY term
+    ORDER BY tf DESC, term ASC
+    LIMIT 50
+    """,
+)
+def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF/DF table (the exact-counting core of TF-IDF; idf = ln((N+1)/(df+1))+1
+    is derivable but kept out of the hash gate — libm ulp differences)."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    return (
+        ex.groupBy("term")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+# ===========================================================================
+# Exact n-gram Jaccard near-duplicate pairs
+# ===========================================================================
+
+JACCARD_THRESHOLD = 0.2
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct({_SQL_BIGRAMS}) AS shingles FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM sh
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(sa.n_sh + sb.n_sh - n_common AS BIGINT) AS n_union,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by word-bigram Jaccard — the ground truth the
+    MinHash-LSH tier approximates. Shingle equality is the shuffle key; the
+    per-shingle explode is bounded by document length, and hot shingles are
+    the skew to watch at scale (AQE skew-join handles the bucket join)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
+    )
+    sizes = sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("n_union", (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")).cast("bigint"))
+        .withColumn("jaccard", F.col("n_common").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")))
+    )
+    return j.where(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "n_common", "n_union", "jaccard"
+    )
