@@ -1,0 +1,129 @@
+"""Scalable-dedup query pack: exact dedup (oracle-gated) and the MinHash-LSH /
+SimHash approximate tiers (rows-only at t2 — xxhash64 has no DuckDB
+equivalent; their fidelity is pinned by tests/test_dedup_ext.py against the
+exact oracle-gated ngram_jaccard_pairs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark.functions import text as T
+from datafusion_dedup_ai_spark.operators import dedup as D
+from datafusion_dedup_ai_spark.registry import register
+from datafusion_dedup_ai_spark.sources.readers import load_table
+
+
+# ===========================================================================
+# Exact dedup — keep-first per key
+# ===========================================================================
+
+
+@register(
+    "exact_dedup_events",
+    """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_exact_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type): classic keep-first exact dedup."""
+    e = load_table(spark, sf_dir, "events")
+    kept = D.exact_dedup(e, ["user_id", "event_type"], ["ts", "event_id"])
+    return kept.select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@register(
+    "exact_dedup_documents",
+    """
+    SELECT content_hash, rep_doc_id, n_copies FROM (
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS rep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text))
+    """,
+)
+def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: one representative (min id) per distinct text.
+    Hash-groupBy form — at 100 TB this is the cheapest dedup pass (map-side
+    partial agg on md5, one shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ===========================================================================
+# Approximate distinct (extension; rows-only: approx by definition)
+# ===========================================================================
+
+
+@register("approx_distinct_users", None)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count vs exact, with relative error — the
+    constant-memory path for 100 TB cardinality estimation."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "approx_users",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+        ).alias("rel_error"),
+    )
+
+
+# ===========================================================================
+# MinHash + LSH near-duplicate tier (rows-only; fidelity pinned in tests)
+# ===========================================================================
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.distinct_shingles(F.col("text")).alias("shingles"))
+
+
+@register("minhash_signatures", None)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-hash MinHash signatures over word-bigram shingles (one explode +
+    64 partial-aggregated mins; xxhash64 mixing — no DuckDB analog)."""
+    return D.minhash_signatures(_shingled_docs(spark, sf_dir))
+
+
+@register("minhash_near_dup_pairs", None)
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (16 bands x 4 rows) candidates, exact-Jaccard-verified at 0.2 —
+    the scale path replacing the quadratic ngram_jaccard_pairs join."""
+    return D.minhash_near_dup_pairs(_shingled_docs(spark, sf_dir))
+
+
+# ===========================================================================
+# SimHash near-duplicate tier (rows-only)
+# ===========================================================================
+
+
+@register("simhash_fingerprints", None)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
+    return D.simhash64(tok)
+
+
+@register("simhash_near_pairs", None)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming <= 6 pairs via pigeonhole banding (equi-join on bit chunks,
+    never all-pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
+    return D.simhash_near_pairs(D.simhash64(tok), max_hamming=6)
