@@ -1,0 +1,92 @@
+"""Similarity-search query pack over `embeddings`. The exact tier is
+oracle-gated (DuckDB mirrors the left-fold dot product bitwise); the LSH tier
+is rows-only (recall pinned against brute force in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark.operators import similarity_search as S
+from datafusion_dedup_ai_spark.registry import register
+from datafusion_dedup_ai_spark.sources.readers import load_table
+
+N_QUERIES = 5
+TOP_K = 5
+NEAR_DUP_THRESHOLD = 0.35
+
+# DuckDB mirror of operators.similarity_search.dot_fold on double-widened
+# lists: left fold over elementwise products, same order as Spark aggregate.
+_SQL_DOT = (
+    "list_reduce(list_concat([0.0], "
+    "[{a}[i] * {b}[i] FOR i IN range(1, len({a}) + 1)]), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot_ab = _SQL_DOT.format(a=a, b=b)
+    dot_aa = _SQL_DOT.format(a=a, b=a)
+    dot_bb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})))"
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_sql_cosine('q.qv', 'c.v')} AS cosine
+        FROM c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rk
+        FROM scored)
+    WHERE rk <= {TOP_K}
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 5 — the
+    correctness baseline every ANN tier is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.brute_force_topk(emb, queries, k=TOP_K)
+
+
+@register(
+    "embedding_near_pairs",
+    f"""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine('a.v', 'b.v')} AS cosine
+    FROM c a CROSS JOIN c b
+    WHERE a.vec_id < b.vec_id
+      AND {_sql_cosine('a.v', 'b.v')} >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs (cosine >= 0.35) — exact
+    quadratic form; the LSH tier is the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.near_duplicate_embeddings(emb, threshold=NEAR_DUP_THRESHOLD)
+
+
+@register("ann_lsh_topk", None)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH top-k (8 tables x 4 bits, exact
+    re-rank of candidates). Rows-only at t2; recall vs brute force is pinned
+    in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.lsh_topk(emb, queries, k=TOP_K)
