@@ -16,7 +16,12 @@ from datafusion_dedup_ai_spark.functions.normalize import (
 )
 from datafusion_dedup_ai_spark.operators.blocking import candidate_pairs, prepare_names
 from datafusion_dedup_ai_spark.operators.matching import match_pairs
-from datafusion_dedup_ai_spark.plans.pipeline import dedup_pipeline
+from datafusion_dedup_ai_spark.plans.pipeline import (
+    dedup_pipeline,
+    golden_mapping,
+    high_confidence_review,
+    run_stats,
+)
 from datafusion_dedup_ai_spark.sources.readers import load_table
 
 from datafusion_dedup_ai_spark.registry import register
@@ -218,4 +223,185 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup_pipeline(
         named, "company_name", DedupConfig(), order_col="company_id"
+    )
+
+
+def _named_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("company_id"),
+        _synthetic_company_col().alias("company_name"),
+    )
+
+
+@register("canonical_mapping", None)
+def q_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 golden mapping (original -> canonical) from the fuzzy pipeline
+    (outputs.py:52). Rows-only: depends on C1 cluster formation."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return golden_mapping(clusters)
+
+
+@register("cluster_review", None)
+def q_cluster_review(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 review filter: confidence >= 0.95 AND cluster_size >= 2
+    (outputs.py:56-57). Rows-only."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return high_confidence_review(clusters)
+
+
+@register("cluster_stats", None)
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 stats quadruple, incl. the preserved multi_record_clusters
+    rows-not-clusters quirk (outputs.py:61-66). Rows-only."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return run_stats(clusters)
+
+
+# ===========================================================================
+# C5/C6 with an exact oracle: canonical election over token-sorted clusters
+# (word-shuffle-invariant EXACT dedup — SQL-expressible, unlike the fuzzy C1
+# partition — so the election windows get a hash-gated check too)
+# ===========================================================================
+
+
+@register(
+    "token_cluster_canonical",
+    f"""
+    WITH named AS (
+        SELECT p_partkey, {_SYNTH_COMPANY_SQL} AS raw_name FROM part
+    ), based AS (
+        SELECT p_partkey, {O.sql_base_name('raw_name')} AS base_name FROM named
+    ), keyed AS (
+        SELECT p_partkey, base_name,
+               {O.sql_token_sort_key('base_name')} AS token_key
+        FROM based
+        WHERE base_name <> ''
+    ), freq AS (
+        SELECT token_key, base_name, COUNT(*) AS cnt
+        FROM keyed GROUP BY token_key, base_name
+    ), elected AS (
+        SELECT token_key, base_name AS canonical_name
+        FROM (
+            SELECT token_key, base_name, ROW_NUMBER() OVER (
+                PARTITION BY token_key
+                ORDER BY cnt DESC, length(base_name) ASC, base_name ASC) AS rn
+            FROM freq) WHERE rn = 1
+    ), sizes AS (
+        SELECT token_key, COUNT(*) AS cluster_size,
+               COUNT(DISTINCT base_name) AS n_variants
+        FROM keyed GROUP BY token_key
+    )
+    SELECT e.token_key, e.canonical_name, s.cluster_size, s.n_variants
+    FROM elected e JOIN sizes s USING (token_key)
+    """,
+)
+def q_token_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 election (freq desc, length asc, lexicographic asc) + C6 sizes over
+    token-sorted-key clusters (engine.py:321-338 semantics with the R4
+    tie-break, on an exactly-clusterable key)."""
+    from pyspark.sql import Window
+
+    named = _named_parts(spark, sf_dir)
+    based = named.select(
+        "company_id", base_name(F.col("company_name")).alias("base_name")
+    )
+    keyed = based.where(F.col("base_name") != "").select(
+        "company_id", "base_name", token_sort_key(F.col("base_name")).alias("token_key")
+    )
+    freq = keyed.groupBy("token_key", "base_name").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("token_key").orderBy(
+        F.col("cnt").desc(), F.length("base_name").asc(), F.col("base_name").asc()
+    )
+    elected = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("token_key", F.col("base_name").alias("canonical_name"))
+    )
+    sizes = keyed.groupBy("token_key").agg(
+        F.count("*").alias("cluster_size"),
+        F.countDistinct("base_name").alias("n_variants"),
+    )
+    return elected.join(sizes, "token_key")
+
+
+# ===========================================================================
+# E3 — keyword industry classification (deterministic part; oracle-gated)
+# ===========================================================================
+
+def _industry_sql_case(expr: str) -> str:
+    from datafusion_dedup_ai_spark.enrich import INDUSTRY_KEYWORDS, INDUSTRY_FALLBACK, INDUSTRY_UNKNOWN
+
+    whens = []
+    for industry, kws in INDUSTRY_KEYWORDS.items():
+        cond = " OR ".join(f"contains(upper({expr}), '{k}')" for k in kws)
+        whens.append(f"WHEN ({cond}) THEN '{industry}'")
+    return (
+        f"(CASE WHEN {expr} IS NULL OR {expr} = '' THEN '{INDUSTRY_UNKNOWN}' "
+        + " ".join(whens)
+        + f" ELSE '{INDUSTRY_FALLBACK}' END)"
+    )
+
+
+_INDUSTRY_INPUT_SQL = """
+    concat(p_name, CASE p_partkey % 7
+        WHEN 0 THEN ' software'
+        WHEN 1 THEN ' bank'
+        WHEN 2 THEN ' pharma supplies'
+        WHEN 3 THEN ' store'
+        WHEN 4 THEN ' engineering systems'
+        WHEN 5 THEN ' software bank'
+        ELSE '' END)
+"""
+
+
+def _industry_input_col() -> F.Column:
+    p = F.col("p_partkey")
+    return F.concat(
+        F.col("p_name"),
+        F.when(p % 7 == 0, " software")
+        .when(p % 7 == 1, " bank")
+        .when(p % 7 == 2, " pharma supplies")
+        .when(p % 7 == 3, " store")
+        .when(p % 7 == 4, " engineering systems")
+        .when(p % 7 == 5, " software bank")
+        .otherwise(""),
+    )
+
+
+@register(
+    "industry_classification",
+    f"""
+    SELECT p_partkey,
+           {_INDUSTRY_INPUT_SQL} AS company_desc,
+           {_industry_sql_case(_INDUSTRY_INPUT_SQL)} AS industry
+    FROM part
+    """,
+)
+def q_industry_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3's deterministic keyword classifier (engine.py:110-126), dict-order
+    priority, over names with injected sector keywords (the '... software
+    bank' rows pin first-match-wins)."""
+    from datafusion_dedup_ai_spark.enrich import classify_industry
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        _industry_input_col().alias("company_desc"),
+        classify_industry(_industry_input_col()).alias("industry"),
+    )
+
+
+@register("enriched_clusters", None)
+def q_enriched_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 shape end-to-end: fuzzy clusters + enrich-once-per-distinct-
+    canonical via mapInPandas stub + broadcast join back (engine.py:340-367).
+    Rows-only: website values come from the pluggable (stubbed) client."""
+    from datafusion_dedup_ai_spark.config import DedupConfig
+    from datafusion_dedup_ai_spark.enrich import StubEnricher
+
+    named = _named_parts(spark, sf_dir)
+    return dedup_pipeline(
+        named, "company_name", DedupConfig(), order_col="company_id",
+        enricher=StubEnricher(),
     )

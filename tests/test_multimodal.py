@@ -1,0 +1,70 @@
+"""Multimodal plumbing: binary schema, Arrow featurizer invariants, frame
+sampling bounds, and the decode stub contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from datafusion_dedup_ai_spark.operators import multimodal as M
+from datafusion_dedup_ai_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    df = M.media_table(load_table(spark, sf_dir, "documents"))
+    df.cache()
+    return df
+
+
+def test_payload_is_binary(media):
+    assert isinstance(media.schema["payload"].dataType, BinaryType)
+
+
+def test_feature_histogram_invariants(media):
+    feats = M.extract_features(media.limit(50)).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["byte_histogram"]) == 16
+        assert sum(r["byte_histogram"]) == r["n_bytes"]
+        assert 0.0 <= r["byte_entropy"] <= 4.0  # 16 buckets -> max 4 bits
+
+
+def test_frame_samples_within_payload(media):
+    frames = M.sample_frames(media).collect()
+    assert frames
+    sizes = {
+        r["doc_id"]: r["n_bytes"]
+        for r in media.select(
+            "doc_id", F.octet_length("payload").alias("n_bytes")
+        ).collect()
+    }
+    for r in frames:
+        assert 0 <= r["frame_idx"] < r["n_frames"]
+        assert 0 <= r["byte_offset"] < sizes[r["doc_id"]]
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\x00", "image")
+
+
+def test_enricher_shape(spark):
+    from datafusion_dedup_ai_spark.config import DedupConfig
+    from datafusion_dedup_ai_spark.enrich import StubEnricher
+    from datafusion_dedup_ai_spark.plans.pipeline import dedup_pipeline
+
+    df = spark.createDataFrame(
+        [(0, "Acme Software Pvt Ltd"), (1, "Acme Software"), (2, "Big Bank Inc")],
+        ["idx", "name"],
+    )
+    out = dedup_pipeline(
+        df, "name", DedupConfig(), order_col="idx", enricher=StubEnricher()
+    ).collect()
+    rows = {r["row_order"]: r for r in out}
+    assert rows[0]["website"] == "acme-software.example.com"
+    assert rows[0]["industry"] == "TECHNOLOGY"
+    assert rows[2]["industry"] == "FINANCE"
+    # enrichment is per-canonical: members of one cluster share values
+    assert rows[0]["website"] == rows[1]["website"]
