@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": <sf>}.
+
+Queries execute into the noop sink (full computation, no driver collect), so
+timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    # relational core
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_order_stats",
+    "window_topk_orders",
+    "user_sessions",
+    "json_event_stats",
+    "hourly_event_stats",
+    "exact_dedup_events",
+    # dedup pipeline (the reference's raison d'etre)
+    "company_base_names",
+    "matched_pairs",
+    "dedup_clusters",
+    # training-data extensions
+    "doc_token_stats",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from datafusion_dedup_ai_spark.session import build_session
+    import __spark_entry__ as entry_mod
+
+    spark = build_session(app_name="bench")
+    qs = entry_mod.queries()
+
+    # warm the JVM/codegen paths before timing
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

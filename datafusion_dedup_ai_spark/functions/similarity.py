@@ -69,7 +69,16 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, boost_threshold: 
 
 
 @F.pandas_udf(DoubleType())
-def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+def _jaro_winkler_pandas(s1: pd.Series, s2: pd.Series) -> pd.Series:
     a = s1.fillna("")
     b = s2.fillna("")
     return pd.Series([jaro_winkler(x, y) for x, y in zip(a, b)], index=s1.index, dtype="float64")
+
+
+# Marked non-deterministic ON PURPOSE (it is deterministic): Catalyst's
+# push-predicate-through-project otherwise substitutes the UDF into the
+# threshold filter and evaluates the Python batch TWICE per row (verified in
+# the physical plan: two ArrowEvalPython nodes). The marker blocks that
+# substitution so jw is computed once and the filter reads the materialized
+# column.
+jaro_winkler_udf = _jaro_winkler_pandas.asNondeterministic()

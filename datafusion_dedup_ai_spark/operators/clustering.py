@@ -186,3 +186,162 @@ def cluster_label_propagation(edges: DataFrame, max_iters: int = 50) -> DataFram
         if changed == 0:
             break
     return labels.select(F.col("v").alias("row_order"), F.col("label").alias("cluster_id"))
+
+
+def _replay_block(
+    members: pd.DataFrame,
+    matches: pd.DataFrame,
+    link_identical: bool,
+    conf_identical: float,
+    reason_identical: str,
+) -> pd.DataFrame:
+    """Exact replay of the reference's sorted pair scan (engine.py:251-261)
+    from the entity-collapsed inputs: block members (row_order, base_name) and
+    distinct-base-pair matches.
+
+    Equivalence: processing all row pairs sorted by (a, b) is Kruskal over a
+    union of group cliques + complete bipartite graphs between matching
+    groups. For each vertex a (ascending), the successful unions are one per
+    distinct pre-scan component among a's matching neighbors > a, triggered at
+    that component's smallest such member; conf[a] takes the max pair
+    confidence over those unions and reason[a] the LAST one's reason (b
+    ascending) — exactly the reference's update rule. Once a group's minimum
+    row has been processed the whole group is a single component (its min
+    scanned every member), so later scans resolve it with one find() — the
+    fast path that keeps this O(candidates), not O(k^2).
+    """
+    import bisect
+    from collections import defaultdict
+
+    rows = members.sort_values("row_order")
+    ids = [int(x) for x in rows["row_order"]]
+    base_of = dict(zip(ids, rows["base_name"]))
+    group_members: dict[str, list[int]] = defaultdict(list)
+    for i in ids:
+        group_members[base_of[i]].append(i)  # ascending
+
+    neigh: dict[str, list[tuple[str, float, str]]] = defaultdict(list)
+    for ba, bb, pc, pr in zip(
+        matches["base_a"], matches["base_b"],
+        matches["pair_confidence"], matches["pair_reason"],
+    ):
+        neigh[ba].append((bb, float(pc), str(pr)))
+        neigh[bb].append((ba, float(pc), str(pr)))
+    if link_identical:
+        for b in group_members:
+            neigh[b].append((b, conf_identical, reason_identical))
+
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    conf = {i: CONF_DEFAULT for i in ids}
+    reason = {i: REASON_DEFAULT for i in ids}
+
+    for a in ids:
+        ga = base_of[a]
+        cands: dict[int, tuple[int, float, str]] = {}
+        for hb, pc, pr in neigh.get(ga, ()):
+            mem = group_members.get(hb)
+            if not mem:
+                continue
+            pos = bisect.bisect_right(mem, a)
+            if pos >= len(mem):
+                continue
+            if link_identical and mem[0] < a:
+                # group already whole: one component, trigger at first member > a
+                targets = (mem[pos],)
+            else:
+                # group not yet internally merged: members may sit in distinct
+                # components, scan each (only happens before the group's min)
+                targets = mem[pos:]
+            for b in targets:
+                rb = find(b)
+                cur = cands.get(rb)
+                if cur is None or b < cur[0]:
+                    cands[rb] = (b, pc, pr)
+        if not cands:
+            continue
+        for b, pc, pr in sorted(cands.values()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                if pc > conf[a]:
+                    conf[a] = pc
+                reason[a] = pr
+
+    comp_min: dict[int, int] = {}
+    roots = {i: find(i) for i in ids}
+    for i in ids:
+        r = roots[i]
+        if r not in comp_min or i < comp_min[r]:
+            comp_min[r] = i
+    return pd.DataFrame(
+        {
+            "row_order": ids,
+            "cluster_id": [comp_min[roots[i]] for i in ids],
+            "confidence": [conf[i] for i in ids],
+            "reason": [reason[i] for i in ids],
+        }
+    )
+
+
+def cluster_exact(
+    prepared: DataFrame,
+    group_matches: DataFrame,
+    link_identical: bool = True,
+) -> DataFrame:
+    """C1/C3/C4 via cogrouped per-block replay of the collapsed inputs.
+
+    Shuffle volume is O(rows + distinct base pairs) — never the row-pair
+    matrix. Empty-base rows stay singletons with the C4 rule.
+    """
+    from datafusion_dedup_ai_spark.config import (
+        CONF_TOKEN_AND_HARD,
+        REASON_TOKEN_AND_HARD,
+    )
+
+    members = prepared.where(F.col("base_name") != "").select(
+        "block_key", "row_order", "base_name"
+    )
+
+    def run(mem_pdf: pd.DataFrame, match_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _replay_block(
+            mem_pdf, match_pdf, link_identical,
+            CONF_TOKEN_AND_HARD, REASON_TOKEN_AND_HARD,
+        )
+
+    # Both frames derive from `prepared`; rename the match side's key so the
+    # analyzer doesn't flag an ambiguous self-join on the shared attribute.
+    gm = group_matches.withColumnRenamed("block_key", "match_block_key")
+    labeled = (
+        members.groupBy("block_key")
+        .cogroup(gm.groupBy("match_block_key"))
+        .applyInPandas(run, schema=_MEMBER_SCHEMA)
+        .withColumnsRenamed(
+            {"cluster_id": "m_cluster_id", "confidence": "m_confidence", "reason": "m_reason"}
+        )
+    )
+    out = prepared.join(labeled, on="row_order", how="left")
+    return (
+        out.withColumn("cluster_id", F.coalesce(F.col("m_cluster_id"), F.col("row_order")))
+        .withColumn(
+            "confidence",
+            F.when(F.col("base_name") == "", F.lit(CONF_EMPTY_BASE)).otherwise(
+                F.coalesce(F.col("m_confidence"), F.col("confidence"))
+            ),
+        )
+        .withColumn(
+            "reason",
+            F.when(F.col("base_name") == "", F.lit(REASON_EMPTY_BASE)).otherwise(
+                F.coalesce(F.col("m_reason"), F.col("reason"))
+            ),
+        )
+        .drop("m_cluster_id", "m_confidence", "m_reason")
+    )

@@ -50,7 +50,12 @@ def match_pairs(pairs: DataFrame, config: DedupConfig | None = None) -> DataFram
     to connected components, where shuffle volume matters.
     """
     config = config or DedupConfig()
-    scored = pairs.withColumn(
+    # Spread pairs before the Python UDF: a single hot block otherwise lands
+    # every pair in one hash partition and serializes the JW scoring. The
+    # explicit partition count matters — a bare column-repartition of a
+    # few-MB shuffle gets coalesced back to ~1 partition by AQE.
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism
+    scored = pairs.repartition(n_parts, "row_order_a", "row_order_b").withColumn(
         "jw", jaro_winkler_udf(F.col("base_a"), F.col("base_b"))
     ).withColumn("is_token_match", F.col("token_a") == F.col("token_b"))
     linked = scored.where(
@@ -64,6 +69,48 @@ def match_pairs(pairs: DataFrame, config: DedupConfig | None = None) -> DataFram
         "row_order_b",
         "jw",
         "is_token_match",
+        conf.alias("pair_confidence"),
+        reason.alias("pair_reason"),
+    )
+
+
+def group_pair_matches(
+    prepared: DataFrame, config: DedupConfig | None = None
+) -> DataFrame:
+    """Distinct-base-pair match table per block: (block_key, base_a, base_b,
+    pair_confidence, pair_reason) for base_a < base_b passing the J4 predicate.
+
+    This is the entity-collapsed input to the exact cluster replay
+    (clustering.cluster_exact): Jaro-Winkler runs once per DISTINCT base pair
+    per block instead of once per row pair, so exact duplicates — the bulk of
+    a 100 TB corpus — never reach the quadratic stage. Identical-base matches
+    are implicit (jw = 1.0) and handled by the replay itself.
+    """
+    config = config or DedupConfig()
+    g = (
+        prepared.where(F.col("base_name") != "")
+        .select("block_key", "base_name", "token_key")
+        .distinct()
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = a.join(b, on="block_key").where(F.col("a.base_name") < F.col("b.base_name"))
+    # spread before the Python UDF (explicit count — AQE would coalesce a
+    # bare column-repartition of a small shuffle back to one partition)
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(n_parts, "block_key", "a.base_name", "b.base_name")
+    scored = pairs.withColumn(
+        "jw", jaro_winkler_udf(F.col("a.base_name"), F.col("b.base_name"))
+    ).withColumn("is_token_match", F.col("a.token_key") == F.col("b.token_key"))
+    linked = scored.where(
+        (F.col("is_token_match") & (F.col("jw") >= F.lit(config.soft_threshold)))
+        | (F.col("jw") >= F.lit(config.hard_threshold))
+    )
+    conf, reason = score_confidence(F.col("jw"), F.col("is_token_match"))
+    return linked.select(
+        "block_key",
+        F.col("a.base_name").alias("base_a"),
+        F.col("b.base_name").alias("base_b"),
         conf.alias("pair_confidence"),
         reason.alias("pair_reason"),
     )

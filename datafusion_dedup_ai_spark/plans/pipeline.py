@@ -16,10 +16,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datafusion_dedup_ai_spark.config import DedupConfig
-from datafusion_dedup_ai_spark.operators.blocking import candidate_pairs, prepare_names
+from datafusion_dedup_ai_spark.operators.blocking import prepare_names
 from datafusion_dedup_ai_spark.operators.canonical import elect_canonical
-from datafusion_dedup_ai_spark.operators.clustering import cluster_from_edges
-from datafusion_dedup_ai_spark.operators.matching import match_pairs
+from datafusion_dedup_ai_spark.operators.clustering import cluster_exact
+from datafusion_dedup_ai_spark.operators.matching import group_pair_matches
 
 CLUSTER_COLUMNS = [
     "row_order",
@@ -50,8 +50,23 @@ def dedup_pipeline(
     """
     config = config or DedupConfig()
     prepared = prepare_names(df, name_col, config, order_col=order_col)
-    edges = match_pairs(candidate_pairs(prepared), config)
-    clustered = cluster_from_edges(prepared, edges)
+    # Three consumers read `prepared` (distinct-base matching, block members,
+    # the final label join); persisting it both avoids recomputing the
+    # normalize subtree three times AND acts as a plan barrier so Catalyst
+    # doesn't inline the expensive base-name expression into downstream
+    # filters/projections. MEMORY_AND_DISK: spills instead of recomputing at
+    # cluster scale.
+    from pyspark import StorageLevel
+
+    prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
+    # Entity collapse: Jaro-Winkler scores DISTINCT base pairs per block; the
+    # per-block replay (cluster_exact) then reproduces the reference's full
+    # row-pair scan — including the order-dependent C3 confidence updates —
+    # from that collapsed input. Exactness is pinned by the golden-fixture
+    # tests and a full-vs-collapsed equivalence test.
+    matches = group_pair_matches(prepared, config)
+    link_identical = (1.0 >= config.soft_threshold) or (1.0 >= config.hard_threshold)
+    clustered = cluster_exact(prepared, matches, link_identical=link_identical)
     final = elect_canonical(clustered)
     if enricher is not None:
         final = enricher.enrich(final)

@@ -22,7 +22,7 @@ from datafusion_dedup_ai_spark.plans.pipeline import (
     high_confidence_review,
     run_stats,
 )
-from datafusion_dedup_ai_spark.sources.readers import load_table
+from datafusion_dedup_ai_spark.sources.readers import load_spread, load_table
 
 from datafusion_dedup_ai_spark.registry import register
 
@@ -118,7 +118,7 @@ def q_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_company_base_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 strip fixpoint + N3 fold + N4 alias map + B1 + J3 (engine.py:53-70,
     185-208) over deterministic suffix-bearing names."""
-    part = load_table(spark, sf_dir, "part")
+    part = load_spread(spark, sf_dir, "part")
     named = part.select("p_partkey", _synthetic_company_col().alias("raw_name"))
     based = named.select(
         "p_partkey",
@@ -216,7 +216,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C3/C4/C5/C6 end-to-end over synthetic company names derived from
     part (same construction as company_base_names, so fuzzy variants of the
     same part name cluster together)."""
-    part = load_table(spark, sf_dir, "part")
+    part = load_spread(spark, sf_dir, "part")
     named = part.select(
         F.col("p_partkey").alias("company_id"),
         _synthetic_company_col().alias("company_name"),
@@ -227,7 +227,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _named_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
+    part = load_spread(spark, sf_dir, "part")
     return part.select(
         F.col("p_partkey").alias("company_id"),
         _synthetic_company_col().alias("company_name"),

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from datafusion_dedup_ai_spark.functions import text as T
 from datafusion_dedup_ai_spark.operators import dedup as D
 from datafusion_dedup_ai_spark.registry import register
-from datafusion_dedup_ai_spark.sources.readers import load_table
+from datafusion_dedup_ai_spark.sources.readers import load_spread, load_table
 
 
 # ===========================================================================
@@ -90,7 +90,7 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select("doc_id", T.distinct_shingles(F.col("text")).alias("shingles"))
 
 
@@ -115,7 +115,7 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_fingerprints", None)
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     tok = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
     return D.simhash64(tok)
 
@@ -124,6 +124,6 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming <= 6 pairs via pigeonhole banding (equi-join on bit chunks,
     never all-pairs)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     tok = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
     return D.simhash_near_pairs(D.simhash64(tok), max_hamming=6)

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from datafusion_dedup_ai_spark.operators import similarity_search as S
 from datafusion_dedup_ai_spark.registry import register
-from datafusion_dedup_ai_spark.sources.readers import load_table
+from datafusion_dedup_ai_spark.sources.readers import load_spread, load_table
 
 N_QUERIES = 5
 TOP_K = 5

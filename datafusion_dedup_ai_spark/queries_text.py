@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from datafusion_dedup_ai_spark.functions import text as T
 from datafusion_dedup_ai_spark.registry import register
-from datafusion_dedup_ai_spark.sources.readers import load_table
+from datafusion_dedup_ai_spark.sources.readers import load_spread, load_table
 
 # ---------------------------------------------------------------------------
 # SQL mirror helpers (DuckDB dialect)
@@ -76,7 +76,7 @@ _BPE_PATTERN = r"[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\s]"
     """,
 )
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
@@ -115,7 +115,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
@@ -144,7 +144,7 @@ def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     cols = [
         "doc_id",
         F.col("lang").alias("claimed_lang"),
@@ -170,7 +170,7 @@ def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         T.fingerprint_md5(F.col("text")).alias("fp_md5"),
@@ -248,7 +248,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH tier approximates. Shingle equality is the shuffle key; the
     per-shingle explode is bounded by document length, and hot shingles are
     the skew to watch at scale (AQE skew-join handles the bucket join)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
     )

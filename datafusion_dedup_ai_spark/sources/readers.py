@@ -87,3 +87,15 @@ def first_string_column(df: DataFrame) -> str:
         if isinstance(f.dataType, StringType):
             return f.name
     raise ValueError("no string column found")
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + repartition to the session's default parallelism.
+
+    The local testdata tables are single parquet row-groups, so Spark plans
+    ONE input partition — fine for scans/aggregations, but it serializes
+    CPU-heavy per-row work (regex folds, HOF char folds, pandas UDFs). A real
+    100 TB table arrives in thousands of splits; this repartition recreates
+    that shape locally for the compute-bound operators."""
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)

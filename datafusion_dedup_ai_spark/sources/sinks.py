@@ -1,0 +1,67 @@
+"""Sinks (O7 + friends). The reference writes three xlsx workbooks via
+openpyxl (outputs.py:9-20, 44-58); here the scalable sinks are native
+partitioned parquet/CSV writers, with xlsx kept as a driver-side convenience
+for config-sized results (gated on openpyxl, absent in this container).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_reports_parquet(reports: dict[str, DataFrame], out_dir: str) -> dict[str, str]:
+    """The O7 multi-report sink, scalable form: one parquet dataset per report
+    (clusters / canonical_summary / golden_mapping / review / stats)."""
+    paths = {}
+    for name, df in reports.items():
+        p = os.path.join(out_dir, name)
+        write_parquet(df, p)
+        paths[name] = p
+    return paths
+
+
+def write_xlsx_driver_side(reports: dict[str, DataFrame], path: str) -> None:
+    """Reference-parity xlsx sink: multi-sheet workbook via pandas/openpyxl,
+    driver-side (results after dedup are config-sized). Gated: openpyxl is not
+    in this environment."""
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+    except ImportError as exc:
+        raise NotImplementedError(
+            "xlsx sink requires openpyxl on the driver; use write_reports_parquet"
+        ) from exc
+    with pd.ExcelWriter(path, engine="openpyxl") as writer:
+        for sheet, df in reports.items():
+            df.toPandas().to_excel(writer, sheet_name=sheet[:31], index=False)
+
+
+def settings_sheet(config, spark) -> DataFrame:
+    """O3: audit sheet of the run configuration (outputs.py:32-42)."""
+    from datafusion_dedup_ai_spark.config import COUNTRY_TOKENS, LEGAL_SUFFIXES
+
+    rows = [
+        ("hard_threshold", str(config.hard_threshold)),
+        ("soft_threshold", str(config.soft_threshold)),
+        ("no_subsidiary_fold", str(config.no_subsidiary_fold)),
+        ("web_search", str(config.enable_web_search)),
+        ("enrichment", str(config.enable_enrichment)),
+        ("suffix_list_size", str(len(LEGAL_SUFFIXES))),
+        ("country_list_size", str(len(COUNTRY_TOKENS))),
+        ("acronym_map_size", str(len(config.acronym_map))),
+        ("max_block_size", str(config.max_block_size)),
+    ]
+    return spark.createDataFrame(rows, ["Setting", "Value"])

@@ -1,0 +1,57 @@
+"""Equivalence of the entity-collapsed cluster replay against the full
+row-pair path: identical clusters, confidences, and reasons — including the
+adversarial shape that breaks naive collapses (an external row smaller than a
+group's min attaching the group's members before its star edges run)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark.config import DedupConfig
+from datafusion_dedup_ai_spark.operators.blocking import candidate_pairs, prepare_names
+from datafusion_dedup_ai_spark.operators.canonical import elect_canonical
+from datafusion_dedup_ai_spark.operators.clustering import cluster_exact, cluster_from_edges
+from datafusion_dedup_ai_spark.operators.matching import group_pair_matches, match_pairs
+
+COLS = ["row_order", "base_name", "cluster_id", "cluster_size",
+        "canonical_name", "confidence", "reason"]
+
+
+def _run_both(spark, names):
+    df = spark.createDataFrame(list(enumerate(names)), ["idx", "name"])
+    cfg = DedupConfig()
+    prep = prepare_names(df, "name", cfg, order_col="idx")
+    full = elect_canonical(
+        cluster_from_edges(prep, match_pairs(candidate_pairs(prep), cfg))
+    )
+    fast = elect_canonical(cluster_exact(prep, group_pair_matches(prep, cfg)))
+    f = [tuple(r[c] for c in COLS) for r in full.select(COLS).orderBy("row_order").collect()]
+    g = [tuple(r[c] for c in COLS) for r in fast.select(COLS).orderBy("row_order").collect()]
+    return f, g
+
+
+def test_external_attacher_shape(spark):
+    # 'Acme Grp' (row 0) fuzzy-matches the later identical group 'Acme Corp'
+    # (rows 1..3): the full scan attaches rows 1-3 via row 0 before the
+    # group's internal star pairs — row 1 must NOT get the 0.98 upgrade.
+    names = ["Acme Grp", "Acme Corp", "Acme Corp", "Acme Corp"]
+    f, g = _run_both(spark, names)
+    assert f == g
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_fuzzy_corpora(spark, seed):
+    rng = random.Random(seed)
+    stems = ["acme", "acme corp", "acmecorp", "globex", "globex intl",
+             "initech", "initech inc", "umbrella", "umbrela", "stark",
+             "starrk", "wayne", "wayne bros"]
+    sfx = ["", " ltd", " llc", " pvt ltd", " india", " co"]
+    names = [
+        rng.choice(stems) + rng.choice(sfx)
+        for _ in range(rng.randrange(30, 80))
+    ]
+    f, g = _run_both(spark, names)
+    assert f == g

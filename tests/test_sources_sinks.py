@@ -1,0 +1,114 @@
+"""Sources (S1-S4, U1) and sinks (O3, O7): CSV round-trip, column
+auto-detection, mapping-string parser, parquet report sink, gated xlsx."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark.config import DedupConfig, parse_mapping_string
+from datafusion_dedup_ai_spark.sources.readers import first_string_column, read_input
+from datafusion_dedup_ai_spark.sources import sinks
+
+
+def test_csv_read_input_and_autodetect(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "Acme Ltd", 3.5), (2, "Globex Inc", 7.25)], ["id", "company", "score"]
+    )
+    p = str(tmp_path / "in.csv")  # extension drives the reader dispatch
+    src.write.mode("overwrite").option("header", "true").csv(p)
+    back = read_input(spark, p)
+    assert back.count() == 2
+    assert first_string_column(back) == "company"
+
+
+def test_mapping_string_parser():
+    got = parse_mapping_string("GE->General Electric; P&G -> PROCTER & GAMBLE;;bad")
+    assert got == {
+        "GE": "GENERAL ELECTRIC",
+        "P&G": "PROCTER & GAMBLE",
+    }
+
+
+def test_reports_parquet_sink(spark, tmp_path):
+    from datafusion_dedup_ai_spark.plans.pipeline import (
+        canonical_summary,
+        dedup_pipeline,
+        golden_mapping,
+        run_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Acme Ltd"), (1, "Acme"), (2, "Globex Inc")], ["idx", "name"]
+    )
+    clusters = dedup_pipeline(df, "name", DedupConfig(), order_col="idx")
+    out = str(tmp_path / "reports")
+    paths = sinks.write_reports_parquet(
+        {
+            "clusters": clusters,
+            "canonical_summary": canonical_summary(clusters),
+            "golden_mapping": golden_mapping(clusters),
+            "stats": run_stats(clusters),
+        },
+        out,
+    )
+    for name, p in paths.items():
+        assert spark.read.parquet(p).count() > 0, name
+
+
+def test_settings_sheet(spark):
+    rows = {
+        r["Setting"]: r["Value"]
+        for r in sinks.settings_sheet(DedupConfig(), spark).collect()
+    }
+    assert rows["suffix_list_size"] == "26"
+    assert rows["country_list_size"] == "20"
+    assert rows["hard_threshold"] == "0.9"
+
+
+def test_xlsx_sink_gated(spark):
+    df = spark.range(1)
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        sinks.write_xlsx_driver_side({"s": df}, "/tmp/out.xlsx")
+
+
+def test_label_propagation_matches_exact_partition(spark, sf_dir):
+    """The scale-fallback C1 must produce the same PARTITION as the exact
+    replay (ids are both min-row so labels match exactly)."""
+    from datafusion_dedup_ai_spark.operators.blocking import (
+        candidate_pairs,
+        prepare_names,
+    )
+    from datafusion_dedup_ai_spark.operators.clustering import (
+        cluster_exact,
+        cluster_label_propagation,
+    )
+    from datafusion_dedup_ai_spark.operators.matching import (
+        group_pair_matches,
+        match_pairs,
+    )
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    supp = load_table(spark, sf_dir, "supplier")
+    prep = prepare_names(supp, "s_name", DedupConfig(), order_col="s_suppkey")
+    edges = match_pairs(candidate_pairs(prep), DedupConfig())
+    lp = {
+        r["row_order"]: r["cluster_id"]
+        for r in cluster_label_propagation(edges).collect()
+    }
+    exact = {
+        r["row_order"]: r["cluster_id"]
+        for r in cluster_exact(prep, group_pair_matches(prep, DedupConfig()))
+        .select("row_order", "cluster_id")
+        .collect()
+    }
+    for ro, cid in lp.items():
+        assert exact[ro] == cid
