@@ -162,6 +162,11 @@ def minhash_near_dup_pairs(
     candidates are then exact-verified so precision is 1.0 and recall follows
     the S-curve (tested against the exact pairs in tests/test_dedup_ext.py)."""
     rows_per_band = num_hashes // bands
+    # The shingle frame feeds signature generation AND both sides of the
+    # verification join; persist it so shingling runs once.
+    from pyspark import StorageLevel
+
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(shingled, id_col, shingles_col, num_hashes, seed)
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, rows_per_band)
     return verify_jaccard(cands, shingled, id_col, shingles_col, threshold)

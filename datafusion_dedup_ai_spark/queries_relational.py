@@ -523,3 +523,56 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("session_id").cast("bigint").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+# ===========================================================================
+# Cube (full grouping-set lattice)
+# ===========================================================================
+
+
+@register(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+# ===========================================================================
+# As-of (previous-event) join via window lag — the Spark-idiomatic form
+# ===========================================================================
+
+
+@register(
+    "orders_asof_prev",
+    """
+    SELECT o_orderkey, o_custkey,
+           epoch_us(o_orderdate) AS order_us,
+           lag(epoch_us(o_orderdate)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_order_us
+    FROM orders
+    """,
+)
+def q_orders_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup of each customer's previous order. For same-table as-of,
+    a window lag IS the right plan (one shuffle on the key, no join); the
+    two-table variant becomes union + the same window, tagged by source."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        ts.alias("order_us"),
+        F.lag(ts).over(w).alias("prev_order_us"),
+    )

@@ -46,10 +46,17 @@ def replay_events_as_stream(
     """Stage the events table as n_chunks json files and read them back as a
     file-source stream (maxFilesPerTrigger throttles, simulating arrival).
     Deterministic: chunking is by event_id hash-mod, file order by index."""
+    from pyspark.sql import Window
+
     from datafusion_dedup_ai_spark.sources.readers import load_table
 
+    # Chunk in EVENT-TIME order (ntile over ts) so replayed arrival order
+    # approximates a live stream; id-modulo chunking would deliver old events
+    # in late triggers and make first-arrival semantics diverge wildly from
+    # event-time order.
+    w = Window.orderBy("ts", "event_id")
     events = load_table(spark, sf_dir, "events").withColumn(
-        "chunk", (F.col("event_id") % n_chunks).cast("int")
+        "chunk", (F.ntile(n_chunks).over(w) - 1).cast("int")
     )
     os.makedirs(stage_dir, exist_ok=True)
     events.select(

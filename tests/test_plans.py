@@ -1,0 +1,53 @@
+"""Physical-plan quality gates: the optimizations the engine relies on at
+100 TB must actually appear in the executed plans — filter pushdown to the
+parquet scan, column pruning, broadcast dimension joins, window group-limit
+pruning, and exactly one Python evaluation per Jaro-Winkler batch."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entry_mod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read join keys it doesn't need
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+    assert "l_returnflag" in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "region_order_stats")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region at least
+    assert "BroadcastExchange" in plan
+
+
+def test_window_topk_uses_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_topk_orders")
+    assert "WindowGroupLimit" in plan  # rk<=3 pruned inside the window sort
+
+
+def test_matched_pairs_single_python_eval(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "matched_pairs")
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    anti = _plan(spark, sf_dir, "customers_without_orders")
+    assert "LeftAnti" in anti
+    semi = _plan(spark, sf_dir, "customer_nations_with_orders")
+    assert "LeftSemi" in semi
+
+
+def test_exact_dedup_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "exact_dedup_documents")
+    # map-side partial agg before the exchange (HashAggregate twice)
+    assert plan.count("HashAggregate") >= 2

@@ -67,3 +67,42 @@ def test_streaming_session_windows_smoke(spark, sf_dir, staged):
     for r in rows[:200]:
         assert r["session_end_us"] > r["session_start_us"]
         assert r["n_events"] >= 1
+
+
+def test_stateful_dedup_matches_batch_first_events(spark, sf_dir, staged):
+    """applyInPandasWithState dedup must emit exactly the batch keep-first
+    set even though events arrive over many triggers."""
+    from datafusion_dedup_ai_spark.streaming.stateful import (
+        streaming_dedup_first_event,
+    )
+
+    stream = W.replay_events_as_stream(spark, sf_dir, staged + "/statededup")
+    q = W.run_stream_to_memory(
+        streaming_dedup_first_event(stream), "dedup_smoke", output_mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM dedup_smoke").collect()
+    finally:
+        q.stop()
+
+    from datafusion_dedup_ai_spark.operators.dedup import exact_dedup
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    # Exactly ONE emission per key across all triggers (the property state
+    # exists for — append mode would re-emit without it)...
+    keys = [(r["user_id"], r["event_type"]) for r in emitted]
+    assert len(keys) == len(set(keys))
+
+    batch = exact_dedup(
+        load_table(spark, sf_dir, "events"),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+    ).collect()
+    want = {(r["user_id"], r["event_type"]): r["event_id"] for r in batch}
+    # ...covering exactly the batch key set...
+    assert set(keys) == set(want)
+    # ...and since the replay arrives in event-time order, first-seen IS the
+    # batch keep-first-by-time choice.
+    for r in emitted:
+        assert want[(r["user_id"], r["event_type"])] == r["event_id"]
