@@ -50,8 +50,15 @@ def main() -> None:
     spark = build_session(app_name="bench")
     qs = entry_mod.queries()
 
-    # warm the JVM/codegen paths before timing
+    # warm the JVM/codegen paths AND the Python worker pool before timing —
+    # the first pandas_udf/applyInPandas stage otherwise pays worker spawn +
+    # module import inside the first measured query.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    _warm = F.pandas_udf(lambda v: v, LongType())
+    spark.range(10_000).repartition(64).select(F.sum(_warm("id"))).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
