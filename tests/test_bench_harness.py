@@ -1,0 +1,39 @@
+"""bench.py is driver-facing infrastructure: it must run end-to-end and print
+exactly one valid JSON line with the agreed keys. Exercised at sf0.001 so the
+whole-harness check stays cheap."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_contract_json():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "8"
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, f"expected ONE json line on stdout, got: {lines}"
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec"
+    assert payload["sf"] == 0.001
+    assert payload["value"] > 0
+    assert set(payload["queries"]) >= {
+        "pricing_summary",
+        "dedup_clusters",
+        "matched_pairs",
+        "minhash_near_dup_pairs",
+        "cosine_topk",
+    }
+    assert all(v >= 0 for v in payload["queries"].values())
