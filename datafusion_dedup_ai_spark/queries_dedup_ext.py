@@ -97,8 +97,14 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("minhash_signatures", None)
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-hash MinHash signatures over word-bigram shingles (one explode +
-    64 partial-aggregated mins; xxhash64 mixing — no DuckDB analog)."""
-    return D.minhash_signatures(_shingled_docs(spark, sf_dir))
+    64 partial-aggregated mins; xxhash64 mixing — no DuckDB analog).
+
+    The contract surface serializes ``sig`` to JSON: the driver's rows-only
+    canonicalizer sorts every column and array cells are unhashable in pandas.
+    Library callers use D.minhash_signatures directly for the array form.
+    """
+    sigs = D.minhash_signatures(_shingled_docs(spark, sf_dir))
+    return sigs.select("doc_id", F.to_json("sig").alias("sig_json"))
 
 
 @register("minhash_near_dup_pairs", None)

@@ -73,4 +73,14 @@ def q_media_feature_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte histogram + entropy) — the plumbing a real image/audio featurizer
     drops into."""
     media = M.media_table(load_table(spark, sf_dir, "documents"))
-    return M.extract_features(media)
+    feats = M.extract_features(media)
+    # Serialize the histogram for the contract surface: the driver's rows-only
+    # canonicalizer sorts every column and array cells are unhashable in
+    # pandas. extract_features keeps the array form for library callers.
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "byte_entropy",
+        F.to_json("byte_histogram").alias("byte_histogram_json"),
+    )

@@ -416,7 +416,10 @@ def q_event_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           -- CAST the SUM back down: DuckDB promotes SUM(BIGINT) to HUGEINT,
+           -- which pandas lands as float64/object and breaks the value-hash
+           -- compare against Spark's int64 (values are identical).
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events

@@ -69,6 +69,24 @@ QUERY_NAMES = sorted(entry_mod.queries())
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_schema_is_flat(spark, sf_dir, name):
+    """Driver contract: the rows-only canonicalizer pandas-sorts every output
+    column, and array/map/struct cells are unhashable there ('unhashable
+    type: list' — red minhash_signatures/media_feature_histograms in r01).
+    Every registered query must emit only atomic columns; serialize nested
+    values with to_json at the contract surface."""
+    from pyspark.sql import types as T
+
+    df = entry_mod.queries()[name](spark, sf_dir)
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not nested, f"{name}: nested output columns {nested} break the driver"
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_vs_oracle(spark, sf_dir, duck, name):
     fn = entry_mod.queries()[name]
     sdf = fn(spark, sf_dir).toPandas()
