@@ -16,7 +16,9 @@ from datafusion_dedup_ai_spark.functions.normalize import (
 )
 from datafusion_dedup_ai_spark.operators.blocking import candidate_pairs, prepare_names
 from datafusion_dedup_ai_spark.operators.matching import match_pairs
+from datafusion_dedup_ai_spark import materialize as MZ
 from datafusion_dedup_ai_spark.plans.pipeline import (
+    canonical_summary,
     dedup_pipeline,
     golden_mapping,
     high_confidence_review,
@@ -234,28 +236,73 @@ def _named_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("canonical_mapping", None)
+# ---------------------------------------------------------------------------
+# O-pack (reference outputs.py:30-66): hash-gated via the materialized cluster
+# snapshot. The pipeline output is parquet-snapshotted once per process; the
+# Spark side applies the report aggregation over the snapshot with DataFrame
+# ops and the DuckDB oracle runs equivalent SQL over the SAME parquet — an
+# exact check of the reporting layer, independent of C1 (itself pinned by
+# tests/test_pipeline_golden.py + test_clustering_equiv.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "canonical_mapping",
+    lambda: f"""
+    SELECT original_name, canonical_name
+    FROM '{MZ.snapshot_glob()}'
+    """,
+)
 def q_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4 golden mapping (original -> canonical) from the fuzzy pipeline
-    (outputs.py:52). Rows-only: depends on C1 cluster formation."""
-    clusters = q_dedup_clusters(spark, sf_dir)
-    return golden_mapping(clusters)
+    """O4 golden mapping (original -> canonical), outputs.py:52."""
+    return golden_mapping(MZ.read_clusters_snapshot(spark, sf_dir))
 
 
-@register("cluster_review", None)
+@register(
+    "cluster_review",
+    lambda: f"""
+    SELECT row_order, original_name, normalized_name, base_name, block_key,
+           cluster_id, cluster_size, canonical_name, confidence, reason
+    FROM '{MZ.snapshot_glob()}'
+    WHERE confidence >= 0.95 AND cluster_size >= 2
+    """,
+)
 def q_cluster_review(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 review filter: confidence >= 0.95 AND cluster_size >= 2
-    (outputs.py:56-57). Rows-only."""
-    clusters = q_dedup_clusters(spark, sf_dir)
-    return high_confidence_review(clusters)
+    (outputs.py:56-57)."""
+    return high_confidence_review(MZ.read_clusters_snapshot(spark, sf_dir))
 
 
-@register("cluster_stats", None)
+@register(
+    "cluster_stats",
+    lambda: f"""
+    SELECT COUNT(*) AS total_rows,
+           COUNT(DISTINCT cluster_id) AS total_clusters,
+           CAST(SUM(CASE WHEN cluster_size >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS multi_record_clusters,
+           CAST(SUM(CASE WHEN confidence >= 0.95 AND cluster_size >= 2
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_confidence_review_rows
+    FROM '{MZ.snapshot_glob()}'
+    """,
+)
 def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 stats quadruple, incl. the preserved multi_record_clusters
-    rows-not-clusters quirk (outputs.py:61-66). Rows-only."""
-    clusters = q_dedup_clusters(spark, sf_dir)
-    return run_stats(clusters)
+    rows-not-clusters quirk (outputs.py:61-66)."""
+    return run_stats(MZ.read_clusters_snapshot(spark, sf_dir))
+
+
+@register(
+    "canonical_summary",
+    lambda: f"""
+    SELECT cluster_id, canonical_name, COUNT(*) AS count
+    FROM '{MZ.snapshot_glob()}'
+    GROUP BY cluster_id, canonical_name
+    """,
+)
+def q_canonical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 per-cluster member counts (outputs.py:30)."""
+    return canonical_summary(MZ.read_clusters_snapshot(spark, sf_dir))
 
 
 # ===========================================================================

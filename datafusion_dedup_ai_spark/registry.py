@@ -1,5 +1,8 @@
 """Query registry: every declared operator pairs a Spark plan callable with an
-optional DuckDB oracle SQL string (None -> rows-only check at t2)."""
+optional DuckDB oracle (None -> rows-only check at t2). An oracle may be a
+SQL string or a zero-arg callable returning one — callables are resolved at
+``oracle_sql()`` call time, for oracles whose SQL embeds a runtime-resolved
+path (the materialized-cluster snapshots)."""
 
 from __future__ import annotations
 
@@ -9,10 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+_REGISTRY: dict[str, tuple[QueryFn, object]] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle: str | Callable[[], str] | None):
     def deco(fn: QueryFn):
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
@@ -27,4 +30,8 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in _REGISTRY.items()
+        if sql is not None
+    }

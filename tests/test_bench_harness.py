@@ -14,6 +14,7 @@ def test_bench_emits_contract_json():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    env["SPARK_GRAFT_BENCH_REPEATS"] = "1"  # contract check, not a measurement
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

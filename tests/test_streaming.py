@@ -69,6 +69,126 @@ def test_streaming_session_windows_smoke(spark, sf_dir, staged):
         assert r["n_events"] >= 1
 
 
+def test_stateful_dedup_event_time_eviction(spark, tmp_path):
+    """With a dedup horizon, a key idle past the watermark is evicted
+    (hasTimedOut branch) and a later replay of the same key re-emits as a new
+    'first' — the bounded-state contract for long-running streams."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datafusion_dedup_ai_spark.streaming.stateful import (
+        streaming_dedup_first_event,
+    )
+
+    stage = str(tmp_path / "evict")
+    os.makedirs(stage, exist_ok=True)
+
+    def write_chunk(i: int, rows: list[dict]) -> None:
+        with open(os.path.join(stage, f"chunk-{i}.json"), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    base_us = 1_700_000_000_000_000  # any fixed epoch; only deltas matter
+    sec = 1_000_000
+    # batch 1: key (1, click) first seen at t=0s
+    write_chunk(0, [{"event_id": 10, "ts_us": base_us, "user_id": 1, "event_type": "click"}])
+
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    dedup = streaming_dedup_first_event(
+        stream, dedup_horizon_ms=30_000, watermark_delay="0 seconds"
+    )
+    q = W.run_stream_to_memory(dedup, "evict_smoke", output_mode="append")
+    try:
+        q.processAllAvailable()
+        # batch 2: unrelated key far in the future advances the watermark past
+        # key 1's timeout (0 + 30s), firing eviction on the next trigger.
+        write_chunk(1, [{"event_id": 20, "ts_us": base_us + 3600 * sec, "user_id": 2, "event_type": "click"}])
+        q.processAllAvailable()
+        # batch 3: key (1, click) replayed after eviction -> re-emitted.
+        write_chunk(2, [{"event_id": 30, "ts_us": base_us + 7200 * sec, "user_id": 1, "event_type": "click"}])
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM evict_smoke ORDER BY first_ts_us").collect()
+    finally:
+        q.stop()
+
+    key1 = [r for r in emitted if (r["user_id"], r["event_type"]) == (1, "click")]
+    assert [r["event_id"] for r in key1] == [10, 30], (
+        f"expected key (1, click) emitted before AND after eviction, got {emitted}"
+    )
+    assert {r["event_id"] for r in emitted} == {10, 20, 30}
+
+
+def test_stateful_dedup_suppresses_within_horizon(spark, tmp_path):
+    """Counter-case to the eviction test: while the key stays inside the
+    horizon, replays are still suppressed even in EventTimeTimeout mode."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datafusion_dedup_ai_spark.streaming.stateful import (
+        streaming_dedup_first_event,
+    )
+
+    stage = str(tmp_path / "inhorizon")
+    os.makedirs(stage, exist_ok=True)
+    base_us = 1_700_000_000_000_000
+    sec = 1_000_000
+
+    def write_chunk(i: int, rows: list[dict]) -> None:
+        with open(os.path.join(stage, f"chunk-{i}.json"), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    write_chunk(0, [{"event_id": 10, "ts_us": base_us, "user_id": 1, "event_type": "click"}])
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    # Horizon of 1h event-time; replay arrives 10s later — inside the horizon.
+    dedup = streaming_dedup_first_event(
+        stream, dedup_horizon_ms=3_600_000, watermark_delay="0 seconds"
+    )
+    q = W.run_stream_to_memory(dedup, "inhorizon_smoke", output_mode="append")
+    try:
+        q.processAllAvailable()
+        write_chunk(1, [{"event_id": 11, "ts_us": base_us + 10 * sec, "user_id": 1, "event_type": "click"}])
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM inhorizon_smoke").collect()
+    finally:
+        q.stop()
+    assert [(r["user_id"], r["event_type"], r["event_id"]) for r in emitted] == [
+        (1, "click", 10)
+    ]
+
+
 def test_stateful_dedup_matches_batch_first_events(spark, sf_dir, staged):
     """applyInPandasWithState dedup must emit exactly the batch keep-first
     set even though events arrive over many triggers."""
