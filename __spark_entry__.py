@@ -22,6 +22,12 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full fuzzy-dedup pipeline
     (normalize -> block -> Jaro-Winkler match -> union-find cluster ->
     canonical election) over deterministic company names."""
+    from datafusion_dedup_ai_spark import materialize
+
+    # entry() is the driver's first call; snapshotting here guarantees the
+    # O-pack oracle paths (materialize.py) exist regardless of the order the
+    # driver later runs query/oracle pairs in.
+    materialize.materialize_clusters(spark, materialize.oracle_sf_dir())
     return entry_queries.q_dedup_clusters(spark, "/root/testdata/sf0.001")
 
 

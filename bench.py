@@ -9,12 +9,14 @@ timings measure the engine, not result transfer.
 
 Each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) and reports the
 MEDIAN: single-shot local-mode numbers swing several-fold on Python-worker
-warmup and JVM GC (dedup_clusters measured 7s-35s across rounds on identical
-plans), and the median is the defensible engine cost. Per-run samples are
-emitted under "runs" for spread inspection. The cache is cleared between runs
-because dedup_pipeline persists its prepared subtree per call — without the
-clear, repeats accumulate cache copies and manufacture memory pressure the
-real engine wouldn't have."""
+warmup and JVM GC (dedup_clusters measured 7s-68s across runs of the
+identical plan), and the median absorbs the outliers.
+Before timing, every query shape runs once at sf0.001 so whole-stage-codegen
+compilation (shape-keyed, volume-independent) is excluded from the numbers.
+Per-run samples are emitted under "runs" for spread inspection. The cache is
+cleared between runs because dedup_pipeline persists its prepared subtree per
+call — without the clear, repeats accumulate cache copies and manufacture
+memory pressure the real engine wouldn't have."""
 
 from __future__ import annotations
 
@@ -55,7 +57,15 @@ def main() -> None:
     from datafusion_dedup_ai_spark.session import build_session
     import __spark_entry__ as entry_mod
 
-    spark = build_session(app_name="bench")
+    spark = build_session(
+        app_name="bench",
+        # A bench session runs ~100 queries; shuffle/broadcast state is only
+        # freed when the ContextCleaner sees driver GC, and a 32g heap may
+        # not GC for the whole session — accumulated state produced 100-200s
+        # stalls on the join-heavy queries late in the run. Force the
+        # cleaner's periodic GC often (default 30min).
+        extra_conf={"spark.cleaner.periodicGC.interval": "1min"},
+    )
     qs = entry_mod.queries()
 
     # warm the JVM/codegen paths AND the Python worker pool before timing —
@@ -67,6 +77,17 @@ def main() -> None:
 
     _warm = F.pandas_udf(lambda v: v, LongType())
     spark.range(10_000).repartition(64).select(F.sum(_warm("id"))).collect()
+
+    # warm every QUERY SHAPE once at the smallest SF: whole-stage codegen is
+    # cached by generated source, which depends on the plan shape and not the
+    # data volume, so a cheap sf0.001 pass compiles every stage the timed
+    # sf0.1 runs will execute (first-run penalties of 10-60s on the
+    # applyInPandas pipeline otherwise land inside the measurement).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if warm_dir:
+        for name in HEADLINE:
+            qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}

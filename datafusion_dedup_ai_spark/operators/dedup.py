@@ -45,6 +45,43 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
     )
 
 
+def drop_hot_shingles(
+    shingled: DataFrame,
+    max_df: float,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+) -> DataFrame:
+    """Boilerplate defense for shingle-join tiers: remove shingles present in
+    more than ``max_df`` fraction of documents before candidate generation.
+
+    At 100 TB the document-frequency skew is what kills shingle equi-joins:
+    a header/footer shingle shared by 1% of a billion docs creates a 10^14-row
+    join bucket. The hot set is tiny by construction (at most
+    ``total_occurrences / (max_df * n_docs)`` distinct shingles), so it
+    broadcast-anti-joins against the corpus; the DF computation itself is one
+    map-side-combined aggregation.
+
+    This is a RECALL knob, not a correctness-neutral rewrite: documents whose
+    overlap is mostly boilerplate stop pairing (usually the desired outcome —
+    boilerplate overlap is not similarity). On the synthetic testdata the
+    vocabulary is so small that EVERY shingle is quasi-boilerplate (931
+    distinct shingles across 5000 docs at sf0.1, max df 6.8%) and true
+    J>=0.2 pairs DO share mostly-common shingles, so the exact oracle-gated
+    queries keep the filter off; tests/test_dedup_ext.py pins both the
+    off-is-identity and the on-drops-hot behaviors.
+    """
+    ex = shingled.select(F.col(id_col), F.explode(F.col(shingles_col)).alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    totals = shingled.agg(F.count("*").alias("n_docs"))
+    hot = (
+        dfreq.crossJoin(F.broadcast(totals))
+        .where(F.col("df") > F.lit(max_df) * F.col("n_docs"))
+        .select("s")
+    )
+    kept = ex.join(F.broadcast(hot), "s", "left_anti")
+    return kept.groupBy(id_col).agg(F.collect_list("s").alias(shingles_col))
+
+
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -156,12 +193,22 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     threshold: float = 0.2,
     seed: int = 42,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Full MinHash->LSH->verify pipeline. With 16 bands x 4 rows the LSH
     catch probability at J=0.2 is ~2.5%, at J=0.5 ~65%, at J=0.8 ~99.99% —
     candidates are then exact-verified so precision is 1.0 and recall follows
-    the S-curve (tested against the exact pairs in tests/test_dedup_ext.py)."""
+    the S-curve (tested against the exact pairs in tests/test_dedup_ext.py).
+
+    ``max_df`` (off by default) applies ``drop_hot_shingles`` before
+    signature generation — the boilerplate defense for real corpora, where
+    near-universal shingles otherwise dominate signatures AND create hot LSH
+    buckets. Verification always scores the FILTERED sets it signed, keeping
+    emitted jaccard values consistent with the candidate generation.
+    """
     rows_per_band = num_hashes // bands
+    if max_df is not None:
+        shingled = drop_hot_shingles(shingled, max_df, id_col, shingles_col)
     # The shingle frame feeds signature generation AND both sides of the
     # verification join; persist it so shingling runs once.
     from pyspark import StorageLevel

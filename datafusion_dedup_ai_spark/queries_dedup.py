@@ -439,16 +439,35 @@ def q_industry_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("enriched_clusters", None)
-def q_enriched_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5 shape end-to-end: fuzzy clusters + enrich-once-per-distinct-
-    canonical via mapInPandas stub + broadcast join back (engine.py:340-367).
-    Rows-only: website values come from the pluggable (stubbed) client."""
-    from datafusion_dedup_ai_spark.config import DedupConfig
-    from datafusion_dedup_ai_spark.enrich import StubEnricher
+_ENRICH_SLUG_SQL = (
+    "trim(regexp_replace(lower(coalesce(canonical_name, '')), "
+    "'[^a-z0-9]+', '-', 'g'), '-')"
+)
 
-    named = _named_parts(spark, sf_dir)
-    return dedup_pipeline(
-        named, "company_name", DedupConfig(), order_col="company_id",
-        enricher=StubEnricher(),
+
+@register(
+    "enriched_clusters",
+    lambda: f"""
+    SELECT row_order, original_name, normalized_name, base_name, block_key,
+           cluster_id, cluster_size, canonical_name, confidence, reason,
+           CASE WHEN {_ENRICH_SLUG_SQL} = '' THEN ''
+                ELSE {_ENRICH_SLUG_SQL} || '.example.com' END AS website,
+           {_industry_sql_case("canonical_name")} AS industry
+    FROM '{MZ.snapshot_glob()}'
+    """,
+)
+def q_enriched_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 shape: enrich once per DISTINCT canonical via the mapInPandas stub
+    client, broadcast-join back to all rows (engine.py:340-367). The stub is
+    deterministic (slug domain + E3 keyword classifier), so the whole
+    topology — distinct, Arrow batch boundary, broadcast join, classifier —
+    is hash-gated against a pure-SQL mirror over the cluster snapshot. A live
+    web/LLM client plugs into the same seam via dedup_pipeline(enricher=...).
+    """
+    from datafusion_dedup_ai_spark.enrich import StubEnricher
+    from datafusion_dedup_ai_spark.plans.pipeline import CLUSTER_COLUMNS
+
+    clusters = MZ.read_clusters_snapshot(spark, sf_dir)
+    return StubEnricher().enrich(clusters).select(
+        *CLUSTER_COLUMNS, "website", "industry"
     )

@@ -38,7 +38,17 @@ def build_session(
         # Timestamps in testdata are TIMESTAMP_NTZ-like; keep session in UTC so
         # results are environment-independent (matches the DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local[32] puts all 32 executor threads in the driver JVM; the
+        # high-cardinality pair aggregations (ngram Jaccard's ~10M-group
+        # partial agg at sf0.1) need headroom or GC pauses triple query times
+        # (measured 7s-39s swings at 16g; stable at 32g).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # The ContextCleaner frees shuffle files / broadcasts only when the
+        # driver GCs; with a large heap that can be never, and sessions that
+        # run many queries accumulate state until join-heavy plans stall for
+        # minutes (measured 5s -> 236s on an identical plan ~100 queries into
+        # a session). The default interval is 30min — far too lazy for that.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -66,6 +66,37 @@ def read_input(spark: SparkSession, path: str, header: bool = True) -> DataFrame
     return spark.read.parquet(path)
 
 
+def read_inputs(
+    spark: SparkSession, paths: list[str], header: bool = True
+) -> DataFrame:
+    """U2 (reference app.py:76-128): the multi-file batch loop as ONE
+    DataFrame. Each input is read via the ``read_input`` format dispatch,
+    tagged with a ``source_file`` column (the file's basename, matching the
+    reference's per-upload naming), and unioned by column NAME with missing
+    columns null-filled — uploads with differing column sets still combine.
+
+    Native-reader formats derive the tag from ``input_file_name()`` so it
+    stays correct even when one glob path expands to many files; the
+    driver-side xlsx reader tags with the literal path it was given.
+    """
+    from pyspark.sql import functions as F
+
+    if not paths:
+        raise ValueError("read_inputs: at least one input path required")
+    parts: list[DataFrame] = []
+    for p in paths:
+        df = read_input(spark, p, header=header)
+        if p.lower().endswith((".xlsx", ".xls")):
+            tag = F.lit(os.path.basename(p))
+        else:
+            tag = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        parts.append(df.withColumn("source_file", tag))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
     try:
         import pandas as pd
@@ -76,6 +107,19 @@ def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
             "xlsx reading requires openpyxl on the driver; convert to CSV/parquet"
         ) from exc
     return spark.createDataFrame(pdf)
+
+
+def peek_schema(spark: SparkSession, path: str, n_rows: int = 1) -> dict:
+    """S4 (reference app.py:66-71): the per-file column listing the UI shows
+    before a run — column names, Spark types, and a tiny sample, WITHOUT
+    scanning the file (schema from footer/header; sample via limit pushdown).
+    """
+    df = read_input(spark, path)
+    return {
+        "path": path,
+        "columns": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+        "sample": [r.asDict() for r in df.limit(n_rows).collect()],
+    }
 
 
 def first_string_column(df: DataFrame) -> str:

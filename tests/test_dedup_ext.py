@@ -68,6 +68,65 @@ def test_minhash_lsh_recall_vs_exact(spark, shingled):
     assert got <= exact_pairs | got  # sanity: verified pairs meet threshold
 
 
+def test_drop_hot_shingles_filters_boilerplate(spark):
+    """The max_df knob: ubiquitous shingles go, rare ones stay, and a doc
+    made ONLY of boilerplate drops out of the shingle-join tiers entirely."""
+    df = spark.createDataFrame(
+        [
+            (1, ["footer txt", "alpha beta"]),
+            (2, ["footer txt", "gamma delta"]),
+            (3, ["footer txt", "alpha beta"]),
+            (4, ["footer txt"]),  # boilerplate-only
+        ],
+        ["doc_id", "shingles"],
+    )
+    kept = {
+        r["doc_id"]: sorted(r["shingles"])
+        for r in D.drop_hot_shingles(df, max_df=0.8).collect()
+    }
+    # 'footer txt' has df=4/4 > 0.8 -> dropped everywhere; doc 4 vanishes
+    assert kept == {
+        1: ["alpha beta"],
+        2: ["gamma delta"],
+        3: ["alpha beta"],
+    }
+
+
+def test_drop_hot_shingles_identity_at_max(spark, shingled):
+    """max_df=1.0 is the identity (df can never exceed n_docs) — pins that
+    the default-off configuration changes nothing."""
+    before = {
+        r["doc_id"]: sorted(r["shingles"]) for r in shingled.collect()
+    }
+    after = {
+        r["doc_id"]: sorted(r["shingles"])
+        for r in D.drop_hot_shingles(shingled, max_df=1.0).collect()
+    }
+    assert after == before
+
+
+def test_minhash_near_dup_pairs_with_max_df(spark):
+    """With the filter on, boilerplate-only overlap stops pairing while a
+    genuinely-similar pair is still found."""
+    boiler = [f"footer {i}" for i in range(10)]
+    near_a = [f"body {i}" for i in range(20)]
+    near_b = near_a[:18] + ["tail x", "tail y"]  # J = 18/22 ~ 0.82
+    rows = [
+        (1, boiler + near_a),
+        (2, boiler + near_b),
+        (3, boiler + [f"other {i}" for i in range(20)]),
+        (4, boiler),  # boilerplate-only doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "shingles"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dup_pairs(df, threshold=0.5, max_df=0.9).collect()
+    }
+    assert (1, 2) in got
+    assert all(4 not in pair for pair in got)
+    assert all(3 not in pair for pair in got)
+
+
 def _exact_candidates(shingled):
     ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
     a = ex.alias("a")

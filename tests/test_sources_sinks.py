@@ -24,6 +24,43 @@ def test_csv_read_input_and_autodetect(spark, tmp_path):
     assert first_string_column(back) == "company"
 
 
+def test_read_inputs_multi_file_union(spark, tmp_path):
+    """U2 (reference app.py:76-128): N files -> one frame, unioned by name,
+    each row tagged with its source file; disjoint columns null-fill."""
+    from datafusion_dedup_ai_spark.sources.readers import read_inputs
+
+    # plain single-file CSVs, the shape of a real uploaded input
+    pa, pb = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    with open(pa, "w") as fh:
+        fh.write("id,company\n1,Acme Ltd\n")
+    with open(pb, "w") as fh:
+        fh.write("id,company,country\n2,Globex Inc,NL\n")
+
+    got = read_inputs(spark, [pa, pb])
+    rows = {r["id"]: r for r in got.collect()}
+    assert set(got.columns) == {"id", "company", "country", "source_file"}
+    assert len(rows) == 2
+    assert rows[1]["country"] is None  # null-filled missing column
+    assert rows[2]["country"] == "NL"
+    assert rows[1]["source_file"] == "a.csv"
+    assert rows[2]["source_file"] == "b.csv"
+
+    with pytest.raises(ValueError):
+        read_inputs(spark, [])
+
+
+def test_peek_schema(spark, sf_dir):
+    """S4: column listing + sample without a full scan."""
+    from datafusion_dedup_ai_spark.sources.readers import peek_schema
+
+    got = peek_schema(spark, os.path.join(sf_dir, "region.parquet"))
+    cols = dict(got["columns"])
+    assert cols["r_regionkey"] in ("int", "bigint")  # testdata stores int32
+    assert cols["r_name"] == "string"
+    assert len(got["sample"]) == 1
+    assert set(got["sample"][0]) == set(cols)
+
+
 def test_mapping_string_parser():
     got = parse_mapping_string("GE->General Electric; P&G -> PROCTER & GAMBLE;;bad")
     assert got == {
