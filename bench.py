@@ -46,6 +46,7 @@ HEADLINE = [
     "minhash_near_dup_pairs",
     "simhash_fingerprints",
     "cosine_topk",
+    "clean_corpus",
 ]
 
 

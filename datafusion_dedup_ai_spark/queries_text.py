@@ -8,7 +8,7 @@ the two sides can't drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_dedup_ai_spark.functions import text as T
@@ -271,4 +271,131 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.where(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "n_common", "n_union", "jaccard"
+    )
+
+
+# ===========================================================================
+# Composite: the full training-corpus cleaning pipeline in one plan
+# ===========================================================================
+
+QUALITY_FLOOR = 0.5
+KEEP_LANG = "en"
+
+
+@register(
+    "clean_corpus",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               least(CAST(len({_TOKS}) AS DOUBLE) / 50.0, 1.0) * 0.4
+                 + (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                    / CAST(len({_TOKS}) AS DOUBLE)) * 0.4
+                 + (CASE WHEN CAST(len(list_filter({_TOKS}, x -> list_contains(
+                            {_sql_list_lit(T.STOPWORDS)}, x))) AS DOUBLE)
+                            / CAST(len({_TOKS}) AS DOUBLE) >= 0.02
+                          AND CAST(len(list_filter({_TOKS}, x -> list_contains(
+                            {_sql_list_lit(T.STOPWORDS)}, x))) AS DOUBLE)
+                            / CAST(len({_TOKS}) AS DOUBLE) <= 0.4
+                         THEN 1.0 ELSE 0.0 END) * 0.2 AS quality,
+               {', '.join(f'{_sql_marker_count(lang)} AS c_{lang}' for lang in sorted(T.LANG_MARKERS))}
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, text, n_tokens, quality
+        FROM scored
+        WHERE quality >= {QUALITY_FLOOR} AND {_sql_lang_id()} = '{KEEP_LANG}'
+    ), hashed AS (
+        SELECT doc_id, text, n_tokens, quality,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        FROM kept
+    ), exact_kept AS (
+        SELECT doc_id, text, n_tokens, quality
+        FROM hashed WHERE doc_id = rep
+    ), toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM exact_kept
+    ), sh AS (
+        SELECT doc_id, list_distinct({_SQL_BIGRAMS}) AS shingles FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), near_dup_victims AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_id, n_tokens, quality
+    FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dup_victims)
+    """,
+)
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data cleaning pipeline as ONE declarative plan —
+    the composition a 100 TB corpus prep actually runs, end-to-end
+    hash-gated:
+
+        quality floor (0.5) -> language keep ('en')
+        -> exact dedup (min doc_id per content md5)
+        -> near-dup removal (drop the HIGHER doc id of every exact-Jaccard
+           pair at J >= 0.2; greedy pairwise kill, not transitive
+           clustering — deterministic and SQL-expressible, and the common
+           production choice since clustering near-dup graphs of
+           boilerplate can collapse too much)
+
+    Filters run BEFORE the expensive shingle join, so the join input is the
+    already-reduced survivor set — the stage order is itself the scale
+    optimization. At cluster scale the near-dup stage swaps to the
+    MinHash-LSH tier (same victim rule over minhash_near_dup_pairs).
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("pred_lang"),
+    )
+    kept = scored.where(
+        (F.col("quality") >= QUALITY_FLOOR) & (F.col("pred_lang") == KEEP_LANG)
+    ).drop("pred_lang")
+
+    w = Window.partitionBy(F.md5("text"))
+    exact_kept = (
+        kept.withColumn("rep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("rep"))
+        .drop("rep")
+    )
+
+    sh = exact_kept.select(
+        "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
+    )
+    sizes = sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    victims = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return exact_kept.join(victims, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "quality"
     )
