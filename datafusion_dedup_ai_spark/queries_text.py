@@ -372,6 +372,13 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") == F.col("rep"))
         .drop("rep")
     )
+    # Three consumers (both self-join branches + the final anti-join) read
+    # exact_kept, and its subtree carries the expensive quality/language char
+    # folds — persist or every branch recomputes them (measured 36s vs ~6s at
+    # sf0.1). Same pattern as the dedup pipeline's `prepared` persist.
+    from pyspark import StorageLevel
+
+    exact_kept = exact_kept.persist(StorageLevel.MEMORY_AND_DISK)
 
     sh = exact_kept.select(
         "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
