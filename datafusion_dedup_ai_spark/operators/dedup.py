@@ -300,3 +300,98 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """New-batch ingestion dedup: keep batch rows whose content hash is (a)
+    the first occurrence WITHIN the batch and (b) absent from the corpus.
+
+    This is the shape a training-data pipeline runs on every incoming crawl
+    batch. Physical plan: one window over the (small) batch keyed by content
+    hash, then a left-anti join against the corpus's DISTINCT hash set. At
+    100 TB the corpus side is a hash-only projection (16 bytes/row after the
+    distinct) — in production it would be a persisted hash index appended per
+    batch, not a rescan; the plan here is the same join either way. The anti
+    join shuffles on the hash, which is uniform by construction (no skew).
+    """
+    corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    b = batch.withColumn("content_hash", F.md5(F.col(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    first_in_batch = (
+        b.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    return first_in_batch.join(corpus_hashes, "content_hash", "left_anti")
+
+
+def incremental_near_dup_matches(
+    corpus_shingled: DataFrame,
+    batch_shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """(batch_id, corpus_id, n_common, n_union, jaccard): near-duplicate
+    matches of NEW batch documents against the EXISTING corpus via MinHash
+    band buckets — only cross-set pairs, never corpus x corpus.
+
+    Scale shape: corpus signatures/band-buckets are computed once (in
+    production: persisted and appended per batch; here recomputed — the join
+    topology is identical). The candidate join is batch-buckets ⋈
+    corpus-buckets on (band, bucket): its size is |batch| x collision rate,
+    NOT |corpus|², which is what makes per-batch dedup affordable against an
+    arbitrarily large corpus.
+    """
+    from pyspark import StorageLevel
+
+    rows_per_band = num_hashes // bands
+    corpus_shingled = corpus_shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    batch_shingled = batch_shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    c_sigs = minhash_signatures(corpus_shingled, id_col, shingles_col, num_hashes, seed)
+    b_sigs = minhash_signatures(batch_shingled, id_col, shingles_col, num_hashes, seed)
+
+    def _buckets(sigs: DataFrame, out_id: str) -> DataFrame:
+        band_cols = []
+        for band in range(bands):
+            chunk = F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
+            band_cols.append(
+                F.struct(F.lit(band).alias("band"), F.xxhash64(chunk).alias("bucket"))
+            )
+        return sigs.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("bb")
+        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    cands = (
+        _buckets(b_sigs, "batch_id")
+        .join(_buckets(c_sigs, "corpus_id"), ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sh_b = batch_shingled.select(
+        F.col(id_col).alias("batch_id"), F.col(shingles_col).alias("sh_a")
+    )
+    sh_c = corpus_shingled.select(
+        F.col(id_col).alias("corpus_id"), F.col(shingles_col).alias("sh_b")
+    )
+    joined = cands.join(sh_b, "batch_id").join(sh_c, "corpus_id")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        joined.withColumn("n_common", inter.cast("bigint"))
+        .withColumn("n_union", union.cast("bigint"))
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "n_common", "n_union", "jaccard")
+    )

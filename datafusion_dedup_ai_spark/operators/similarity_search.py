@@ -171,3 +171,127 @@ def near_duplicate_embeddings(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat (inverted-file) ANN — the centroid-partitioned scale path
+# ---------------------------------------------------------------------------
+
+
+def train_spherical_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iter: int = 10,
+    sample_size: int = 2048,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means centroids (unit-normalized, cosine geometry) trained
+    on a deterministic driver-side sample.
+
+    The collect here is intentional and scale-safe: the model is k x dim
+    floats (a few KB) and k-means needs only a representative sample, not the
+    corpus — at 100 TB you still train on ~10^4 sampled rows and broadcast
+    the centroids. The sample is the first `sample_size` ids (TakeOrdered,
+    no global sort)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    rng = random.Random(seed)
+    k = min(n_cells, len(X))
+    centroids = X[rng.sample(range(len(X)), k)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ centroids.T, axis=1)  # max dot = min angle
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):  # empty cell keeps its old centroid
+                m = members.sum(axis=0)
+                centroids[c] = m / (np.linalg.norm(m) + 1e-12)
+    return centroids
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, cell): nearest-centroid cell ids per vector (top-`nprobe` cells,
+    exploded). One numpy matmul per Arrow batch against the broadcast
+    centroid matrix — the corpus pass is a single map stage."""
+    C = centroids.astype(np.float64)
+    probes = min(nprobe, len(C))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cells_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True) + 1e-12
+        sims = M @ C.T  # (n, k)
+        top = np.argsort(-sims, axis=1)[:, :probes].astype(np.int64)
+        return pd.Series(list(top))
+
+    return df.select(
+        F.col(id_col), F.explode(cells_udf(F.col(vec_col))).alias("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in their single
+    nearest-centroid cell; each query probes its `nprobe` closest cells and
+    exact-re-ranks only those cells' members.
+
+    Scale shape: the candidate set is |queries| x (nprobe/n_cells) x |corpus|
+    on average — with n_cells ~ sqrt(N) this is the classic IVF cost model.
+    The cell id is the equi-join (shuffle) key; at cluster scale the corpus
+    would be WRITTEN partitioned by cell so probes prune file reads
+    (partition pruning), which this operator's join is the in-memory analog
+    of. Recall vs brute force is pinned in tests/test_similarity.py."""
+    centroids = train_spherical_centroids(
+        corpus, id_col, vec_col, n_cells=n_cells, seed=seed
+    )
+    c_cells = ivf_assign_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    q_cells = ivf_assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    cand = (
+        q_cells.alias("q")
+        .join(
+            c_cells.alias("c"),
+            (F.col("q.cell") == F.col("c.cell"))
+            & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

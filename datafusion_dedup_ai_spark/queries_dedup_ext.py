@@ -133,3 +133,57 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents")
     tok = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
     return D.simhash_near_pairs(D.simhash64(tok), max_hamming=6)
+
+
+# ===========================================================================
+# Incremental (batch-vs-corpus) dedup — the per-crawl ingestion shape
+# ===========================================================================
+
+# Deterministic corpus/batch split of the documents table: 80% existing
+# corpus, 20% incoming batch.
+_CORPUS_PRED = "doc_id % 10 < 8"
+_BATCH_PRED = "doc_id % 10 >= 8"
+
+
+@register(
+    "incremental_exact_new_docs",
+    f"""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE {_CORPUS_PRED}
+    ), batch AS (
+        SELECT * FROM documents WHERE {_BATCH_PRED}
+    ), firsts AS (
+        SELECT doc_id, n_chars, md5(text) AS content_hash,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM batch
+    )
+    SELECT f.doc_id, f.content_hash, f.n_chars
+    FROM firsts f
+    WHERE rn = 1 AND NOT EXISTS (
+        SELECT 1 FROM corpus c WHERE md5(c.text) = f.content_hash)
+    """,
+)
+def q_incremental_exact_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental dedup: documents in the incoming batch (doc_id%10>=8)
+    that are genuinely new — first of their content hash within the batch and
+    unseen in the existing corpus (doc_id%10<8). The anti-join side is a
+    16-byte/row hash projection, so the corpus can be arbitrarily large."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.expr(_CORPUS_PRED))
+    batch = d.where(F.expr(_BATCH_PRED))
+    new = D.incremental_exact_dedup(corpus, batch)
+    return new.select("doc_id", "content_hash", "n_chars")
+
+
+@register("incremental_near_dup_matches", None)
+def q_incremental_near_dup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH matches of incoming-batch docs against the existing corpus
+    (cross-set only — |batch| x collision-rate candidates, never |corpus|^2).
+    Rows-only (xxhash64 signatures); cross-set recall vs the exact Jaccard
+    ground truth is pinned in tests/test_dedup_ext.py."""
+    d = load_spread(spark, sf_dir, "documents")
+    sh = d.select("doc_id", T.distinct_shingles(F.col("text")).alias("shingles"))
+    corpus_sh = sh.where(F.expr(_CORPUS_PRED))
+    batch_sh = sh.where(F.expr(_BATCH_PRED))
+    return D.incremental_near_dup_matches(corpus_sh, batch_sh)

@@ -579,3 +579,125 @@ def q_orders_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.alias("order_us"),
         F.lag(ts).over(w).alias("prev_order_us"),
     )
+
+
+# ===========================================================================
+# Pivot, grouping sets, exact quantiles, set operations
+# ===========================================================================
+
+
+@register(
+    "status_pivot_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_status_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide) order counts: priority rows x status columns.
+    Pinned pivot values keep the schema static (no extra distinct-scan job
+    and no schema drift between runs — required at scale AND for the
+    contract); counts fill to 0 like the oracle's FILTER form."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+@register(
+    "revenue_grouping_sets",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM({_sql_cents('o_totalprice')}) AS DOUBLE) / 100.0 AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: status-level, priority-level, and grand totals in one
+    pass (one shuffle; the expand operator replicates rows per set, which is
+    exactly how a 100 TB multi-rollup should run — not three separate scans).
+    Exact integer-cent accumulation keeps the double bit-identical at any
+    partial-agg order."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100.0).alias(
+                "revenue"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "quantity_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles per return flag. Spark's
+    `percentile` matches DuckDB's `quantile_cont` definition; quantities are
+    small integers stored as doubles, so the interpolated values are exact
+    dyadic rationals — safe to hash. At 100 TB you'd switch to
+    `approx_percentile` (t-digest, bounded memory); the exact form is the
+    correctness baseline."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "status_custkey_setops",
+    """
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+    UNION ALL
+    SELECT 'f_only' AS tag, o_custkey FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+    """,
+)
+def q_status_custkey_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result: customers with both
+    finished and open orders vs finished-only. Catalyst rewrites the set ops
+    to semi/anti joins over pre-aggregated distinct sets — the same two
+    shuffles a hand-written plan would do."""
+    o = load_table(spark, sf_dir, "orders")
+    f_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_keys = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f_keys.intersect(o_keys).select(
+        F.lit("both").alias("tag"), "o_custkey"
+    )
+    f_only = f_keys.exceptAll(o_keys).select(
+        F.lit("f_only").alias("tag"), "o_custkey"
+    )
+    return both.unionAll(f_only)

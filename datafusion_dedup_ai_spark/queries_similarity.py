@@ -90,3 +90,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return S.lsh_topk(emb, queries, k=TOP_K)
+
+
+@register("ann_ivf_topk", None)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k (spherical k-means cells, nprobe=4 of 16, exact
+    re-rank within probed cells). Rows-only at t2; recall vs brute force is
+    pinned in tests/test_similarity.py. The LSH tier hashes independently of
+    the data; IVF adapts cells to the data distribution — both ship because
+    at 100 TB the winner depends on the embedding geometry."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.ivf_topk(emb, queries, k=TOP_K, n_cells=16, nprobe=4)

@@ -169,3 +169,59 @@ def test_simhash_near_pairs_pigeonhole(spark, shingled, sf_dir):
     for r in pairs:
         x = (sims[r["id_a"]] ^ sims[r["id_b"]]) & ((1 << 64) - 1)
         assert bin(x).count("1") <= 6
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_exact_dedup_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "corpus only")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),   # dup of corpus -> dropped
+            (11, "brand new"),     # new -> kept
+            (12, "brand new"),     # dup within batch -> dropped (11 is first)
+            (13, "also new"),      # new -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in D.incremental_exact_dedup(corpus, batch).collect()}
+    assert kept == {11, 13}
+
+
+def test_incremental_near_dup_recall_vs_exact(spark, shingled):
+    """Cross-set (batch x corpus) MinHash matches must catch the planted
+    near-dups that the exact cross-set Jaccard finds at J >= 0.5."""
+    corpus_sh = shingled.where(F.expr("doc_id % 10 < 8"))
+    batch_sh = shingled.where(F.expr("doc_id % 10 >= 8"))
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in D.incremental_near_dup_matches(
+            corpus_sh, batch_sh, threshold=0.5
+        ).collect()
+    }
+    # exact cross-set ground truth: verify_jaccard over candidates that share
+    # a shingle, restricted to batch x corpus pairs
+    cands = _exact_candidates(shingled)
+    exact = (
+        D.verify_jaccard(cands, shingled, threshold=0.5)
+        .where(
+            (F.expr("id_a % 10 >= 8") & F.expr("id_b % 10 < 8"))
+            | (F.expr("id_a % 10 < 8") & F.expr("id_b % 10 >= 8"))
+        )
+        .collect()
+    )
+    exact_pairs = {
+        (r["id_a"], r["id_b"]) if r["id_a"] % 10 >= 8 else (r["id_b"], r["id_a"])
+        for r in exact
+    }
+    if exact_pairs:
+        recall = len(got & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.9, f"incremental recall {recall:.2f}"
+    # every emitted match crosses the sets and meets the threshold
+    for b, c in got:
+        assert b % 10 >= 8 and c % 10 < 8

@@ -68,3 +68,30 @@ def test_lsh_bucket_determinism(spark, emb):
     b1 = S.lsh_bucketize(emb.limit(20)).collect()
     b2 = S.lsh_bucketize(emb.limit(20)).collect()
     assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    k = 5
+    queries = emb.where(F.col("vec_id") < 10)
+    bf = S.brute_force_topk(emb, queries, k=k).collect()
+    ivf = S.ivf_topk(emb, queries, k=k, n_cells=16, nprobe=4).collect()
+    bf_sets, ivf_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # probing 4 of 16 data-adapted cells must beat the 25% random-candidate
+    # floor by a wide margin on every geometry
+    assert mean_recall >= 0.5, f"IVF mean recall@5 {mean_recall:.2f}"
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    c1 = S.train_spherical_centroids(emb, n_cells=8, sample_size=256)
+    c2 = S.train_spherical_centroids(emb, n_cells=8, sample_size=256)
+    assert np.array_equal(c1, c2)
+    # unit-normalized rows
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
