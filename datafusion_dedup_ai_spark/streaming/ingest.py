@@ -1,0 +1,114 @@
+"""Streaming corpus ingestion: continuous incremental dedup via
+``foreachBatch`` (extension scope — the always-on form of
+``operators.dedup.incremental_exact_dedup``).
+
+Each micro-batch of incoming documents is deduplicated (a) within the batch
+(keep lowest id per content hash) and (b) against everything already written
+to the output corpus, then APPENDED to that corpus. The sink is **idempotent
+under replay**: foreachBatch is at-least-once, but a replayed document's
+content hash is already in the corpus, so the anti-join drops it — the
+content-addressed dedup IS the exactly-once mechanism, with no transactional
+sink required.
+
+Scale shape: the corpus side of the anti-join reads only the hash column —
+with the corpus written as parquet, that is a single-column scan (column
+pruning), and in production the hashes would live in a compacted index table
+appended per batch instead of a rescan. The per-batch work is
+O(|batch| + |corpus-hash-scan|), independent of corpus row width.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from datafusion_dedup_ai_spark.operators.dedup import incremental_exact_dedup
+
+
+def start_incremental_ingest(
+    stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the foreachBatch incremental-dedup sink.
+
+    ``stream`` is any streaming DataFrame with (id_col, text_col, ...);
+    ``corpus_dir`` is the parquet corpus being accumulated (created on the
+    first batch). ``available_now=True`` drains queued input and stops —
+    the deterministic mode for tests and backfills; pass False for a
+    continuously running ingest.
+    """
+    spark = stream.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(corpus_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_dir)
+        ):
+            corpus = spark.read.parquet(corpus_dir)
+            new = incremental_exact_dedup(corpus, batch_df, text_col, id_col)
+        else:
+            # first batch: no corpus yet — only in-batch dedup applies
+            empty = batch_df.limit(0)
+            new = incremental_exact_dedup(empty, batch_df, text_col, id_col)
+        new.write.mode("append").parquet(corpus_dir)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def replay_documents_as_stream(
+    spark,
+    sf_dir: str,
+    stage_dir: str,
+    n_chunks: int = 4,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stage the documents table as n_chunks json files and read them back as
+    a file-source stream (one file per trigger -> n_chunks micro-batches).
+    Deterministic chunking by doc_id range so every run produces the same
+    batch boundaries."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    if not os.path.isdir(stage_dir) or not os.listdir(stage_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        step = (n + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            chunk = docs.where(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            chunk.coalesce(1).write.mode("overwrite").json(
+                os.path.join(stage_dir, f"chunk={i:03d}")
+            )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .json(stage_dir)
+    )

@@ -226,3 +226,65 @@ def test_stateful_dedup_matches_batch_first_events(spark, sf_dir, staged):
     # batch keep-first-by-time choice.
     for r in emitted:
         assert want[(r["user_id"], r["event_type"])] == r["event_id"]
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch incremental-ingest sink
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_incremental_ingest_dedups_across_batches(spark, sf_dir, tmp_path):
+    """Replaying the documents table in 4 micro-batches through the
+    foreachBatch incremental-dedup sink must land exactly one row per
+    distinct content hash — the same set batch-mode exact dedup produces."""
+    from datafusion_dedup_ai_spark.streaming import ingest as I
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    stream = I.replay_documents_as_stream(
+        spark, sf_dir, str(tmp_path / "stage"), n_chunks=4
+    )
+    q = I.start_incremental_ingest(
+        stream,
+        corpus_dir=str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    got = {(r["content_hash"], r["doc_id"]) for r in corpus.collect()}
+    # exactly one row per distinct hash
+    assert len({h for h, _ in got}) == len(got)
+
+    docs = load_table(spark, sf_dir, "documents")
+    want_hashes = {
+        r["h"] for r in docs.select(F.md5("text").alias("h")).distinct().collect()
+    }
+    assert {h for h, _ in got} == want_hashes
+    # kept id per hash is the minimum doc_id in the earliest batch containing
+    # the hash; batches arrive in doc_id order here, so it is the global min
+    want_ids = {
+        (r["h"], r["m"])
+        for r in docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("m"))
+        .collect()
+    }
+    assert got == want_ids
+
+
+def test_streaming_incremental_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the same input with a FRESH checkpoint (a full replay — the
+    worst at-least-once failure mode) must not duplicate corpus rows."""
+    from datafusion_dedup_ai_spark.streaming import ingest as I
+
+    stage = str(tmp_path / "stage")
+    corpus_dir = str(tmp_path / "corpus")
+    stream = I.replay_documents_as_stream(spark, sf_dir, stage, n_chunks=2)
+    q = I.start_incremental_ingest(stream, corpus_dir, str(tmp_path / "ckpt1"))
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(corpus_dir).count()
+
+    stream2 = I.replay_documents_as_stream(spark, sf_dir, stage, n_chunks=2)
+    q2 = I.start_incremental_ingest(stream2, corpus_dir, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(corpus_dir).count()
+    assert n1 == n2, f"replay added {n2 - n1} duplicate rows"
