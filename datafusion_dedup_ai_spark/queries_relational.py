@@ -328,17 +328,25 @@ def q_distinct_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_acctbal_close_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure inequality join — Spark picks BroadcastNestedLoopJoin (supplier is
-    the small dimension); at scale this would be banded (bucketize acctbal,
-    equi-join on band, post-filter) to avoid the quadratic loop."""
+    """Value-band join via operators.rangejoin.band_join: a pure inequality
+    predicate would plan a NestedLoopJoin (O(n²) — the scale-killer); the
+    band key restores an equi-join (3× replication of one side, hash join on
+    the band, residual filter). Oracle-gated equal to the naive form; the
+    plan is asserted NestedLoop-free in tests/test_plans.py."""
+    from datafusion_dedup_ai_spark.operators.rangejoin import band_join
+
     s = load_table(spark, sf_dir, "supplier")
     a = s.alias("a")
     b = s.alias("b")
-    return a.join(
+    joined = band_join(
+        a,
         b,
-        (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
-        & (F.abs(F.col("a.s_acctbal") - F.col("b.s_acctbal")) < 10.0),
-    ).select(
+        F.col("a.s_acctbal"),
+        F.col("b.s_acctbal"),
+        width=10.0,
+        residual=F.col("a.s_suppkey") < F.col("b.s_suppkey"),
+    )
+    return joined.select(
         F.col("a.s_suppkey").alias("suppkey_a"),
         F.col("b.s_suppkey").alias("suppkey_b"),
     )

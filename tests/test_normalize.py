@@ -134,3 +134,37 @@ def test_property_normalize_idempotent(name):
 def test_property_strip_is_fixpoint(name):
     stripped = py_strip_fixpoint(py_normalize(name), LEGAL_SUFFIXES)
     assert py_strip_fixpoint(stripped, LEGAL_SUFFIXES) == stripped
+
+
+def test_band_join_exact_vs_naive(spark):
+    """band_join catches exactly the naive inequality-join pairs, including
+    across band boundaries and for negative values."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dedup_ai_spark.operators.rangejoin import band_join
+
+    vals = [(i, v) for i, v in enumerate(
+        [-25.0, -10.0, -9.9999, -0.01, 0.0, 0.01, 9.99, 10.0, 15.0, 19.9, 20.0, 100.0]
+    )]
+    df = spark.createDataFrame(vals, ["id", "x"])
+    a, b = df.alias("a"), df.alias("b")
+    naive = {
+        (r["ia"], r["ib"])
+        for r in a.join(
+            b,
+            (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.x") - F.col("b.x")) < 10.0),
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .collect()
+    }
+    banded = {
+        (r["ia"], r["ib"])
+        for r in band_join(
+            a, b, F.col("a.x"), F.col("b.x"), 10.0,
+            residual=F.col("a.id") < F.col("b.id"),
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .collect()
+    }
+    assert banded == naive

@@ -51,3 +51,11 @@ def test_exact_dedup_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "exact_dedup_documents")
     # map-side partial agg before the exchange (HashAggregate twice)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_band_join_is_not_nested_loop(spark, sf_dir):
+    """The banded range join must plan as an equi-join on the band key —
+    a NestedLoopJoin here means the band rewrite silently regressed."""
+    plan = _plan(spark, sf_dir, "acctbal_close_suppliers")
+    assert "NestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
