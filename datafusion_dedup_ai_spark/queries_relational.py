@@ -709,3 +709,18 @@ def q_status_custkey_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("f_only").alias("tag"), "o_custkey"
     )
     return both.unionAll(f_only)
+
+
+@register("quantity_quantiles_approx", None)
+def q_quantity_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of quantity_quantiles: approx_percentile with
+    accuracy=10000 (bounded memory regardless of group size, mergeable across
+    partitions). Rows-only by definition; tests pin it within the sketch's
+    rank-error bound of the exact quantiles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.25), F.lit(10000)).alias("p25"),
+        F.approx_percentile("l_quantity", F.lit(0.50), F.lit(10000)).alias("p50"),
+        F.approx_percentile("l_quantity", F.lit(0.75), F.lit(10000)).alias("p75"),
+        F.count("*").alias("n_rows"),
+    )

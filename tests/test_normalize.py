@@ -168,3 +168,23 @@ def test_band_join_exact_vs_naive(spark):
         .collect()
     }
     assert banded == naive
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """approx_percentile(accuracy=1e4) must sit within ~1/accuracy rank error
+    of the exact interpolated quantiles — here the quantity domain is small
+    integers, so the sketch should land within 1 unit."""
+    import __spark_entry__ as e
+
+    exact = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in e.queries()["quantity_quantiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in e.queries()["quantity_quantiles_approx"](spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for ev, av in zip(exact[k], approx[k]):
+            assert abs(ev - av) <= 1.0, f"{k}: exact {ev} vs approx {av}"
