@@ -98,6 +98,14 @@ def main() -> None:
         runs: list[float] = []
         for _ in range(repeats):
             spark.catalog.clearCache()
+            # Force a synchronous driver GC in the gap BETWEEN timed runs:
+            # shuffle/broadcast state is only enqueued for deletion when its
+            # weak refs are GC'd, and ~200 prior executions' worth of blocks
+            # being cleaned (or a periodic GC firing) mid-measurement showed
+            # up as 5s->33s escalation on the join-heavy queries late in the
+            # run. Emptying the queue here keeps cleanup out of the timings.
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(round(time.perf_counter() - t0, 3))
