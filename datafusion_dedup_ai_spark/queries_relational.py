@@ -724,3 +724,74 @@ def q_quantity_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_quantity", F.lit(0.75), F.lit(10000)).alias("p75"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "orders_profile",
+    """
+    SELECT 'o_orderkey' AS col, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL
+    FROM orders
+    """,
+)
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling utility (the ANALYZE-style pass a pipeline runs before
+    choosing join strategies): per-column null count, exact distinct count,
+    numeric min/max — computed in ONE scan as a wide aggregate, then
+    unpivoted to long form. At 100 TB swap countDistinct for
+    approx_count_distinct; the single-scan wide-agg shape is the point."""
+    o = load_table(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").alias("_n")]
+    for c in num_cols + str_cols:
+        aggs.append(F.count(c).alias(f"{c}__cnt"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+    for c in num_cols:
+        aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+    wide = o.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                (F.col("_n") - F.col(f"{c}__cnt")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+        )
+    for c in str_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                (F.col("_n") - F.col(f"{c}__cnt")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_val"),
+                F.lit(None).cast("double").alias("max_val"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select(
+        "p.col", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val"
+    )

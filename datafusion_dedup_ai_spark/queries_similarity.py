@@ -102,3 +102,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return S.ivf_topk(emb, queries, k=TOP_K, n_cells=16, nprobe=4)
+
+
+@register("embedding_dedup_clusters", None)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup composite: exact cosine near-pairs (>= 0.35) ->
+    hash-min label propagation -> (vec_id, cluster_id, cluster_size).
+    Singletons keep their own id with size 1. Rows-only (iterative connected
+    components); equivalence to driver-side union-find is pinned in
+    tests/test_similarity.py. The edge set is the oracle-gated
+    embedding_near_pairs, so only the component step is unchecked by SQL."""
+    from datafusion_dedup_ai_spark.operators.clustering import (
+        cluster_label_propagation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.near_duplicate_embeddings(emb, threshold=NEAR_DUP_THRESHOLD)
+    edges = pairs.select(
+        F.col("id_a").alias("row_order_a"), F.col("id_b").alias("row_order_b")
+    )
+    labels = cluster_label_propagation(edges).select(
+        F.col("row_order").alias("vec_id"), "cluster_id"
+    )
+    full = emb.select("vec_id").join(labels, "vec_id", "left").select(
+        "vec_id", F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id")
+    )
+    sizes = full.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return full.join(sizes, "cluster_id").select(
+        "vec_id", "cluster_id", "cluster_size"
+    )

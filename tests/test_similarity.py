@@ -95,3 +95,35 @@ def test_ivf_centroids_deterministic(spark, emb):
     assert np.array_equal(c1, c2)
     # unit-normalized rows
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+
+def test_embedding_clusters_match_union_find(spark, sf_dir):
+    """Label-propagation components over cosine near-pairs must equal a
+    driver-side union-find over the same (oracle-gated) edge list."""
+    import __spark_entry__ as e
+
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in e.queries()["embedding_dedup_clusters"](spark, sf_dir).collect()
+    }
+    pairs = e.queries()["embedding_near_pairs"](spark, sf_dir).collect()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in pairs:
+        union(r["id_a"], r["id_b"])
+    for v in got:
+        parent.setdefault(v, v)
+    want = {v: find(v) for v in got}
+    assert got == want
