@@ -795,3 +795,69 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(F.array(*rows)).alias("p")).select(
         "p.col", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val"
     )
+
+
+@register(
+    "customer_running_revenue",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM({_sql_cents('o_totalprice')}) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS running_revenue,
+           CAST(RANK() OVER (
+               PARTITION BY o_custkey ORDER BY {_sql_cents('o_totalprice')} DESC
+           ) AS BIGINT) AS price_rank,
+           CAST(NTILE(4) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS BIGINT) AS date_quartile
+    FROM orders
+    """,
+)
+def q_customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame coverage: cumulative sum over an explicit ROWS frame,
+    rank, and ntile in one pass — one shuffle on o_custkey serves all three
+    window specs (same partition key). Cents accumulation keeps the running
+    double exact at every prefix."""
+    o = load_table(spark, sf_dir, "orders")
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_cum = w_date.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        _cents(F.col("o_totalprice")).desc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(_cents(F.col("o_totalprice"))).over(w_cum).cast("double") / 100.0).alias(
+            "running_revenue"
+        ),
+        F.rank().over(w_price).cast("bigint").alias("price_rank"),
+        F.ntile(4).over(w_date).cast("bigint").alias("date_quartile"),
+    )
+
+
+@register(
+    "nation_customer_roster",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           string_agg(c.c_name, '|' ORDER BY c.c_name) AS roster
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_nation_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG shape): collect, sort, join —
+    the explicit array_sort makes the concatenation deterministic at any
+    parallelism (an unordered string_agg is not reproducible distributed)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("roster"),
+        )
+    )

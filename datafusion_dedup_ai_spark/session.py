@@ -32,6 +32,27 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Skew-split sizing. The defaults (factor 5, threshold 256 MB) are
+        # calibrated for cluster-scale tasks; on this footprint a hot-shingle
+        # join partition of ~100-200 MB never crossed them and ran as a
+        # single straggler task — the shingle-heavy queries were bimodal
+        # 4s/20s depending on whether the skew split fired (measured; GC
+        # ruled out at <0.1s of a 16s run). Factor 2 ("split anything over
+        # 2x the median") is scale-portable; the byte thresholds are sized
+        # to THIS footprint's task granularity and a real deployment sizes
+        # them to executor memory via SPARK_GRAFT_* env overrides.
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            os.environ.get("SPARK_GRAFT_SKEW_FACTOR", "2"),
+        )
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            os.environ.get("SPARK_GRAFT_SKEW_THRESHOLD", "32m"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
         # Arrow for pandas_udf / applyInPandas / toPandas round-trips.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -131,3 +131,53 @@ def run_stream_to_memory(
         .outputMode(output_mode)
         .start()
     )
+
+
+def streaming_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joins the same
+    user's click events from the preceding ``horizon_minutes``.
+
+    State story (the thing that matters at scale): BOTH sides are
+    watermarked and the join carries an explicit time-range predicate, so
+    Spark derives state-eviction bounds — a click is dropped from the join
+    state once the purchase-side watermark passes click_ts + horizon, and
+    vice versa. Without the range condition the state grows forever; the
+    analyzer accepts it only in append mode for exactly this reason.
+    """
+    c = (
+        clicks.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    horizon = F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - horizon),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )

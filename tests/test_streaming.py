@@ -288,3 +288,43 @@ def test_streaming_incremental_ingest_replay_is_idempotent(spark, sf_dir, tmp_pa
     q2.awaitTermination(300)
     n2 = spark.read.parquet(corpus_dir).count()
     assert n1 == n2, f"replay added {n2 - n1} duplicate rows"
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, staged):
+    """The watermarked click->purchase attribution join must converge to the
+    batch inner join over the same replayed files."""
+    stream = W.replay_events_as_stream(spark, sf_dir, staged + "/ssjoin")
+    out = W.streaming_click_purchase_join(stream, stream)
+    q = W.run_stream_to_memory(out, "ssjoin_smoke", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["click_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM ssjoin_smoke").collect()
+        }
+    finally:
+        q.stop()
+
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("ci"), F.col("ts").alias("cts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pi"), F.col("ts").alias("pts")
+    )
+    want = {
+        (r["cu"], r["ci"], r["pi"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTES")),
+        ).collect()
+    }
+    assert want, "testdata should contain click->purchase pairs within the horizon"
+    # the streaming join may drop pairs whose click fell beyond the watermark
+    # at arrival time, never emit extras; with event-time-ordered replay and
+    # a 2h watermark it converges to the full batch answer
+    assert got == want
