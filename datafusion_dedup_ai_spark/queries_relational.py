@@ -861,3 +861,38 @@ def q_nation_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("roster"),
         )
     )
+
+
+@register(
+    "customer_order_coverage",
+    f"""
+    WITH per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM({_sql_cents('o_totalprice')}) AS DOUBLE) / 100.0 AS revenue
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, p.o_custkey) AS custkey,
+           c.c_name,
+           COALESCE(p.n_orders, 0) AS n_orders,
+           COALESCE(p.revenue, 0.0) AS revenue
+    FROM customer c FULL OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+    """,
+)
+def q_customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN coverage: customers with zero orders AND (synthetic-
+    data-possible) orders whose custkey has no customer row both survive,
+    keys coalesced. Aggregate-then-join keeps the outer join on the small
+    pre-aggregated side instead of the raw fact table."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("revenue"),
+    )
+    j = c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        "c_name",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+    )
