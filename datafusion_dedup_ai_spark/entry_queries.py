@@ -24,6 +24,7 @@ from datafusion_dedup_ai_spark import queries_text  # noqa: F401
 from datafusion_dedup_ai_spark import queries_dedup_ext  # noqa: F401
 from datafusion_dedup_ai_spark import queries_similarity  # noqa: F401
 from datafusion_dedup_ai_spark import queries_multimodal  # noqa: F401
+from datafusion_dedup_ai_spark import queries_curation  # noqa: F401
 from datafusion_dedup_ai_spark.registry import oracle_sql, queries  # noqa: F401
 
 # re-export the flagship for __spark_entry__.entry()

@@ -1,0 +1,284 @@
+"""Dataset-curation query pack — the sampling / chunking / scrubbing /
+splitting operations a training-data pipeline runs AFTER cleaning and dedup
+(extension scope; composes with queries_text.q_clean_corpus).
+
+Every operator here is deterministic by construction — sampling and split
+assignment key off md5 of stable ids, never RNG state — because at 100 TB a
+sample you cannot reproduce is a sample you cannot debug. All are pure
+Column expressions (no UDFs) and oracle-gated against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark import materialize as MZ
+from datafusion_dedup_ai_spark.registry import register
+from datafusion_dedup_ai_spark.sources.readers import load_spread, load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+# Keep rows whose md5(id) 4-hex-digit prefix is below the threshold: rate =
+# 0x1999 / 0x10000 = 9.99%. Hex-prefix STRING comparison is portable across
+# Spark and DuckDB (no hex->int cast dialects) and uniform over the keyspace.
+SAMPLE_HEX_THRESHOLD = "1999"
+
+
+@register(
+    "doc_sample_hash",
+    f"""
+    SELECT doc_id, source, lang,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{SAMPLE_HEX_THRESHOLD}'
+    """,
+)
+def q_doc_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample: membership is a pure function of doc_id, so
+    the same rows are selected on every run, every engine, every partitioning
+    — unlike rand()-based sampling, which changes under retries and task
+    re-execution. A pure map (filter pushes to the scan): no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        d.withColumn("bucket", bucket)
+        .where(F.col("bucket") < SAMPLE_HEX_THRESHOLD)
+        .select("doc_id", "source", "lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified (per-source) deterministic sampling
+# ---------------------------------------------------------------------------
+
+STRATUM_N = 25
+
+
+@register(
+    "source_stratified_sample",
+    f"""
+    SELECT doc_id, source, sample_rank FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM documents)
+    WHERE sample_rank <= {STRATUM_N}
+    """,
+)
+def q_source_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: exactly min(25, |stratum|) docs per source, chosen
+    by md5-of-id order — a uniform without-replacement draw that is still
+    fully deterministic. One shuffle on source; Spark pushes the rank limit
+    into the sort (WindowGroupLimit), so each partition keeps only its top
+    rows instead of sorting the stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= STRATUM_N)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed-size overlapping windows)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 256
+CHUNK_STRIDE = 192  # 64-char overlap between consecutive chunks
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH st AS (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(length(text), 1), {CHUNK_STRIDE}))
+                   AS chunk_start
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           substr(text, CAST(chunk_start AS INT) + 1, {CHUNK_SIZE}) AS chunk_text,
+           CAST(length(substr(text, CAST(chunk_start AS INT) + 1, {CHUNK_SIZE}))
+                AS BIGINT) AS n_chunk_chars
+    FROM st
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 256-char windows every 192 chars (64-char
+    overlap), the standard pre-tokenization shaping for embedding/LM
+    pipelines. sequence+explode+substring — all JVM codegen, no shuffle;
+    output size is input size * ~(size/stride), predictable at any scale.
+    Empty docs yield one empty chunk (not zero) so no document silently
+    disappears from the chunked corpus."""
+    d = load_spread(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text"), F.lit(1)) - 1,
+        F.lit(CHUNK_STRIDE),
+    )
+    ch = d.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+    chunk_text = F.col("text").substr(
+        F.col("chunk_start") + 1, F.lit(CHUNK_SIZE)
+    )
+    return ch.select(
+        "doc_id",
+        F.expr(f"chunk_start div {CHUNK_STRIDE}").cast("bigint").alias("chunk_id"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).cast("bigint").alias("n_chunk_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction)
+# ---------------------------------------------------------------------------
+
+# ASCII-only patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): plain classes, \b, bounded repetition — no lookarounds,
+# no \w (dialect-dependent Unicode semantics).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_DIGIT_RUN = r"\d{7,}"
+
+# The synthetic corpus carries no PII, so both sides deterministically plant
+# it first (same expression, same rows) — the redaction path is then
+# exercised on text that actually matches, not vacuously on clean text.
+_SQL_PLANTED = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' "
+    "|| CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' from 10.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.0.' "
+    "|| CAST(doc_id % 100 AS VARCHAR) ELSE '' END "
+    "|| CASE WHEN doc_id % 4 = 0 THEN ' ref ' "
+    "|| CAST(10000000 + doc_id * 37 AS VARCHAR) ELSE '' END"
+)
+
+
+def _planted(doc_id: Column, text: Column) -> Column:
+    email = F.when(
+        doc_id % 3 == 0,
+        F.concat(
+            F.lit(" reach me at user"), doc_id.cast("string"), F.lit("@example.com")
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        doc_id % 5 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (doc_id % 256).cast("string"),
+            F.lit(".0."),
+            (doc_id % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    num = F.when(
+        doc_id % 4 == 0,
+        F.concat(F.lit(" ref "), (F.lit(10000000) + doc_id * 37).cast("string")),
+    ).otherwise(F.lit(""))
+    return F.concat(text, email, ip, num)
+
+
+@register(
+    "doc_pii_redacted",
+    f"""
+    WITH p AS (
+        SELECT doc_id, {_SQL_PLANTED} AS text FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+               AS n_ips,
+           CAST(len(regexp_extract_all(text, '{PII_DIGIT_RUN}')) AS BIGINT)
+               AS n_digit_runs,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+               '{PII_DIGIT_RUN}', '<NUM>', 'g') AS redacted_text
+    FROM p
+    """,
+)
+def q_doc_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails, IPv4 literals, and 7+-digit runs (phone/account
+    shapes) replaced with typed tokens, with per-kind match counts for audit.
+    Pure regexp Column expressions — foldable patterns compile once, the map
+    stage fuses into the scan, no shuffle. Redaction order (email -> IP ->
+    digits) matters and is identical on both sides: emails and IPs contain
+    digit runs that must not be half-eaten first."""
+    d = load_spread(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id", _planted(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_DIGIT_RUN,
+        "<NUM>",
+    )
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0)).cast(
+            "bigint"
+        ).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_IPV4), 0)).cast(
+            "bigint"
+        ).alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_DIGIT_RUN), 0)).cast(
+            "bigint"
+        ).alias("n_digit_runs"),
+        redacted.alias("redacted_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (by dedup cluster, not by row)
+# ---------------------------------------------------------------------------
+
+# md5-prefix thresholds: 0xcccd/0x10000 = 80.0%, 0xe666/0x10000 = 90.0%.
+SPLIT_TRAIN_HEX = "cccd"
+SPLIT_VAL_HEX = "e666"
+
+
+@register(
+    "cluster_train_test_split",
+    lambda: f"""
+    SELECT row_order, original_name, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+                     < '{SPLIT_TRAIN_HEX}' THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+                     < '{SPLIT_VAL_HEX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM '{MZ.snapshot_glob()}'
+    """,
+)
+def q_cluster_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split assigned per dedup CLUSTER (md5 of cluster_id), so
+    near-duplicate records can never straddle train and eval — the standard
+    guard against contamination-inflated eval scores. Row-level rand() splits
+    leak every duplicate pair that crosses the boundary; splitting on the
+    cluster key makes leakage structurally impossible. Reads the same
+    materialized snapshot as the O-pack; a pure map over it."""
+    clusters = MZ.read_clusters_snapshot(spark, sf_dir)
+    prefix = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4)
+    return clusters.select(
+        "row_order",
+        "original_name",
+        "cluster_id",
+        F.when(prefix < SPLIT_TRAIN_HEX, "train")
+        .when(prefix < SPLIT_VAL_HEX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

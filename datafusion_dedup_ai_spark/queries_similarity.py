@@ -131,3 +131,18 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.join(sizes, "cluster_id").select(
         "vec_id", "cluster_id", "cluster_size"
     )
+
+
+@register("ann_int8_topk", None)
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantized ANN: int8-quantize corpus and queries, rank by integer
+    dot products over the 4x-smaller codes, exact-re-rank the top k*4
+    candidates against the float vectors (operators/quantization.py). The
+    memory tier: at 100 TB the quantized scan fits where the float scan
+    spills. Rows-only at t2; recall vs brute force pinned in
+    tests/test_similarity.py."""
+    from datafusion_dedup_ai_spark.operators.quantization import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return quantized_topk(emb, queries, k=TOP_K, oversample=4)

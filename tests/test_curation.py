@@ -1,0 +1,114 @@
+"""Curation-pack properties: chunk coverage, PII removal, sampling
+determinism, leakage-safe splits, and int8-ANN recall. The exact
+Spark-vs-DuckDB equality of the oracle-gated queries is covered by
+tests/test_entry_contract.py; these tests pin the SEMANTIC invariants the
+hash compare can't express."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark import queries_curation as C
+from datafusion_dedup_ai_spark.operators.quantization import quantized_topk
+from datafusion_dedup_ai_spark.operators.similarity_search import brute_force_topk
+from datafusion_dedup_ai_spark.sources.readers import load_table
+
+
+def test_chunks_cover_and_match_source(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(50).collect()
+    }
+    rows = [
+        r
+        for r in C.q_doc_chunks(spark, sf_dir).collect()
+        if r["doc_id"] in docs
+    ]
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        text = docs[doc_id]
+        expected = max(len(text), 1)
+        n_expected = (expected + C.CHUNK_STRIDE - 1) // C.CHUNK_STRIDE
+        assert len(chunks) == n_expected
+        covered = 0
+        for r in sorted(chunks, key=lambda r: r["chunk_start"]):
+            # every chunk is the literal substring at its offset
+            assert r["chunk_text"] == text[
+                r["chunk_start"] : r["chunk_start"] + C.CHUNK_SIZE
+            ]
+            assert r["n_chunk_chars"] == len(r["chunk_text"])
+            covered = max(covered, r["chunk_start"] + r["n_chunk_chars"])
+        assert covered == len(text)  # chunks cover the document exactly
+
+
+def test_pii_redaction_leaves_no_matches(spark, sf_dir):
+    rows = C.q_doc_pii_redacted(spark, sf_dir).collect()
+    pats = [re.compile(C.PII_EMAIL), re.compile(C.PII_IPV4), re.compile(C.PII_DIGIT_RUN)]
+    planted = 0
+    for r in rows:
+        planted += r["n_emails"] + r["n_ips"] + r["n_digit_runs"]
+        for p in pats:
+            assert not p.search(r["redacted_text"]), (r["doc_id"], p.pattern)
+    # the planted PII actually exercised every pattern
+    assert planted > 0
+    assert sum(r["n_emails"] for r in rows) > 0
+    assert sum(r["n_ips"] for r in rows) > 0
+    assert sum(r["n_digit_runs"] for r in rows) > 0
+
+
+def test_hash_sample_deterministic_and_near_rate(spark, sf_dir):
+    ids1 = sorted(r["doc_id"] for r in C.q_doc_sample_hash(spark, sf_dir).collect())
+    ids2 = sorted(r["doc_id"] for r in C.q_doc_sample_hash(spark, sf_dir).collect())
+    assert ids1 == ids2  # pure function of doc_id
+    n_total = load_table(spark, sf_dir, "documents").count()
+    rate = len(ids1) / n_total
+    assert 0.05 <= rate <= 0.16, rate  # ~10% within binomial noise at n=500
+
+
+def test_stratified_sample_exact_per_stratum(spark, sf_dir):
+    per_source = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got: dict[str, int] = {}
+    for r in C.q_source_stratified_sample(spark, sf_dir).collect():
+        got[r["source"]] = got.get(r["source"], 0) + 1
+        assert 1 <= r["sample_rank"] <= C.STRATUM_N
+    assert got == {s: min(C.STRATUM_N, n) for s, n in per_source.items()}
+
+
+def test_cluster_split_is_leakage_safe(spark, sf_dir):
+    rows = C.q_cluster_train_test_split(spark, sf_dir).collect()
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # every cluster lands wholly in ONE split — no near-dup can straddle
+    assert all(len(s) == 1 for s in by_cluster.values())
+    splits = [next(iter(s)) for s in by_cluster.values()]
+    train_frac = splits.count("train") / len(splits)
+    assert 0.6 <= train_frac <= 0.95, train_frac  # 80% +- small-n noise
+    assert set(splits) <= {"train", "val", "test"}
+
+
+def test_int8_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    k = 5
+    bf, sq = {}, {}
+    for r in brute_force_topk(emb, queries, k=k).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quantized_topk(emb, queries, k=k, oversample=4).collect():
+        sq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(bf[q] & sq.get(q, set())) / len(bf[q]) for q in bf]
+    mean = sum(recalls) / len(recalls)
+    # int8 on 64-dim unit-scale vectors loses ~0.4% per coordinate; with 4x
+    # oversampled re-rank the top-5 should be nearly exact
+    assert mean >= 0.9, f"mean recall@5 {mean:.2f}"
