@@ -1,0 +1,59 @@
+"""Distributed global ordering — total rank without a single-partition sort.
+
+``Window.orderBy(key)`` with no partitionBy collapses the whole table into
+ONE task; at 100 TB that is the canonical scale-killer. The classic fix
+(what ``zipWithIndex``/range-partitioned sorts do under the hood) is:
+
+    1. bucket rows by a PREFIX of the sort key (prefix order == key order,
+       so bucket boundaries respect the total order);
+    2. rank locally within each bucket (parallel window);
+    3. prefix-sum the bucket sizes (a few hundred rows of metadata);
+    4. broadcast the offsets back and add.
+
+Only the metadata table is processed serially; the data passes are fully
+parallel. Expressed entirely in DataFrame ops so Catalyst/AQE still manage
+the physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    key: Column,
+    tiebreak: Column,
+    out: str = "pos",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Add ``out`` = 1-based dense position of each row under ORDER BY
+    (key, tiebreak), computed with bucket-parallel ranking.
+
+    ``key`` must be a hex-string expression (md5 and friends): the first
+    ``prefix_len`` characters form the bucket, and because string order on a
+    common-length prefix agrees with string order on the full key, per-bucket
+    local ranks + bucket offsets reproduce the global ROW_NUMBER exactly.
+    256 buckets (prefix_len=2) keeps every window partition ~N/256 rows."""
+    d = df.withColumn("_key", key).withColumn(
+        "_bucket", F.substring(F.col("_key"), 1, prefix_len)
+    )
+    w_local = Window.partitionBy("_bucket").orderBy(F.col("_key"), tiebreak)
+    local = d.withColumn("_lrank", F.row_number().over(w_local).cast("bigint"))
+
+    # bucket-size metadata: <= 16^prefix_len rows — the ONLY serial window,
+    # and it runs over kilobytes, not the data.
+    sizes = d.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    w_meta = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "_bucket",
+        F.coalesce(F.sum("_n").over(w_meta), F.lit(0)).alias("_offset"),
+    )
+
+    ranked = local.join(F.broadcast(offsets), "_bucket").withColumn(
+        out, (F.col("_offset") + F.col("_lrank")).cast("bigint")
+    )
+    return ranked.drop("_key", "_bucket", "_lrank", "_offset")

@@ -282,3 +282,171 @@ def q_cluster_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-text fraction (contamination audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_dup_shingle_fraction",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+                   AS shingles
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), dfreq AS (
+        SELECT s, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY s
+    )
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles,
+           CAST(SUM(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_fraction
+    FROM ex JOIN dfreq USING (s)
+    GROUP BY ex.doc_id
+    """,
+)
+def q_doc_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction: the share of a doc's distinct
+    word-bigram shingles that also occur in at least one OTHER document —
+    the standard corpus-health metric for boilerplate/contamination (docs
+    above ~0.5 are near-copies or template spam). Two shuffles (shingle DF
+    agg, per-doc re-agg), both with map-side partial aggregation; the
+    shingle DF table is exactly the hot-key histogram a 100 TB run would
+    reuse to pick skew-salting thresholds."""
+    from datafusion_dedup_ai_spark.functions import text as T
+
+    d = load_spread(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(T.distinct_shingles(F.col("text"))).alias("s")
+    )
+    dfreq = ex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+            (
+                F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (fill chunks into fixed-capacity bins)
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 1024
+
+
+@register(
+    "chunk_packing",
+    f"""
+    WITH st AS (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(length(text), 1), {CHUNK_STRIDE}))
+                   AS chunk_start
+        FROM documents
+    ), ch AS (
+        SELECT doc_id,
+               CAST(chunk_start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(length(substr(text, CAST(chunk_start AS INT) + 1,
+                                  {CHUNK_SIZE})) AS BIGINT) AS n_chunk_chars,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pack_group
+        FROM st
+    ), c AS (
+        SELECT doc_id, chunk_id, n_chunk_chars, pack_group,
+               SUM(n_chunk_chars) OVER (
+                   PARTITION BY pack_group ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM ch
+    )
+    SELECT doc_id, chunk_id, pack_group,
+           CAST((cum - n_chunk_chars) // {PACK_CAPACITY} AS BIGINT) AS pack_id,
+           CAST((cum - n_chunk_chars) - ((cum - n_chunk_chars)
+                // {PACK_CAPACITY}) * {PACK_CAPACITY} AS BIGINT) AS pack_offset,
+           n_chunk_chars
+    FROM c
+    """,
+)
+def q_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every chunk a (pack_group, pack_id, offset)
+    so training examples fill fixed 1024-char bins with minimal padding —
+    the LM-pretraining packing step, done as a cumulative-sum window rather
+    than a greedy driver loop. Packing runs independently inside 256 md5
+    pack-groups, so the window never sees more than ~N/256 rows in one
+    partition and the operator parallelizes at any scale (the global-order
+    variant of this is exactly what operators/ordering.py avoids)."""
+    ch = q_doc_chunks(spark, sf_dir).select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_chars",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
+            "pack_group"
+        ),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ch.withColumn("cum", F.sum("n_chunk_chars").over(w))
+    start = F.col("cum") - F.col("n_chunk_chars")
+    pack_id = F.expr(f"(cum - n_chunk_chars) div {PACK_CAPACITY}")
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        "pack_group",
+        pack_id.cast("bigint").alias("pack_id"),
+        (start - pack_id * PACK_CAPACITY).cast("bigint").alias("pack_offset"),
+        "n_chunk_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (distributed global rank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_shuffle_positions",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def q_corpus_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order reproducibility:
+    every doc gets a total position under md5 order — same permutation on
+    every run and engine. The oracle states it as a single ROW_NUMBER (one
+    serial sort); the Spark side computes the IDENTICAL ranks with the
+    bucket-parallel global_rank operator (operators/ordering.py) — local
+    ranks within 256 md5-prefix buckets plus broadcast prefix-sum offsets —
+    because a no-partition window is a one-task plan at scale."""
+    from datafusion_dedup_ai_spark.operators.ordering import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked = global_rank(
+        d,
+        key=F.md5(F.col("doc_id").cast("string")),
+        tiebreak=F.col("doc_id"),
+        out="pos",
+    )
+    return ranked.select("doc_id", "pos")

@@ -140,7 +140,7 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates against the float vectors (operators/quantization.py). The
     memory tier: at 100 TB the quantized scan fits where the float scan
     spills. Rows-only at t2; recall vs brute force pinned in
-    tests/test_similarity.py."""
+    tests/test_curation.py."""
     from datafusion_dedup_ai_spark.operators.quantization import quantized_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -112,3 +112,55 @@ def test_int8_topk_recall_vs_brute_force(spark, sf_dir):
     # int8 on 64-dim unit-scale vectors loses ~0.4% per coordinate; with 4x
     # oversampled re-rank the top-5 should be nearly exact
     assert mean >= 0.9, f"mean recall@5 {mean:.2f}"
+
+
+def test_packing_invariants(spark, sf_dir):
+    rows = C.q_chunk_packing(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["pack_offset"] < C.PACK_CAPACITY
+        assert r["pack_id"] >= 0
+    # replay the streaming fill per group: cumsum order reproduces pack_id
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for grp, members in by_group.items():
+        cum = 0
+        for r in sorted(members, key=lambda r: (r["doc_id"], r["chunk_id"])):
+            assert r["pack_id"] == cum // C.PACK_CAPACITY
+            assert r["pack_offset"] == cum - r["pack_id"] * C.PACK_CAPACITY
+            cum += r["n_chunk_chars"]
+
+
+def test_global_rank_equals_serial_row_number(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datafusion_dedup_ai_spark.operators.ordering import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    parallel = {
+        r["doc_id"]: r["pos"]
+        for r in global_rank(d, key=key, tiebreak=F.col("doc_id")).collect()
+    }
+    serial = {
+        r["doc_id"]: r["pos"]
+        for r in d.withColumn(
+            "pos",
+            F.row_number()
+            .over(Window.orderBy(key, F.col("doc_id")))
+            .cast("bigint"),
+        ).collect()
+    }
+    assert parallel == serial
+
+
+def test_dup_shingle_fraction_bounds(spark, sf_dir):
+    rows = C.q_doc_dup_shingle_fraction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_shingles"] <= r["n_shingles"]
+        assert abs(r["dup_fraction"] - r["n_dup_shingles"] / r["n_shingles"]) < 1e-12
+    # the synthetic corpus shares vocabulary across docs, so duplicated
+    # shingles must exist somewhere
+    assert any(r["n_dup_shingles"] > 0 for r in rows)
