@@ -207,6 +207,52 @@ def q_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_pairs(candidate_pairs(prepared), DedupConfig())
 
 
+LEV_SIM_THRESHOLD = 0.8
+
+
+@register(
+    "levenshtein_matched_pairs",
+    f"""
+    WITH {_SUPPLIER_PREP_SQL}
+    SELECT a.block_key AS block_key,
+           a.row_order AS row_order_a, b.row_order AS row_order_b,
+           CAST(levenshtein(a.base_name, b.base_name) AS BIGINT)
+               AS edit_distance,
+           1.0 - CAST(levenshtein(a.base_name, b.base_name) AS DOUBLE)
+                 / greatest(length(a.base_name), length(b.base_name), 1)
+               AS lev_sim
+    FROM prep a JOIN prep b USING (block_key)
+    WHERE a.row_order < b.row_order
+      AND 1.0 - CAST(levenshtein(a.base_name, b.base_name) AS DOUBLE)
+                / greatest(length(a.base_name), length(b.base_name), 1)
+          >= {LEV_SIM_THRESHOLD}
+    """,
+)
+def q_levenshtein_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternative distance matcher to J2: length-normalized Levenshtein
+    similarity (1 - edits/max_len) over the same blocked candidate pairs.
+    Unlike Jaro-Winkler this one is a JVM builtin on BOTH engines, so the
+    whole matcher stays inside whole-stage codegen — no Python round-trip —
+    and it is the edit-distance option the reference's threshold knobs
+    (engine.py:257-260) would pair with for typo-heavy inputs."""
+    supp = load_table(spark, sf_dir, "supplier")
+    prepared = prepare_names(supp, "s_name", DedupConfig(), order_col="s_suppkey")
+    pairs = candidate_pairs(prepared)
+    lev = F.levenshtein(F.col("base_a"), F.col("base_b"))
+    denom = F.greatest(F.length("base_a"), F.length("base_b"), F.lit(1))
+    sim = F.lit(1.0) - lev.cast("double") / denom
+    return (
+        pairs.select(
+            "block_key",
+            "row_order_a",
+            "row_order_b",
+            lev.cast("bigint").alias("edit_distance"),
+            sim.alias("lev_sim"),
+        )
+        .where(F.col("lev_sim") >= LEV_SIM_THRESHOLD)
+    )
+
+
 # ===========================================================================
 # Flagship — full dedup pipeline (used by entry(); rows-only check at t2:
 # cluster formation is not ANSI-SQL-expressible, SURVEY.md §2 C1/C3)

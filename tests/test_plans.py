@@ -59,3 +59,52 @@ def test_band_join_is_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "acctbal_close_suppliers")
     assert "NestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the 100 TB pattern where a
+    selective dimension filter is pushed into the FACT side as a bloom
+    probe before the shuffle, cutting shuffle volume by the filter's
+    selectivity. Local testdata sits under the 10 GB application-side
+    gate, so the thresholds are lowered to let the optimizer inject the
+    filter; at cluster scale the defaults fire on their own."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        # bloom injection targets shuffle joins; keep broadcast out of the way
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 500000
+        )
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderstatus").agg(F.sum("l_quantity").alias("qty"))
+        opt = joined._jdf.queryExecution().optimizedPlan().toString()
+        # creation side: bloom built over the filtered dimension keys;
+        # application side: might_contain probe above the fact scan
+        assert "bloom_filter_agg" in opt, opt[:2000]
+        assert "might_contain" in opt, opt[:2000]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
