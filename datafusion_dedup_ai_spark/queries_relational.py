@@ -896,3 +896,139 @@ def q_customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
         F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
     )
+
+
+# ===========================================================================
+# Time-series gap fill (resample to a dense per-user daily spine)
+# ===========================================================================
+
+
+@register(
+    "user_daily_gapfill",
+    f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+               SUM({_sql_cents('value')}) AS cents
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span
+    )
+    SELECT s.user_id,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n_events, 0) AS n_events,
+           CAST(COALESCE(d.cents, 0) AS DOUBLE) / 100.0 AS sum_value
+    FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample/gap-fill: dense per-user daily activity with zero-filled
+    missing days (the hypertable/time-bucket-gapfill shape). The spine is
+    generated from each user's own [min, max] span — sequence + explode,
+    sized by the span not the data — and joined back on (user_id, day).
+    Two shuffles (daily agg, spine join), both keyed on user_id; the spine
+    side is tiny (users x days) so AQE broadcasts it at any real scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(_cents(F.col("value"))).alias("cents"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # ISO string, not DateType: the contract surface keeps temporal
+            # outputs engine-neutral (dates materialize as datetime.date in
+            # Spark's pandas but datetime64 in DuckDB's — dtype hash skew)
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            (F.coalesce(F.col("cents"), F.lit(0)).cast("double") / 100.0).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# Data-quality quarantine (expectations with violation reasons)
+# ===========================================================================
+
+_VALID_EVENT_TYPES = ("signup", "click", "purchase", "error", "view")
+
+
+@register(
+    "event_quality_quarantine",
+    f"""
+    WITH checked AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN value <= 0 OR value > 300
+                    THEN 'value_out_of_range' END AS v1,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+                    THEN 'k_out_of_range' END AS v2,
+               CASE WHEN event_type NOT IN
+                         {str(_VALID_EVENT_TYPES)}
+                    THEN 'unknown_event_type' END AS v3
+        FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           concat_ws(',', v1, v2, v3) AS violations,
+           CAST((CASE WHEN v1 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN v2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN v3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_violations
+    FROM checked
+    WHERE v1 IS NOT NULL OR v2 IS NOT NULL OR v3 IS NOT NULL
+    """,
+)
+def q_event_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style validation: every row is checked against a rule
+    set (value range, JSON field domain, enum membership) and violators are
+    quarantined with machine-readable reasons — the split-and-route step
+    upstream of every production ingest. Pure CASE projection + filter:
+    fuses into the scan, no shuffle; the clean path is the same plan with
+    the predicate inverted."""
+    ev = load_table(spark, sf_dir, "events")
+    v1 = F.when(
+        (F.col("value") <= 0) | (F.col("value") > 300), "value_out_of_range"
+    )
+    v2 = F.when(
+        F.get_json_object("props", "$.k").cast("bigint") >= 90,
+        "k_out_of_range",
+    )
+    v3 = F.when(
+        ~F.col("event_type").isin(*_VALID_EVENT_TYPES), "unknown_event_type"
+    )
+    checked = ev.select(
+        "event_id", "user_id", "event_type",
+        v1.alias("v1"), v2.alias("v2"), v3.alias("v3"),
+    )
+    n_violations = sum(
+        F.when(F.col(c).isNull(), 0).otherwise(1) for c in ("v1", "v2", "v3")
+    )
+    return (
+        checked.where(
+            F.col("v1").isNotNull()
+            | F.col("v2").isNotNull()
+            | F.col("v3").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.concat_ws(",", "v1", "v2", "v3").alias("violations"),
+            n_violations.cast("bigint").alias("n_violations"),
+        )
+    )
