@@ -450,3 +450,92 @@ def q_corpus_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="pos",
     )
     return ranked.select("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+# Deterministic stand-in eval set: every 50th doc plays the benchmark.
+BENCHMARK_MOD = 50
+# Calibrated to THIS corpus: the synthetic docs draw from a ~30-word
+# vocabulary, so baseline bigram overlap with any eval doc is already
+# ~0.4 (median) — 0.55 is the p95 tail where actual near-copies live. On a
+# real corpus (vocabulary in the millions) the standard thresholds are far
+# lower; the knob is the point, the value is corpus-specific.
+CONTAM_FRACTION = 0.55
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+                   AS shingles
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh
+        WHERE doc_id % {BENCHMARK_MOD} = 0
+    ), corpus AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE doc_id % {BENCHMARK_MOD} <> 0
+    ), hits AS (
+        SELECT corpus.doc_id, COUNT(*) AS n_overlap
+        FROM corpus JOIN bench USING (s)
+        GROUP BY corpus.doc_id
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n_shingles FROM sh
+        WHERE doc_id % {BENCHMARK_MOD} <> 0
+    )
+    SELECT sizes.doc_id,
+           CAST(sizes.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(hits.n_overlap, 0) AS DOUBLE) / sizes.n_shingles
+               AS overlap_fraction,
+           CAST(COALESCE(hits.n_overlap, 0) AS DOUBLE) / sizes.n_shingles
+               >= {CONTAM_FRACTION} AS contaminated
+    FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: for every training doc, the fraction of its
+    distinct word-bigram shingles that appear ANYWHERE in the benchmark
+    docs' shingle set (here: every 50th doc stands in for the eval suite).
+    Docs above the threshold must be dropped before training or the eval is
+    compromised. The benchmark shingle set is tiny relative to the corpus —
+    broadcast-joined, so the corpus pass is a single map-side probe with no
+    corpus shuffle; at 100 TB this is a scan, not a join problem."""
+    from datafusion_dedup_ai_spark.functions import text as T
+
+    d = load_spread(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
+    )
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    bench = (
+        sh.where(is_bench)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus_sh = sh.where(~is_bench)
+    corpus_ex = corpus_sh.select("doc_id", F.explode("shingles").alias("s"))
+    hits = (
+        corpus_ex.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    sizes = corpus_sh.select(
+        "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
+    )
+    overlap = F.coalesce(F.col("n_overlap"), F.lit(0))
+    frac = overlap.cast("double") / F.col("n_shingles")
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        overlap.cast("bigint").alias("n_overlap"),
+        frac.alias("overlap_fraction"),
+        (frac >= CONTAM_FRACTION).alias("contaminated"),
+    )
