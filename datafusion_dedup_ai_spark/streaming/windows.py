@@ -104,6 +104,31 @@ def streaming_hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> Da
     )
 
 
+def streaming_sliding_counts(
+    stream: DataFrame,
+    length: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (length > slide => overlapping): each event
+    lands in length/slide windows, giving smoothed rolling counts — the
+    streaming moving-average shape. Same watermark-bounded state story as the
+    tumbling window; state size scales with (windows open per key) which is
+    length/slide times the tumbling case, so slide choice IS the state
+    budget at 100 TB/day rates."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", length, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            F.unix_micros(F.col("w.end")).alias("win_end_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def streaming_session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session windows (gap-close semantics) — the streaming analog of
     the batch lag+cumsum sessionization."""

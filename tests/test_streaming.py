@@ -328,3 +328,39 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, staged):
     # at arrival time, never emit extras; with event-time-ordered replay and
     # a 2h watermark it converges to the full batch answer
     assert got == want
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir, staged):
+    stream = W.replay_events_as_stream(spark, sf_dir, staged + "/sliding")
+    q = W.run_stream_to_memory(
+        W.streaming_sliding_counts(stream), "sliding_smoke", output_mode="complete"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["win_start_us"], r["win_end_us"], r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM sliding_smoke").collect()
+        }
+    finally:
+        q.stop()
+
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            F.unix_micros(F.col("w.end")).alias("win_end_us"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    )
+    want = {
+        (r["win_start_us"], r["win_end_us"], r["event_type"]): r["n"] for r in batch
+    }
+    assert got == want
+    # overlap sanity: each event contributes to length/slide = 4 windows
+    assert sum(got.values()) == load_table(spark, sf_dir, "events").count() * 4
