@@ -406,3 +406,71 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_kept.join(victims, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", "quality"
     )
+
+
+# ===========================================================================
+# Repetition detection (gaps-and-islands over the token sequence)
+# ===========================================================================
+
+
+@register(
+    "doc_repetition_stats",
+    f"""
+    WITH ex AS (
+        SELECT doc_id, unnest(range(1, len(t)+1)) AS i, unnest(t) AS tok
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ), flagged AS (
+        SELECT doc_id, i, tok,
+               CASE WHEN tok = lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+                    THEN 0 ELSE 1 END AS new_run
+        FROM ex
+    ), grouped AS (
+        SELECT doc_id, i, tok,
+               SUM(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM flagged
+    ), runs AS (
+        SELECT doc_id, run_id, COUNT(*) AS run_len
+        FROM grouped GROUP BY doc_id, run_id
+    )
+    SELECT doc_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(run_len) AS repetition_ratio
+    FROM runs
+    GROUP BY doc_id
+    """,
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection — the stuck-generation / boilerplate-spam
+    signal: longest run of identical consecutive tokens and the fraction of
+    tokens that just repeat their predecessor (1 - runs/tokens). Classic
+    gaps-and-islands: lag marks run starts, a running sum labels runs, two
+    aggregations summarize. The windows partition by doc_id, so parallelism
+    is per-document and no single task ever sees more than one doc's
+    tokens."""
+    d = load_spread(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("i", "tok")
+    )
+    w_seq = Window.partitionBy("doc_id").orderBy("i")
+    flagged = ex.withColumn(
+        "new_run",
+        F.when(F.col("tok") == F.lag("tok").over(w_seq), 0).otherwise(1),
+    )
+    grouped = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = grouped.groupBy("doc_id", "run_id").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("doc_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run"),
+        (F.lit(1.0) - F.count("*").cast("double") / F.sum("run_len")).alias(
+            "repetition_ratio"
+        ),
+    )
