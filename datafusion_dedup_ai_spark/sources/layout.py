@@ -1,0 +1,102 @@
+"""Data-layout management — the write-side operations that keep a 100 TB
+parquet lake scannable.
+
+Two chronic lake problems and their operators:
+
+* **Small files.** Streaming ingest and fine-grained partitioning produce
+  thousands of KB-sized files; every one costs a task, a footer read, and a
+  namenode/objectstore round-trip, and scan throughput collapses.
+  ``compact_parquet`` rewrites a dataset into size-targeted files.
+
+* **No data locality for range predicates.** Row-group min/max pruning only
+  helps if values are clustered; a randomly-written table has every file
+  spanning the whole value domain, so nothing prunes.
+  ``write_range_clustered`` range-partitions and sorts on the cluster
+  column(s) — each output file then covers a narrow, near-disjoint value
+  band, and any range predicate skips all but a few files (the poor man's
+  Z-order; exact for single-column predicates).
+
+Both are plain DataFrame writes — no table format required — and both are
+the in-repo analog of what Delta/Iceberg `OPTIMIZE` does.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parquet_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the parquet dataset at ``src`` into ``dst`` with file count
+    chosen from the dataset's ACTUAL byte size (sum of file lengths /
+    target). Returns the number of output files written.
+
+    Uses coalesce, not repartition: compaction must not pay a shuffle —
+    each output task just concatenates input splits. Data content is
+    unchanged (pinned by test); only the file layout changes. 128 MB
+    default matches the usual HDFS/objectstore sweet spot."""
+    files = parquet_files(src)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    spark.read.parquet(src).coalesce(n_files).write.mode("overwrite").parquet(dst)
+    return len(parquet_files(dst))
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+) -> None:
+    """Range-partition on ``cluster_cols`` then sort within each partition
+    before writing: every output file holds one contiguous value band, so
+    min/max footer stats become tight and range scans prune whole files.
+
+    repartitionByRange samples the column to build balanced boundaries (one
+    pass + one shuffle); the within-partition sort is the piece that also
+    tightens PAGE-level stats for predicate pushdown inside a file."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_column_ranges(path: str, column: str) -> list[tuple]:
+    """(file, min, max) of ``column`` per parquet file, straight from the
+    footer statistics — exactly the metadata a scan planner prunes with."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(parquet_files(path)):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out.append((os.path.basename(f), lo, hi))
+    return out
