@@ -99,3 +99,21 @@ def test_scd2_idempotent_reapply(spark):
     twice = M.scd2_apply(once, updates, "k", ["city"], F.lit(300))
     # second apply of the SAME attrs is a no-op
     assert _rows(once) == _rows(twice)
+
+
+def test_observed_write_counts_match_batch(spark, sf_dir, tmp_path):
+    from datafusion_dedup_ai_spark.observability import write_with_dq_metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    checks = {
+        "value_out_of_range": (F.col("value") <= 0) | (F.col("value") > 300),
+        "k_out_of_range": F.get_json_object("props", "$.k").cast("bigint") >= 90,
+    }
+    got = write_with_dq_metrics(ev, str(tmp_path / "out"), checks)
+    want_v = ev.where(checks["value_out_of_range"]).count()
+    want_k = ev.where(checks["k_out_of_range"]).count()
+    assert got["value_out_of_range"] == want_v
+    assert got["k_out_of_range"] == want_k
+    assert got["rows_written"] == ev.count()
+    # the write actually happened with all rows
+    assert spark.read.parquet(str(tmp_path / "out")).count() == ev.count()
