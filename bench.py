@@ -105,7 +105,11 @@ def main() -> None:
             # up as 5s->33s escalation on the join-heavy queries late in the
             # run. Emptying the queue here keeps cleanup out of the timings.
             spark.sparkContext._jvm.System.gc()
-            time.sleep(0.3)
+            # the cleaner consumes its reference queue ASYNCHRONOUSLY after
+            # the GC enqueues — give it a real drain window or block/shuffle
+            # deletion lands inside the next timed run (observed as 2.7s ->
+            # 11-19s outlier samples on the UDF-heavy queries)
+            time.sleep(1.0)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(round(time.perf_counter() - t0, 3))
