@@ -539,3 +539,67 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("overlap_fraction"),
         (frac >= CONTAM_FRACTION).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the training-dataset manifest
+# ---------------------------------------------------------------------------
+
+
+def _clean_corpus_sql() -> str:
+    """The registered clean_corpus oracle, reused verbatim as a subquery so
+    the manifest's base can never drift from the cleaning query."""
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return get_oracle("clean_corpus")
+
+
+@register(
+    "training_dataset_manifest",
+    lambda: f"""
+    WITH kept AS (
+        SELECT * FROM ({_clean_corpus_sql()})
+    )
+    SELECT k.doc_id,
+           CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4)
+                     < '{SPLIT_TRAIN_HEX}' THEN 'train'
+                WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4)
+                     < '{SPLIT_VAL_HEX}' THEN 'val'
+                ELSE 'test' END AS split,
+           k.n_tokens, k.quality,
+           CAST(CEIL(CAST(greatest(length(d.text), 1) AS DOUBLE)
+                     / {CHUNK_STRIDE}) AS BIGINT) AS n_chunks
+    FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+    """,
+)
+def q_training_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end artifact of the whole curation story, as ONE declarative
+    plan: quality/language filter -> exact dedup -> near-dup removal (all
+    inside clean_corpus) -> deterministic 80/10/10 split -> chunk count per
+    surviving doc. This is the manifest a training job consumes; every
+    upstream stage is itself oracle-gated, and the composition reuses the
+    registered clean_corpus plan/SQL on both sides so the layers cannot
+    drift."""
+    from datafusion_dedup_ai_spark.queries_text import q_clean_corpus
+
+    kept = q_clean_corpus(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(prefix < SPLIT_TRAIN_HEX, "train")
+        .when(prefix < SPLIT_VAL_HEX, "val")
+        .otherwise("test")
+    )
+    n_chunks = F.ceil(
+        F.greatest(F.length("text"), F.lit(1)).cast("double") / CHUNK_STRIDE
+    ).cast("bigint")
+    return (
+        kept.join(d, "doc_id")
+        .select(
+            "doc_id",
+            split.alias("split"),
+            "n_tokens",
+            "quality",
+            n_chunks.alias("n_chunks"),
+        )
+    )

@@ -35,3 +35,11 @@ def oracle_sql() -> dict[str, str]:
         for name, (_, sql) in _REGISTRY.items()
         if sql is not None
     }
+
+
+def get_oracle(name: str) -> str:
+    """Resolve ONE registered oracle (for composite queries that embed
+    another query's SQL — resolving the full dict from inside a callable
+    oracle would recurse)."""
+    sql = _REGISTRY[name][1]
+    return sql() if callable(sql) else sql
