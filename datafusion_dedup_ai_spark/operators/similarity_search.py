@@ -173,6 +173,59 @@ def near_duplicate_embeddings(
     )
 
 
+def lsh_near_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_tables: int = 16,
+    n_bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale-safe near-duplicate pairs: LSH bucket self-join generates
+    candidates, exact cosine verifies them — no crossJoin anywhere.
+
+    Shape: bucketize once (one Arrow-batched matmul pass), equi-join on
+    (table, bucket) with id_a < id_b, distinct, then exact-verify cosine >=
+    threshold on candidates only. At 100 TB the bucket join is a plain
+    shuffle on (table, bucket); candidate volume is governed by the LSH
+    OR-curve, so cost tracks the true-pair density instead of |corpus|^2.
+
+    Parameter note (measured on the synthetic fixture): at threshold 0.35
+    the pairs sit at cosine 0.35-0.55 — barely above the random-pair
+    background of ~0 — so selectivity is intrinsically weak
+    (n_tables=16 x n_bits=4 gives recall ~0.93 at a ~0.64 candidate rate,
+    pinned in tests/test_similarity.py). Real embedding-model dedup runs at
+    cosine >= 0.8 where p_collision per bit is ~0.86 and the same operator
+    prunes aggressively; tune (n_bits up, n_tables down) with the threshold.
+    """
+    b = lsh_bucketize(corpus, id_col, vec_col, n_tables, n_bits, dim, seed)
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-flat (inverted-file) ANN — the centroid-partitioned scale path
 # ---------------------------------------------------------------------------

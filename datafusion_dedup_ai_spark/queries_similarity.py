@@ -106,18 +106,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_dedup_clusters", None)
 def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup composite: exact cosine near-pairs (>= 0.35) ->
-    hash-min label propagation -> (vec_id, cluster_id, cluster_size).
-    Singletons keep their own id with size 1. Rows-only (iterative connected
-    components); equivalence to driver-side union-find is pinned in
-    tests/test_similarity.py. The edge set is the oracle-gated
-    embedding_near_pairs, so only the component step is unchecked by SQL."""
+    """Semantic dedup composite, scale-safe: LSH-candidate near-pairs
+    (bucket equi-join + exact cosine >= 0.35 verify, operators/
+    similarity_search.lsh_near_pairs — no crossJoin in the plan, asserted in
+    tests/test_plans.py) -> hash-min label propagation -> (vec_id,
+    cluster_id, cluster_size). Singletons keep their own id with size 1.
+    Rows-only (iterative connected components); edge recall vs the exact
+    quadratic reference and component equivalence vs driver-side union-find
+    are pinned in tests/test_similarity.py."""
     from datafusion_dedup_ai_spark.operators.clustering import (
         cluster_label_propagation,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.near_duplicate_embeddings(emb, threshold=NEAR_DUP_THRESHOLD)
+    pairs = S.lsh_near_pairs(emb, threshold=NEAR_DUP_THRESHOLD)
     edges = pairs.select(
         F.col("id_a").alias("row_order_a"), F.col("id_b").alias("row_order_b")
     )

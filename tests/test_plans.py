@@ -61,6 +61,16 @@ def test_band_join_is_not_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
 
 
+def test_embedding_dedup_clusters_no_cartesian(spark, sf_dir):
+    """The semantic-dedup composite must generate edges via the LSH bucket
+    equi-join, never a cartesian pass — a CartesianProduct or
+    BroadcastNestedLoopJoin here means the quadratic reference generator
+    leaked back into the scale path."""
+    plan = _plan(spark, sf_dir, "embedding_dedup_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     """Runtime bloom-filter join pruning — the 100 TB pattern where a
     selective dimension filter is pushed into the FACT side as a bloom
