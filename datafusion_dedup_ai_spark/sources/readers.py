@@ -29,17 +29,29 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
-        # rejects; read it as raw nanos and rebuild a microsecond timestamp.
-        # Integer division (`div`) is required: the values exceed double's 53
-        # bits, so float division would corrupt low digits. DuckDB truncates
-        # ns->us on read the same way, keeping the oracle comparable.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+        # generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others,
+        # so normalize whatever the footer says to a session-tz TimestampType:
+        #   - NANOS: Spark rejects it outright, so read as raw int64
+        #     (nanosAsLong) and rebuild micros. Integer `div` is required —
+        #     the values exceed double's 53 bits, so float division would
+        #     corrupt low digits. DuckDB truncates ns->us on read the same
+        #     way, keeping the oracle comparable.
+        #   - MICROS NTZ: reads as TIMESTAMP_NTZ; cast to TIMESTAMP with the
+        #     session pinned to UTC, which maps wall-clock to the same epoch
+        #     micros DuckDB's epoch_us() reports for the naive value.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampType
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
