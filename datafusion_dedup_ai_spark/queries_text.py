@@ -211,6 +211,77 @@ def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_N = 3
+
+
+@register(
+    "doc_tfidf_topterms",
+    f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf_tab AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2
+    ), df_tab AS (
+        SELECT term, COUNT(*) AS df FROM tf_tab GROUP BY 1
+    ), n_tab AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, tf, df, tfidf, rk FROM (
+        SELECT tf_tab.doc_id, tf_tab.term, tf_tab.tf, df_tab.df,
+               CAST(tf AS DOUBLE) * (n_docs + 1) / (df + 1) AS tfidf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY tf_tab.doc_id
+                   ORDER BY CAST(tf AS DOUBLE) * (n_docs + 1) / (df + 1) DESC,
+                            tf_tab.term ASC) AS BIGINT) AS rk
+        FROM tf_tab
+        JOIN df_tab USING (term)
+        CROSS JOIN n_tab)
+    WHERE rk <= {TFIDF_TOP_N}
+    """,
+)
+def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top terms: (doc_id, term, tf, df, tfidf, rk) for
+    the top-3 terms of every document. The idf is the *rational* form
+    (n_docs+1)/(df+1) rather than ln of it: multiplication and division are
+    IEEE-exact so the score hash-gates cross-engine, while ln's libm ulp
+    drift would poison both the hash and the rank order (the concern
+    documented on corpus_top_terms). ln is monotone, so swapping it in
+    changes scores but this rational score is the defined contract here.
+
+    Scale shape: tf is one shuffle on (doc_id, term); df is a map-side
+    partial agg on term over the already-reduced tf table; n_docs is a
+    scalar broadcast; the final top-k is a window on doc_id. No step touches
+    raw text twice."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs") + F.lit(1))
+                / (F.col("df") + F.lit(1))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
 # ===========================================================================
 # Exact n-gram Jaccard near-duplicate pairs
 # ===========================================================================
