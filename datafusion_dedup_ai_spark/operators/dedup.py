@@ -122,6 +122,30 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    out_id: str | None = None,
+) -> DataFrame:
+    """(out_id, band, bucket): one row per (doc, band), bucket =
+    xxhash64(band's signature slice). Pure column work over (id, sig) — no
+    shingle or text access, which is what lets the persisted signature index
+    serve candidate generation without rescanning the corpus."""
+    out_id = out_id or id_col
+    band_cols = []
+    for b in range(bands):
+        chunk = F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(chunk).alias("bucket"))
+        )
+    return signatures.select(
+        F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -132,15 +156,7 @@ def lsh_candidate_pairs(
     """Banded LSH: docs agreeing on ALL rows of any band become a candidate
     pair. Emits distinct (id_a < id_b). The band bucket is the shuffle key;
     hot buckets (boilerplate docs) are the skew to salt/cap at scale."""
-    band_cols = []
-    for b in range(bands):
-        chunk = F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(chunk).alias("bucket"))
-        )
-    buckets = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = band_buckets(signatures, id_col, sig_col, bands, rows_per_band)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -362,20 +378,14 @@ def incremental_near_dup_matches(
     c_sigs = minhash_signatures(corpus_shingled, id_col, shingles_col, num_hashes, seed)
     b_sigs = minhash_signatures(batch_shingled, id_col, shingles_col, num_hashes, seed)
 
-    def _buckets(sigs: DataFrame, out_id: str) -> DataFrame:
-        band_cols = []
-        for band in range(bands):
-            chunk = F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
-            band_cols.append(
-                F.struct(F.lit(band).alias("band"), F.xxhash64(chunk).alias("bucket"))
-            )
-        return sigs.select(
-            F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("bb")
-        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
     cands = (
-        _buckets(b_sigs, "batch_id")
-        .join(_buckets(c_sigs, "corpus_id"), ["band", "bucket"])
+        band_buckets(b_sigs, id_col, "sig", bands, rows_per_band, out_id="batch_id")
+        .join(
+            band_buckets(
+                c_sigs, id_col, "sig", bands, rows_per_band, out_id="corpus_id"
+            ),
+            ["band", "bucket"],
+        )
         .select("batch_id", "corpus_id")
         .distinct()
     )

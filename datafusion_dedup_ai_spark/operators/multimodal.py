@@ -8,18 +8,23 @@ Arrow batch shape of the mapInPandas feature extractor, and the frame-sample
 explode. Swapping the stub for a real decoder changes one function body, not
 the plumbing.
 
-The testdata has no binary column, so media rows derive deterministically
-from `documents`: payload = utf8 bytes of text, media_type cycles by doc_id,
-duration/width/height derive from n_chars.
+The testdata has no binary column, so a TRUE BinaryType fixture is
+materialized once per process (``materialize_media``): payloads are
+deterministic md5-chain bytes (unhex of chained md5 hex — arbitrary binary,
+NOT utf8 text), media_type cycles by doc_id, duration/width/height derive
+from n_chars. The media queries then scan an actual parquet BINARY column —
+the same read path real image/audio/video payloads take — and their DuckDB
+oracles read the same parquet files.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -33,23 +38,67 @@ from pyspark.sql.types import (
 
 MEDIA_TYPES = ("image", "audio", "video")
 
+# Payload bytes are capped (fixture economy); a real corpus streams payloads
+# of any size through the same BinaryType column.
+MEDIA_PAYLOAD_CAP = 1024
+_MD5_CHAIN = MEDIA_PAYLOAD_CAP // 16  # md5 = 16 bytes per chain link
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 
 def media_table(documents: DataFrame) -> DataFrame:
-    """Derive a (doc_id, media_type, payload, meta...) table from documents.
-    Deterministic: both the engine and any oracle can rebuild it."""
+    """Derive the (doc_id, media_type, payload: binary, meta...) rows from
+    documents. Deterministic plan-side derivation; ``materialize_media``
+    snapshots it to parquet so queries scan a real BINARY column."""
     mt = F.element_at(
         F.array(*[F.lit(t) for t in MEDIA_TYPES]),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
+    # n_chars deterministic pseudo-random bytes: unhex of a chained-md5 hex
+    # string. Opaque binary (decidedly not utf8), stable across engines/runs.
+    hex_chain = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(_MD5_CHAIN)]
+    )
+    n_bytes = F.least(F.col("n_chars"), F.lit(MEDIA_PAYLOAD_CAP)).cast("int")
+    payload = F.unhex(hex_chain.substr(F.lit(1), n_bytes * 2))
     return documents.select(
         "doc_id",
         mt.alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        payload.alias("payload"),
         (F.col("n_chars") % 7 + 1).cast("bigint").alias("n_frames"),
         ((F.col("n_chars") % 1920) + 16).cast("bigint").alias("width"),
         ((F.col("n_chars") % 1080) + 16).cast("bigint").alias("height"),
         (F.col("n_chars").cast("double") / 10.0).alias("duration_s"),
     )
+
+
+def media_fixture_path(sf_dir: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_REPO_ROOT, ".materialized", sf_name, "media.parquet")
+
+
+_written: set[str] = set()
+
+
+def materialize_media(spark: SparkSession, sf_dir: str) -> str:
+    """Write the binary media fixture once per process; returns its path."""
+    path = media_fixture_path(sf_dir)
+    if path not in _written:
+        from datafusion_dedup_ai_spark.sources.readers import load_table
+
+        media_table(load_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _written.add(path)
+    return path
+
+
+def load_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media table as a true parquet BINARY scan (the production read
+    path), materializing the fixture on first use."""
+    return spark.read.parquet(materialize_media(spark, sf_dir))
 
 
 def decode_media(payload_bytes: bytes, media_type: str):

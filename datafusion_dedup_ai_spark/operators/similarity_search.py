@@ -182,6 +182,7 @@ def lsh_near_pairs(
     n_bits: int = 4,
     dim: int = 64,
     seed: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale-safe near-duplicate pairs: LSH bucket self-join generates
     candidates, exact cosine verifies them — no crossJoin anywhere.
@@ -192,15 +193,32 @@ def lsh_near_pairs(
     shuffle on (table, bucket); candidate volume is governed by the LSH
     OR-curve, so cost tracks the true-pair density instead of |corpus|^2.
 
-    Parameter note (measured on the synthetic fixture): at threshold 0.35
-    the pairs sit at cosine 0.35-0.55 — barely above the random-pair
-    background of ~0 — so selectivity is intrinsically weak
-    (n_tables=16 x n_bits=4 gives recall ~0.93 at a ~0.64 candidate rate,
-    pinned in tests/test_similarity.py). Real embedding-model dedup runs at
-    cosine >= 0.8 where p_collision per bit is ~0.86 and the same operator
-    prunes aggressively; tune (n_bits up, n_tables down) with the threshold.
+    Parameter note — THE DEFAULTS ARE FIXTURE-TUNED, NOT 100 TB DEFAULTS.
+    With n_bits=4 each table has only 2^4=16 buckets, so on weakly-clustered
+    data the self-join materializes ~n_tables * N^2 / 2^n_bits candidate
+    rows; n_bits must grow with corpus size (roughly log2(N / target bucket
+    size)) and the per-bucket population is the skew to watch. Two guards:
+
+    * ``max_bucket_size`` (off by default): drop (table, bucket) groups
+      larger than the cap before the self-join — bounds the worst bucket at
+      quadratic-in-cap instead of quadratic-in-N. A RECALL knob like
+      drop_hot_shingles: a pair only needs to co-occur in ONE surviving
+      table, so multi-table redundancy absorbs most of the loss (pinned in
+      tests/test_similarity.py).
+    * the measured fixture curve: at threshold 0.35 the planted pairs sit at
+      cosine 0.35-0.55 — barely above the random-pair background — so
+      selectivity is intrinsically weak (16x4 gives recall ~0.93 at a ~0.64
+      candidate rate). Real embedding-model dedup runs at cosine >= 0.8
+      where per-bit collision is ~0.86 and the same operator prunes
+      aggressively; tune (n_bits up, n_tables down) with the threshold.
     """
     b = lsh_bucketize(corpus, id_col, vec_col, n_tables, n_bits, dim, seed)
+    if max_bucket_size is not None:
+        sizes = b.groupBy("table", "bucket").agg(F.count("*").alias("_n"))
+        oversized = sizes.where(F.col("_n") > max_bucket_size).select(
+            "table", "bucket"
+        )
+        b = b.join(F.broadcast(oversized), ["table", "bucket"], "left_anti")
     cand = (
         b.alias("a")
         .join(

@@ -179,11 +179,22 @@ def q_incremental_exact_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("incremental_near_dup_matches", None)
 def q_incremental_near_dup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH matches of incoming-batch docs against the existing corpus
-    (cross-set only — |batch| x collision-rate candidates, never |corpus|^2).
-    Rows-only (xxhash64 signatures); cross-set recall vs the exact Jaccard
-    ground truth is pinned in tests/test_dedup_ext.py."""
+    (cross-set only — |batch| x collision-rate candidates, never |corpus|^2),
+    via the PERSISTED signature index (operators/minhash_index.py): the
+    corpus is shingled/signed once into a parquet index, then the batch is
+    matched against the index without rescanning corpus text — the shape a
+    per-crawl pipeline actually runs. Index-path == recompute-path equality,
+    the no-corpus-rescan plan property, and cross-set recall vs the exact
+    Jaccard ground truth are pinned in tests/test_dedup_ext.py.
+    Rows-only (xxhash64 signatures have no DuckDB analog)."""
+    import tempfile
+
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+
     d = load_spread(spark, sf_dir, "documents")
     sh = d.select("doc_id", T.distinct_shingles(F.col("text")).alias("shingles"))
     corpus_sh = sh.where(F.expr(_CORPUS_PRED))
     batch_sh = sh.where(F.expr(_BATCH_PRED))
-    return D.incremental_near_dup_matches(corpus_sh, batch_sh)
+    index_path = tempfile.mkdtemp(prefix="minhash_index_")
+    MI.build_minhash_index(corpus_sh, index_path)
+    return MI.incremental_near_dup_matches_indexed(spark, index_path, batch_sh)

@@ -1,69 +1,79 @@
-"""Multimodal query pack: binary payload stats and frame sampling are
-oracle-gated (deterministic derivations); the mapInPandas feature extractor is
-rows-only (its correctness is pinned in tests/test_multimodal.py)."""
+"""Multimodal query pack: payload stats and frame sampling are oracle-gated,
+now over a TRUE parquet BINARY column — ``operators.multimodal`` materializes
+a deterministic binary fixture once per process and both the Spark queries
+and the DuckDB oracles read the same parquet files (the materialized-snapshot
+pattern of materialize.py). The mapInPandas feature extractor is rows-only
+(its arithmetic is pinned in tests/test_multimodal.py).
+
+DuckDB 1.0.0 has no md5(BLOB), so the content-hash column both sides emit is
+md5(hex(payload)) — hex() of a BLOB is uppercase VARCHAR in both engines.
+"""
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_dedup_ai_spark.materialize import oracle_sf_dir
 from datafusion_dedup_ai_spark.operators import multimodal as M
 from datafusion_dedup_ai_spark.registry import register
-from datafusion_dedup_ai_spark.sources.readers import load_table
 
-_SQL_MEDIA_TYPE = (
-    "(CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END)"
-)
+
+def _media_glob() -> str:
+    """DuckDB-side path to the fixture the driver's compare targets. The
+    Spark side materializes it on query build, which happens before the
+    oracle runs in the driver's side-by-side compare."""
+    return os.path.join(M.media_fixture_path(oracle_sf_dir()), "*.parquet")
 
 
 @register(
     "media_payload_stats",
-    f"""
-    SELECT doc_id,
-           {_SQL_MEDIA_TYPE} AS media_type,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           md5(text) AS payload_md5,
-           CAST(n_chars % 7 + 1 AS BIGINT) AS n_frames
-    FROM documents
+    lambda: f"""
+    SELECT doc_id, media_type,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           md5(hex(payload)) AS payload_md5,
+           n_frames
+    FROM '{_media_glob()}'
     """,
 )
 def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary handling: payload byte length + content hash + typed
-    metadata, computed on the binary column itself (md5 over utf8 bytes ==
-    DuckDB md5 of the text)."""
-    media = M.media_table(load_table(spark, sf_dir, "documents"))
+    metadata, computed on an actual parquet BINARY column."""
+    media = M.load_media(spark, sf_dir)
     return media.select(
         "doc_id",
         "media_type",
         F.octet_length("payload").cast("bigint").alias("n_bytes"),
-        F.md5("payload").alias("payload_md5"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
         "n_frames",
     )
 
 
 @register(
     "media_frame_samples",
-    f"""
+    lambda: f"""
     WITH video AS (
-        SELECT doc_id,
-               CAST(n_chars % 7 + 1 AS BIGINT) AS n_frames,
-               CAST(strlen(text) AS BIGINT) AS n_bytes
-        FROM documents
-        WHERE {_SQL_MEDIA_TYPE} = 'video'
+        SELECT doc_id, n_frames,
+               CAST(octet_length(payload) AS BIGINT) AS n_bytes
+        FROM '{_media_glob()}'
+        WHERE media_type = 'video'
     ), frames AS (
         SELECT doc_id, n_frames, n_bytes,
                unnest(range(0, n_frames)) AS frame_idx
         FROM video
     )
     SELECT doc_id, n_frames, frame_idx,
-           CAST(frame_idx * CAST(floor(n_bytes / n_frames) AS BIGINT) AS BIGINT) AS byte_offset
+           CAST(frame_idx * CAST(floor(n_bytes / n_frames) AS BIGINT) AS BIGINT)
+               AS byte_offset
     FROM frames
     """,
 )
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evenly-spaced frame sampling over video payloads (sequence + explode);
     the per-frame decode is the pluggable stub."""
-    media = M.media_table(load_table(spark, sf_dir, "documents"))
+    media = M.load_media(spark, sf_dir)
     return M.sample_frames(media)
 
 
@@ -71,8 +81,8 @@ def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_feature_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas featurization of binary payloads (16-bin
     byte histogram + entropy) — the plumbing a real image/audio featurizer
-    drops into."""
-    media = M.media_table(load_table(spark, sf_dir, "documents"))
+    drops into, fed by the true-binary parquet scan."""
+    media = M.load_media(spark, sf_dir)
     feats = M.extract_features(media)
     # Serialize the histogram for the contract surface: the driver's rows-only
     # canonicalizer sorts every column and array cells are unhashable in

@@ -156,6 +156,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def composite_near_pairs(emb: DataFrame) -> DataFrame:
+    """The exact edge generator embedding_dedup_clusters runs — exposed so
+    tests exercise the composite's real parameters instead of restating them
+    (a restated threshold/param set silently stops mirroring the query under
+    test when either side changes)."""
+    return S.lsh_near_pairs(emb, threshold=NEAR_DUP_THRESHOLD)
+
+
 @register("embedding_dedup_clusters", None)
 def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup composite, scale-safe: LSH-candidate near-pairs
@@ -171,7 +179,7 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.lsh_near_pairs(emb, threshold=NEAR_DUP_THRESHOLD)
+    pairs = composite_near_pairs(emb)
     edges = pairs.select(
         F.col("id_a").alias("row_order_a"), F.col("id_b").alias("row_order_b")
     )

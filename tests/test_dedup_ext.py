@@ -225,3 +225,109 @@ def test_incremental_near_dup_recall_vs_exact(spark, shingled):
     # every emitted match crosses the sets and meets the threshold
     for b, c in got:
         assert b % 10 >= 8 and c % 10 < 8
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index (operators/minhash_index.py)
+# ---------------------------------------------------------------------------
+
+
+def test_index_path_matches_recompute_path(spark, shingled, tmp_path):
+    """The persisted-index match must be row-identical to the recompute
+    topology: same arithmetic, different data source."""
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+
+    corpus_sh = shingled.where(F.expr("doc_id % 10 < 8"))
+    batch_sh = shingled.where(F.expr("doc_id % 10 >= 8"))
+    path = str(tmp_path / "idx")
+    MI.build_minhash_index(corpus_sh, path)
+    via_index = {
+        tuple(r)
+        for r in MI.incremental_near_dup_matches_indexed(
+            spark, path, batch_sh
+        ).collect()
+    }
+    recompute = {
+        tuple(r)
+        for r in D.incremental_near_dup_matches(corpus_sh, batch_sh).collect()
+    }
+    assert via_index == recompute
+    assert via_index, "expected at least one planted near-dup match"
+
+
+def test_index_append_equals_full_rebuild(spark, shingled, tmp_path):
+    """Building on part A then appending part B must match a fresh build on
+    A+B — the per-crawl growth path adds rows, never changes semantics."""
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+
+    corpus_sh = shingled.where(F.expr("doc_id % 10 < 8"))
+    part_a = corpus_sh.where(F.expr("doc_id % 2 = 0"))
+    part_b = corpus_sh.where(F.expr("doc_id % 2 = 1"))
+    batch_sh = shingled.where(F.expr("doc_id % 10 >= 8"))
+
+    grown = str(tmp_path / "grown")
+    MI.build_minhash_index(part_a, grown)
+    MI.append_minhash_index(part_b, grown)
+    fresh = str(tmp_path / "fresh")
+    MI.build_minhash_index(corpus_sh, fresh)
+
+    got_grown = {
+        tuple(r)
+        for r in MI.incremental_near_dup_matches_indexed(
+            spark, grown, batch_sh
+        ).collect()
+    }
+    got_fresh = {
+        tuple(r)
+        for r in MI.incremental_near_dup_matches_indexed(
+            spark, fresh, batch_sh
+        ).collect()
+    }
+    assert got_grown == got_fresh
+
+
+def test_index_batch_path_never_scans_corpus_text(spark, shingled, tmp_path):
+    """The point of the index: matching a batch must not rescan the corpus.
+    Machine-check the physical plan — every FileScan must read the index
+    dataset, never the documents parquet the corpus came from."""
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+
+    corpus_sh = shingled.where(F.expr("doc_id % 10 < 8"))
+    path = str(tmp_path / "idx")
+    MI.build_minhash_index(corpus_sh, path)
+
+    # batch comes straight from the source table, as in production
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    sf_dir = spark.conf.get("spark.graft.test.sfdir", None) or __import__(
+        "os"
+    ).environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load_table(spark, sf_dir, "documents")
+    batch_sh = d.where(F.expr("doc_id % 10 >= 8")).select(
+        "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
+    )
+    out = MI.incremental_near_dup_matches_indexed(spark, path, batch_sh)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln or "Scan parquet" in ln]
+    doc_scans = [ln for ln in scans if "documents.parquet" in ln]
+    # only the batch side may touch documents.parquet: one logical scan,
+    # which the persist() can surface at most twice in the printed tree
+    # (inside the InMemoryRelation's cached plan and its first consumer).
+    # The recompute path needs corpus shingles too and shows more.
+    assert len(doc_scans) <= 2, f"corpus rescan suspected:\n{plan}"
+    idx_scans = [ln for ln in scans if "idx" in ln]
+    assert idx_scans, f"no index scan in plan:\n{plan}"
+
+
+def test_index_meta_mismatch_rejected(spark, shingled, tmp_path):
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+
+    corpus_sh = shingled.where(F.expr("doc_id % 10 < 8")).limit(10)
+    path = str(tmp_path / "idx")
+    MI.build_minhash_index(corpus_sh, path, num_hashes=64, seed=42)
+    with pytest.raises(ValueError, match="signature generations"):
+        MI.append_minhash_index(corpus_sh, path, num_hashes=64, seed=7)
+    with pytest.raises(ValueError, match="signature generations"):
+        MI.incremental_near_dup_matches_indexed(
+            spark, path, corpus_sh, num_hashes=32
+        )

@@ -13,13 +13,54 @@ from datafusion_dedup_ai_spark.sources.readers import load_table
 
 @pytest.fixture(scope="module")
 def media(spark, sf_dir):
-    df = M.media_table(load_table(spark, sf_dir, "documents"))
+    # the materialized fixture — the true parquet BINARY scan queries use
+    df = M.load_media(spark, sf_dir)
     df.cache()
     return df
 
 
 def test_payload_is_binary(media):
     assert isinstance(media.schema["payload"].dataType, BinaryType)
+
+
+def test_fixture_is_true_binary_parquet(spark, sf_dir, media):
+    """The fixture must be real binary (not utf8 text round-tripped): parquet
+    physical type BYTE_ARRAY with no logical String annotation, and payloads
+    that fail utf8 decoding for typical rows."""
+    import duckdb
+
+    import os
+    path = M.media_fixture_path(sf_dir)
+    part = [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ][0]
+    row = duckdb.sql(
+        f"SELECT type, logical_type FROM parquet_schema('{part}') "
+        "WHERE name = 'payload'"
+    ).fetchall()[0]
+    assert row[0] == "BYTE_ARRAY" and (row[1] is None or "String" not in str(row[1])), row
+
+    non_utf8 = 0
+    for r in media.select("payload").limit(20).collect():
+        try:
+            bytes(r["payload"]).decode("utf-8")
+        except UnicodeDecodeError:
+            non_utf8 += 1
+    assert non_utf8 > 0, "payloads decode as utf8 — fixture is still text-as-bytes"
+
+
+def test_fixture_matches_plan_side_derivation(spark, sf_dir, media):
+    """Materialized parquet == the deterministic derivation it snapshots."""
+    derived = M.media_table(load_table(spark, sf_dir, "documents"))
+    a = {
+        r["doc_id"]: (bytes(r["payload"]), r["media_type"], r["n_frames"])
+        for r in media.collect()
+    }
+    b = {
+        r["doc_id"]: (bytes(r["payload"]), r["media_type"], r["n_frames"])
+        for r in derived.collect()
+    }
+    assert a == b
 
 
 def test_feature_histogram_invariants(media):

@@ -69,6 +69,23 @@ def test_embedding_dedup_clusters_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_dedup_clusters")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # Absence alone isn't enough: a refactor could degenerate into an
+    # effectively-quadratic hash join on a constant key and still pass the
+    # two asserts above. Require the positive shape too — on the composite's
+    # OWN edge generator (the label-propagation step materializes its inputs,
+    # so the LSH stages don't surface in the composite's final plan).
+    from datafusion_dedup_ai_spark.queries_similarity import composite_near_pairs
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    pairs = composite_near_pairs(load_table(spark, sf_dir, "embeddings"))
+    pairs_plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pairs_plan
+    assert "BroadcastNestedLoopJoin" not in pairs_plan
+    assert "ArrowEvalPython" in pairs_plan, "lsh_bucketize stage missing"
+    assert any(
+        j in pairs_plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), "bucket equi-join missing from edge-generator plan"
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):

@@ -103,17 +103,32 @@ def test_lsh_near_pairs_recall_vs_exact(spark, emb):
     threshold 0.35 sits barely above the random-pair background, the worst
     case for sign-LSH), and every pair it emits must be a true pair (the
     exact-cosine verify step makes precision 1.0 by construction)."""
+    from datafusion_dedup_ai_spark.queries_similarity import NEAR_DUP_THRESHOLD
+
     exact = {
         (r["id_a"], r["id_b"])
-        for r in S.near_duplicate_embeddings(emb, threshold=0.35).collect()
+        for r in S.near_duplicate_embeddings(
+            emb, threshold=NEAR_DUP_THRESHOLD
+        ).collect()
     }
     approx = {
         (r["id_a"], r["id_b"])
-        for r in S.lsh_near_pairs(emb, threshold=0.35).collect()
+        for r in S.lsh_near_pairs(emb, threshold=NEAR_DUP_THRESHOLD).collect()
     }
     assert approx <= exact, "lsh_near_pairs emitted a false positive"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.85, f"near-pair recall {recall:.3f}"
+
+    # the oversized-bucket guard: capped run keeps precision 1.0 (still a
+    # subset of exact) and multi-table redundancy keeps most of the recall
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_near_pairs(
+            emb, threshold=NEAR_DUP_THRESHOLD, max_bucket_size=64
+        ).collect()
+    }
+    assert capped <= exact
+    assert len(capped & exact) / len(exact) >= 0.5, "cap destroyed recall"
 
 
 def test_embedding_clusters_match_union_find(spark, sf_dir):
@@ -125,13 +140,15 @@ def test_embedding_clusters_match_union_find(spark, sf_dir):
 
     from datafusion_dedup_ai_spark.sources.readers import load_table
 
+    from datafusion_dedup_ai_spark.queries_similarity import composite_near_pairs
+
     got = {
         r["vec_id"]: r["cluster_id"]
         for r in e.queries()["embedding_dedup_clusters"](spark, sf_dir).collect()
     }
-    pairs = S.lsh_near_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
-    ).collect()
+    # the composite's OWN generator+params — not a restated copy that could
+    # drift when NEAR_DUP_THRESHOLD or the LSH defaults change
+    pairs = composite_near_pairs(load_table(spark, sf_dir, "embeddings")).collect()
 
     parent: dict = {}
 
