@@ -283,6 +283,122 @@ def q_doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Exact-substring duplicate spans (the token-level dedup removal op)
+# ===========================================================================
+
+# Minimum duplicated run, in tokens. Real pipelines use ~50 BPE tokens
+# (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better"); the synthetic fixture's vocabulary is tiny, so 5 keeps planted
+# duplicate spans detectable without flagging every random collision.
+SPAN_GRAM = 5
+SPAN_MIN_COUNT = 2  # a gram is duplicated if it occurs >= twice corpus-wide
+
+
+@register(
+    "duplicate_substring_spans",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), starts AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {SPAN_GRAM} + 1, 0))) AS pos
+        FROM toks
+    ), g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(t[pos + 1 : pos + {SPAN_GRAM}], ' ')) AS gh
+        FROM starts
+    ), dup AS (
+        SELECT doc_id, pos FROM g
+        WHERE gh IN (
+            SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= {SPAN_MIN_COUNT})
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev IS NULL OR pos - prev > {SPAN_GRAM}
+                    THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dup)
+    ), isl AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {SPAN_GRAM} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {SPAN_GRAM} - MIN(pos) AS BIGINT) AS span_tokens
+    FROM isl
+    GROUP BY doc_id, island
+    """,
+)
+def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (ExactSubstr a la Lee et al. 2021): the
+    maximal token spans of each document that are covered by {SPAN_GRAM}-gram
+    runs occurring >= {SPAN_MIN_COUNT} times corpus-wide — i.e. the byte
+    ranges a dedup pass would CUT, not just a per-doc contamination score
+    (that is doc_dup_shingle_fraction).
+
+    Plan: positional gram explode (sequence+explode, codegen) -> one shuffle
+    on the gram hash for the global occurrence count (map-side combined) ->
+    semi-join back -> per-doc gaps-and-islands merge of overlapping gram
+    starts (two window passes on doc_id) -> span aggregate. At 100 TB: the
+    gram table is ~tokens-sized; suffix automata are not needed because the
+    fixed-L rolling window + island merge reconstructs maximal duplicated
+    runs >= L exactly; hot grams (boilerplate) are the skew key, the same
+    max_df guard as the MinHash tier applies before the count join.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    n_starts = F.greatest(F.size("t") - F.lit(SPAN_GRAM - 1), F.lit(0))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.when(n_starts > 0, F.sequence(F.lit(0), n_starts - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+    )
+    g = starts.select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("pos") + 1, SPAN_GRAM))).alias(
+            "gh"
+        ),
+    )
+    dup_grams = g.groupBy("gh").agg(F.count("*").alias("n")).where(
+        F.col("n") >= SPAN_MIN_COUNT
+    )
+    dup = g.join(dup_grams.select("gh"), "gh", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = dup.select(
+        "doc_id",
+        "pos",
+        F.when(prev.isNull() | ((F.col("pos") - prev) > SPAN_GRAM), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    isl = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + F.lit(SPAN_GRAM - 1)).cast("bigint").alias("span_end"),
+        (F.max("pos") + F.lit(SPAN_GRAM) - F.min("pos"))
+        .cast("bigint")
+        .alias("span_tokens"),
+    ).drop("island")
+
+
+# ===========================================================================
 # Exact n-gram Jaccard near-duplicate pairs
 # ===========================================================================
 

@@ -331,3 +331,50 @@ def test_index_meta_mismatch_rejected(spark, shingled, tmp_path):
         MI.incremental_near_dup_matches_indexed(
             spark, path, corpus_sh, num_hashes=32
         )
+
+
+def test_duplicate_substring_spans_semantics(spark):
+    """Planted check for the ExactSubstr span op: two docs share one 8-token
+    run; the op must emit exactly that run as ONE maximal span per doc (the
+    8-token run contains 4 overlapping 5-grams that must merge), and docs
+    with no duplicated 5-gram emit nothing."""
+    from datafusion_dedup_ai_spark.queries_text import (
+        SPAN_GRAM,
+        q_duplicate_substring_spans,
+    )
+    import datafusion_dedup_ai_spark.queries_text as QT
+    from pyspark.sql import functions as F
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique0 zero {shared} tail0 end0"),
+            (1, f"{shared} other1 words1 here1 now1"),
+            (2, "completely different tokens with no repeats at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs.createOrReplaceTempView("spans_fixture")
+
+    # run the operator body against the fixture by monkey-lite: rebuild the
+    # same plan the registered query builds, from this docs frame
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # reuse the registered query at a fake sf_dir is not possible; instead
+    # assert via the public plan pieces: plant through the real query by
+    # writing a temp parquet dir shaped like testdata
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="span_fixture_")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("unit")
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in q_duplicate_substring_spans(spark, d).collect()
+    }
+    assert SPAN_GRAM == 5
+    # doc 0: shared run occupies token positions 2..9 -> one span (2, 9, 8)
+    # doc 1: run at positions 0..7 -> one span (0, 7, 8)
+    # doc 2: nothing
+    assert out == {(0, 2, 9, 8), (1, 0, 7, 8)}, out
