@@ -42,8 +42,10 @@ HEADLINE = [
     "dedup_clusters",
     # training-data extensions
     "doc_token_stats",
+    "doc_tfidf_topterms",
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
+    "duplicate_substring_spans",
     "simhash_fingerprints",
     "cosine_topk",
     "clean_corpus",

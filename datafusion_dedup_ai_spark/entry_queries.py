@@ -32,6 +32,9 @@ from datafusion_dedup_ai_spark import queries_dedup_ext  # noqa: F401
 from datafusion_dedup_ai_spark import queries_similarity  # noqa: F401
 from datafusion_dedup_ai_spark import queries_multimodal  # noqa: F401
 from datafusion_dedup_ai_spark import queries_curation  # noqa: F401
+# Overflow packs (past the window by design; graded via CORRECTNESS_FULL.json
+# + pytest): extras first, then the relational parity pack.
+from datafusion_dedup_ai_spark import queries_extras  # noqa: F401
 from datafusion_dedup_ai_spark import queries_relational  # noqa: F401
 from datafusion_dedup_ai_spark.registry import oracle_sql, queries  # noqa: F401
 
