@@ -378,3 +378,69 @@ def test_duplicate_substring_spans_semantics(spark):
     # doc 1: run at positions 0..7 -> one span (0, 7, 8)
     # doc 2: nothing
     assert out == {(0, 2, 9, 8), (1, 0, 7, 8)}, out
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_duplicate_substring_spans_vs_python_reference(spark, tmp_path, seed):
+    """Randomized corpora from a tiny vocabulary (guaranteeing gram
+    collisions, within-doc repeats, and adjacent islands) must produce
+    exactly the spans a brute-force Python reference computes."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dedup_ai_spark.queries_text import (
+        SPAN_GRAM,
+        SPAN_MIN_COUNT,
+        q_duplicate_substring_spans,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(12)
+    ]
+
+    # Python reference: global gram counts -> duplicated start positions ->
+    # merge starts whose gap <= SPAN_GRAM into maximal spans.
+    from collections import Counter
+
+    def grams(text):
+        t = text.split(" ") if text else []
+        return [
+            " ".join(t[i : i + SPAN_GRAM])
+            for i in range(max(len(t) - SPAN_GRAM + 1, 0))
+        ]
+
+    counts = Counter(g for _, text in docs for g in grams(text))
+    want = set()
+    for doc_id, text in docs:
+        dup_pos = [
+            i for i, g in enumerate(grams(text)) if counts[g] >= SPAN_MIN_COUNT
+        ]
+        if not dup_pos:
+            continue
+        start = prev = dup_pos[0]
+        islands = []
+        for p in dup_pos[1:]:
+            if p - prev > SPAN_GRAM:
+                islands.append((start, prev))
+                start = p
+            prev = p
+        islands.append((start, prev))
+        for s, e in islands:
+            want.add((doc_id, s, e + SPAN_GRAM - 1, e + SPAN_GRAM - s))
+
+    d = str(tmp_path / f"spans_{seed}")
+    spark.createDataFrame(docs, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("unit")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in q_duplicate_substring_spans(spark, d).collect()
+    }
+    assert got == want, f"seed {seed}: {got ^ want}"
