@@ -66,6 +66,71 @@ def start_incremental_ingest(
     return writer.start()
 
 
+def start_near_dup_ingest(
+    stream: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Always-on NEAR-duplicate screening: the streaming form of the
+    persisted-MinHash-index pipeline (operators/minhash_index.py).
+
+    Per micro-batch:
+
+    1. shingle the batch;
+    2. drop batch docs matching the signature INDEX at ``jaccard >=
+       threshold`` (cross-set band join — |batch| x collision-rate, never
+       touching corpus text);
+    3. drop within-batch near-dups greedily: any doc pairing with a
+       lower-id batch doc goes (transitively safe: if a~b~c with a<b<c and
+       (b,c) pair, c still pairs with the kept-or-dropped b and is dropped —
+       the survivor set contains no pair);
+    4. append the survivors to the parquet corpus AND their signatures +
+       shingle sets to the index.
+
+    Replay idempotency needs no transactional sink: a replayed survivor is
+    in the index, matches itself at jaccard 1.0 >= threshold, and is
+    dropped — content similarity is the exactly-once mechanism (the same
+    argument as the exact-hash ingest, one tier up).
+    """
+    from datafusion_dedup_ai_spark.functions import text as T
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+    from datafusion_dedup_ai_spark.operators.dedup import minhash_near_dup_pairs
+
+    spark = stream.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sh = batch_df.select(
+            F.col(id_col), T.distinct_shingles(F.col(text_col)).alias("shingles")
+        )
+        have_index = os.path.isdir(MI._data_path(index_dir))
+        if have_index:
+            matched = MI.incremental_near_dup_matches_indexed(
+                spark, index_dir, sh, id_col=id_col, threshold=threshold
+            ).select(F.col("batch_id").alias(id_col)).distinct()
+            sh = sh.join(matched, id_col, "left_anti")
+        in_batch = minhash_near_dup_pairs(sh, id_col=id_col, threshold=threshold)
+        losers = in_batch.select(F.col("id_b").alias(id_col)).distinct()
+        survivors_sh = sh.join(losers, id_col, "left_anti")
+        survivors = batch_df.join(survivors_sh.select(id_col), id_col, "left_semi")
+        survivors.write.mode("append").parquet(corpus_dir)
+        if have_index:
+            MI.append_minhash_index(survivors_sh, index_dir, id_col=id_col)
+        else:
+            MI.build_minhash_index(survivors_sh, index_dir, id_col=id_col)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def replay_documents_as_stream(
     spark,
     sf_dir: str,

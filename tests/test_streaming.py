@@ -364,3 +364,92 @@ def test_streaming_sliding_matches_batch(spark, sf_dir, staged):
     assert got == want
     # overlap sanity: each event contributes to length/slide = 4 windows
     assert sum(got.values()) == load_table(spark, sf_dir, "events").count() * 4
+
+
+def test_streaming_near_dup_ingest_matches_sequential_batch(spark, sf_dir, tmp_path):
+    """The near-dup foreachBatch sink (persisted-MinHash-index pipeline) must
+    accept exactly the docs a sequential batch-mode run of the same operators
+    accepts, and the final index must contain exactly the survivors."""
+    from datafusion_dedup_ai_spark.functions import text as T
+    from datafusion_dedup_ai_spark.operators import dedup as D
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+    from datafusion_dedup_ai_spark.streaming import ingest as I
+
+    n_chunks, thr = 3, 0.5
+    stream = I.replay_documents_as_stream(
+        spark, sf_dir, str(tmp_path / "stage"), n_chunks=n_chunks
+    )
+    q = I.start_near_dup_ingest(
+        stream,
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=thr,
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+
+    # sequential batch-mode reference with the same chunking (doc_id ranges)
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = (n + n_chunks - 1) // n_chunks
+    accepted = None  # shingled survivors so far
+    want: set = set()
+    for i in range(n_chunks):
+        chunk = docs.where(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        sh = chunk.select(
+            "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
+        )
+        if accepted is not None:
+            matched = (
+                D.incremental_near_dup_matches(accepted, sh, threshold=thr)
+                .select(F.col("batch_id").alias("doc_id"))
+                .distinct()
+            )
+            sh = sh.join(matched, "doc_id", "left_anti")
+        losers = (
+            D.minhash_near_dup_pairs(sh, threshold=thr)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        sh = sh.join(losers, "doc_id", "left_anti")
+        sh = sh.persist()
+        want |= {r["doc_id"] for r in sh.select("doc_id").collect()}
+        accepted = sh if accepted is None else accepted.unionByName(sh)
+    assert got == want
+    idx_ids = {
+        r["doc_id"]
+        for r in MI.read_minhash_index(spark, str(tmp_path / "index"))
+        .select("doc_id")
+        .collect()
+    }
+    assert idx_ids == want
+
+
+def test_streaming_near_dup_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Full replay with a fresh checkpoint: every replayed survivor matches
+    itself in the index at jaccard 1.0 and is dropped — zero new rows."""
+    from datafusion_dedup_ai_spark.streaming import ingest as I
+
+    stage = str(tmp_path / "stage")
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    stream = I.replay_documents_as_stream(spark, sf_dir, stage, n_chunks=2)
+    q = I.start_near_dup_ingest(
+        stream, corpus_dir, index_dir, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(corpus_dir).count()
+
+    stream2 = I.replay_documents_as_stream(spark, sf_dir, stage, n_chunks=2)
+    q2 = I.start_near_dup_ingest(
+        stream2, corpus_dir, index_dir, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(corpus_dir).count()
+    assert n1 == n2, f"replay added {n2 - n1} near-duplicate rows"
