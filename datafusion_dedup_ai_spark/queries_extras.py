@@ -143,3 +143,105 @@ def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(quota), "source").where(
         F.col("sample_rank") <= F.col("source_quota")
     ).select("doc_id", "source", "sample_rank", "source_quota")
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality percentile filter + token-budget selection
+# ---------------------------------------------------------------------------
+
+QUALITY_KEEP_FRAC = 0.5  # keep the top half of each source by quality
+TOKEN_BUDGET_PER_SOURCE = 1000
+
+# Shared quality expression: generated from the SAME constants the Spark
+# side uses (functions/text.py), like queries_text.py's mirrors, so the two
+# sides cannot drift.
+_SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
+_SQL_QUALITY = f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+    ), q AS (
+        SELECT doc_id, source,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) * 0.4
+                 + (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) * 0.4
+                 + (CASE WHEN CAST(len(list_filter(tk, x -> list_contains(
+                            {_SQL_STOPWORDS}, x))) AS DOUBLE)
+                            / len(tk) BETWEEN 0.02 AND 0.4
+                         THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        FROM t
+    )
+"""
+
+
+def _spark_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_spread(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "per_source_quality_filter",
+    f"""{_SQL_QUALITY}
+    SELECT doc_id, source, n_tokens, quality, q_rank FROM (
+        SELECT doc_id, source, n_tokens, quality,
+               percent_rank() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id ASC) AS q_rank
+        FROM q)
+    WHERE q_rank <= {QUALITY_KEEP_FRAC}
+    """,
+)
+def q_per_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality filtering: keep the top {QUALITY_KEEP_FRAC:.0%} of
+    each source by quality PERCENTILE rather than a global threshold — the
+    per-domain cut real pipelines use because quality distributions differ
+    by source (a global cut would empty the weakest domain). percent_rank =
+    (rank-1)/(n-1) is an IEEE-exact rational, and the (quality DESC, doc_id)
+    ordering is tie-free, so the filter is hash-gateable cross-engine.
+    One window per source partition; no global sort."""
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        _spark_quality(spark, sf_dir)
+        .withColumn("q_rank", F.percent_rank().over(w))
+        .where(F.col("q_rank") <= QUALITY_KEEP_FRAC)
+        .select("doc_id", "source", "n_tokens", "quality", "q_rank")
+    )
+
+
+@register(
+    "token_budget_selection",
+    f"""{_SQL_QUALITY}
+    SELECT doc_id, source, n_tokens, cum_tokens FROM (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM q)
+    WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+    """,
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: fill each source's
+    {TOKEN_BUDGET_PER_SOURCE}-token budget with its best documents (quality
+    order, deterministic tie-break), keeping docs while the running token
+    total fits — how a pretraining mix targets tokens-per-domain, not
+    docs-per-domain. Integer cumulative sums, exact in both engines.
+    One window per source partition; no global sort."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        _spark_quality(spark, sf_dir)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
