@@ -219,10 +219,10 @@ def q_per_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""{_SQL_QUALITY}
     SELECT doc_id, source, n_tokens, cum_tokens FROM (
         SELECT doc_id, source, n_tokens,
-               SUM(n_tokens) OVER (
+               CAST(SUM(n_tokens) OVER (
                    PARTITION BY source
                    ORDER BY quality DESC, doc_id ASC
-                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         FROM q)
     WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
     """,

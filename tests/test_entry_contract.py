@@ -43,7 +43,19 @@ def _assert_frames_match(name: str, sdf: pd.DataFrame, odf: pd.DataFrame):
     o = _canonicalize(odf)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
-        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+        # A numeric-CLASS mismatch (bigint one side, float the other — e.g.
+        # DuckDB widening a windowed SUM(BIGINT) to INT128, which pandas
+        # renders as float) would pass the tolerant float compare below but
+        # fail the driver's textual value hash. Catch it as a type error.
+        s_int = np.issubdtype(sv.dtype, np.integer)
+        o_int = np.issubdtype(ov.dtype, np.integer)
+        s_flt = np.issubdtype(sv.dtype, np.floating)
+        o_flt = np.issubdtype(ov.dtype, np.floating)
+        assert not (s_int and o_flt) and not (s_flt and o_int), (
+            f"{name}.{c}: numeric class mismatch {sv.dtype} vs {ov.dtype} — "
+            "pin the type (CAST ... AS BIGINT / DOUBLE) on both sides"
+        )
+        if s_flt or o_flt:
             sv = sv.astype("float64")
             ov = ov.astype("float64")
             bad = ~((sv == ov) | (np.isnan(sv) & np.isnan(ov)))
