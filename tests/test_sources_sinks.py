@@ -149,3 +149,44 @@ def test_label_propagation_matches_exact_partition(spark, sf_dir):
     }
     for ro, cid in lp.items():
         assert exact[ro] == cid
+
+
+def test_load_table_events_handles_both_ts_encodings(spark, tmp_path):
+    """Driver testdata has shipped events.ts as TIMESTAMP(NANOS) (reads as
+    int64 under nanosAsLong) and as TIMESTAMP(MICROS, NTZ) across rounds.
+    load_table must normalize BOTH to a session-UTC TimestampType with the
+    same epoch micros."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    base_us = 1704067200000000  # 2024-01-01T00:00:00Z in micros
+    rows = [(1, base_us + 5_000_000), (2, base_us + 65_000_000)]
+
+    # Encoding A: raw int64 nanoseconds (the nanosAsLong legacy read path)
+    d_nanos = str(tmp_path / "enc_nanos")
+    spark.createDataFrame(
+        [(i, us * 1000) for i, us in rows], ["event_id", "ts"]
+    ).write.mode("overwrite").parquet(os.path.join(d_nanos, "events.parquet"))
+
+    # Encoding B: TIMESTAMP_NTZ micros (what timestamp_micros + NTZ cast
+    # round-trips to under a UTC session)
+    d_ntz = str(tmp_path / "enc_ntz")
+    spark.createDataFrame(rows, ["event_id", "us"]).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+    ).write.mode("overwrite").parquet(os.path.join(d_ntz, "events.parquet"))
+
+    for d in (d_nanos, d_ntz):
+        df = load_table(spark, d, "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), d
+        got = {
+            r["event_id"]: r["us"]
+            for r in df.select(
+                "event_id", F.unix_micros("ts").alias("us")
+            ).collect()
+        }
+        assert got == dict(rows), d
