@@ -245,3 +245,55 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram commonness scoring (LM-quality proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_commonness",
+    """
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tc AS (
+        SELECT term, COUNT(*) AS tf FROM ex GROUP BY term
+    )
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(tc.tf) AS BIGINT) AS sum_tf,
+           CAST(MIN(tc.tf) AS BIGINT) AS min_tf,
+           CAST(SUM(tc.tf) AS DOUBLE) / COUNT(*) AS avg_tf
+    FROM ex JOIN tc USING (term)
+    GROUP BY ex.doc_id
+    """,
+)
+def q_doc_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram commonness per document — the integer-exact core of the
+    LM-based quality signal (CCNet-style perplexity filtering): for each
+    doc, the corpus-wide frequency mass of its tokens (sum_tf), its rarest
+    token (min_tf), and the mean frequency (avg_tf = one IEEE-exact division
+    of two exact integers). Low avg_tf = rare/unusual vocabulary, high =
+    templated/common text; a real pipeline swaps the corpus unigram table
+    for KenLM scores through the same join. Log-domain scores are
+    deliberately NOT in the hash gate (libm ulp + float-sum order); integer
+    sums are order-independent so this gates exactly.
+
+    Scale shape: one shuffle to count terms (map-side combined), one join of
+    the exploded tokens against the term table (term is the shuffle key; at
+    100 TB the term table is Zipf-small after counting and broadcastable),
+    one per-doc integer aggregation."""
+    d = load_spread(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tc = ex.groupBy("term").agg(F.count("*").alias("tf"))
+    return (
+        ex.join(F.broadcast(tc), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("tf").cast("bigint").alias("sum_tf"),
+            F.min("tf").cast("bigint").alias("min_tf"),
+            (F.sum("tf").cast("double") / F.count("*")).alias("avg_tf"),
+        )
+    )
