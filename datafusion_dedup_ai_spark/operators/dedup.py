@@ -210,6 +210,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.2,
     seed: int = 42,
     max_df: float | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Full MinHash->LSH->verify pipeline. With 16 bands x 4 rows the LSH
     catch probability at J=0.2 is ~2.5%, at J=0.5 ~65%, at J=0.8 ~99.99% —
@@ -221,6 +222,11 @@ def minhash_near_dup_pairs(
     near-universal shingles otherwise dominate signatures AND create hot LSH
     buckets. Verification always scores the FILTERED sets it signed, keeping
     emitted jaccard values consistent with the candidate generation.
+
+    ``persist=False`` skips the internal cache — for callers that already
+    persisted the shingle frame AND manage unpersisting themselves (the
+    streaming sink: an unreleased persist per micro-batch pins executor
+    storage without bound).
     """
     rows_per_band = num_hashes // bands
     if max_df is not None:
@@ -229,7 +235,8 @@ def minhash_near_dup_pairs(
     # verification join; persist it so shingling runs once.
     from pyspark import StorageLevel
 
-    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(shingled, id_col, shingles_col, num_hashes, seed)
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, rows_per_band)
     return verify_jaccard(cands, shingled, id_col, shingles_col, threshold)

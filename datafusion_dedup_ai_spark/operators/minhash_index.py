@@ -132,20 +132,23 @@ def incremental_near_dup_matches_indexed(
     bands: int = 16,
     threshold: float = 0.2,
     seed: int = 42,
+    persist: bool = True,
 ) -> DataFrame:
     """(batch_id, corpus_id, n_common, n_union, jaccard): same contract and
     same arithmetic as ``dedup.incremental_near_dup_matches`` (pinned equal
     in tests/test_dedup_ext.py), but the corpus side comes from the persisted
     index: signatures are READ (columns doc_id+sig), shingle sets are READ
     (columns doc_id+shingles, candidate ids only), and the corpus text is
-    never touched."""
+    never touched. ``persist=False`` for callers that already cached the
+    batch frame and release it themselves (the streaming sink)."""
     from pyspark import StorageLevel
 
     _check_meta(index_path, num_hashes, bands, seed)
     rows_per_band = num_hashes // bands
     idx = read_minhash_index(spark, index_path)
 
-    batch_shingled = batch_shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        batch_shingled = batch_shingled.persist(StorageLevel.MEMORY_AND_DISK)
     b_sigs = minhash_signatures(batch_shingled, id_col, shingles_col, num_hashes, seed)
 
     cands = (

@@ -214,6 +214,12 @@ def lsh_near_pairs(
     """
     b = lsh_bucketize(corpus, id_col, vec_col, n_tables, n_bits, dim, seed)
     if max_bucket_size is not None:
+        # the size aggregate is a separate job feeding a broadcast, which
+        # would re-run the Arrow bucketize stage — persist so the pandas-UDF
+        # pass over the corpus executes once for both consumers
+        from pyspark import StorageLevel
+
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = b.groupBy("table", "bucket").agg(F.count("*").alias("_n"))
         oversized = sizes.where(F.col("_n") > max_bucket_size).select(
             "table", "bucket"

@@ -176,25 +176,45 @@ def q_incremental_exact_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.select("doc_id", "content_hash", "n_chars")
 
 
+# Corpus signature indexes built by THIS process, keyed by sf_dir — the
+# index is immutable per scale factor, so one build serves every evaluation
+# (query construction stays cheap, and repeated runs don't litter /tmp with
+# corpus-sized parquet copies).
+_INDEX_BUILT: set[str] = set()
+
+
+def _corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(repo_root, ".materialized", sf_name, "minhash_index")
+    if path not in _INDEX_BUILT:
+        d = load_spread(spark, sf_dir, "documents")
+        sh = d.select("doc_id", T.distinct_shingles(F.col("text")).alias("shingles"))
+        MI.build_minhash_index(sh.where(F.expr(_CORPUS_PRED)), path)
+        _INDEX_BUILT.add(path)
+    return path
+
+
 @register("incremental_near_dup_matches", None)
 def q_incremental_near_dup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH matches of incoming-batch docs against the existing corpus
     (cross-set only — |batch| x collision-rate candidates, never |corpus|^2),
     via the PERSISTED signature index (operators/minhash_index.py): the
-    corpus is shingled/signed once into a parquet index, then the batch is
-    matched against the index without rescanning corpus text — the shape a
-    per-crawl pipeline actually runs. Index-path == recompute-path equality,
-    the no-corpus-rescan plan property, and cross-set recall vs the exact
+    corpus is shingled/signed ONCE PER PROCESS into a parquet index (the
+    materialize.py snapshot pattern), then the batch is matched against the
+    index without rescanning corpus text — the shape a per-crawl pipeline
+    actually runs. Index-path == recompute-path equality, the
+    no-corpus-rescan plan property, and cross-set recall vs the exact
     Jaccard ground truth are pinned in tests/test_dedup_ext.py.
     Rows-only (xxhash64 signatures have no DuckDB analog)."""
-    import tempfile
-
     from datafusion_dedup_ai_spark.operators import minhash_index as MI
 
+    index_path = _corpus_index_path(spark, sf_dir)
     d = load_spread(spark, sf_dir, "documents")
     sh = d.select("doc_id", T.distinct_shingles(F.col("text")).alias("shingles"))
-    corpus_sh = sh.where(F.expr(_CORPUS_PRED))
     batch_sh = sh.where(F.expr(_BATCH_PRED))
-    index_path = tempfile.mkdtemp(prefix="minhash_index_")
-    MI.build_minhash_index(corpus_sh, index_path)
     return MI.incremental_near_dup_matches_indexed(spark, index_path, batch_sh)

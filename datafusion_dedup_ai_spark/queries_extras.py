@@ -287,8 +287,11 @@ def q_doc_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents")
     ex = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     tc = ex.groupBy("term").agg(F.count("*").alias("tf"))
+    # no broadcast HINT: a forced broadcast bypasses size thresholds, and a
+    # web-scale vocabulary (10^8+ unigrams) would OOM the driver; AQE
+    # broadcasts on its own when the counted term table is actually small.
     return (
-        ex.join(F.broadcast(tc), "term")
+        ex.join(tc, "term")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),

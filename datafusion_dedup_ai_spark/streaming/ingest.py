@@ -95,7 +95,23 @@ def start_near_dup_ingest(
     Replay idempotency needs no transactional sink: a replayed survivor is
     in the index, matches itself at jaccard 1.0 >= threshold, and is
     dropped — content similarity is the exactly-once mechanism (the same
-    argument as the exact-hash ingest, one tier up).
+    argument as the exact-hash ingest, one tier up). Two details make the
+    contract hold in the failure cases a naive two-write sink misses:
+
+    * **Crash between the corpus write and the index append** would leave
+      survivors invisible to future matching. Every batch therefore starts
+      by RECONCILING: corpus docs missing from the index (an id-only
+      anti-join — cheap) get their signatures appended from the corpus
+      rows. The corpus is the authority; the index is a self-healing
+      derived structure.
+    * **Docs too short to shingle** (fewer than 2 tokens) would have empty
+      shingle sets, silently vanish from the index, and bypass dedup
+      forever. The sink's shingle step falls back to the full text as a
+      singleton shingle, so identical short docs match at jaccard 1.0 like
+      any other exact duplicate.
+
+    Per-batch caches are explicitly released (the sink runs forever; a
+    persist per micro-batch would pin executor storage without bound).
     """
     from datafusion_dedup_ai_spark.functions import text as T
     from datafusion_dedup_ai_spark.operators import minhash_index as MI
@@ -103,25 +119,72 @@ def start_near_dup_ingest(
 
     spark = stream.sparkSession
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        sh = batch_df.select(
-            F.col(id_col), T.distinct_shingles(F.col(text_col)).alias("shingles")
+    def _shingled(df: DataFrame) -> DataFrame:
+        sh = T.distinct_shingles(F.col(text_col))
+        return df.select(
+            F.col(id_col),
+            F.when(F.size(sh) > 0, sh)
+            .otherwise(F.array(F.coalesce(F.col(text_col), F.lit(""))))
+            .alias("shingles"),
         )
-        have_index = os.path.isdir(MI._data_path(index_dir))
-        if have_index:
-            matched = MI.incremental_near_dup_matches_indexed(
-                spark, index_dir, sh, id_col=id_col, threshold=threshold
-            ).select(F.col("batch_id").alias(id_col)).distinct()
-            sh = sh.join(matched, id_col, "left_anti")
-        in_batch = minhash_near_dup_pairs(sh, id_col=id_col, threshold=threshold)
-        losers = in_batch.select(F.col("id_b").alias(id_col)).distinct()
-        survivors_sh = sh.join(losers, id_col, "left_anti")
-        survivors = batch_df.join(survivors_sh.select(id_col), id_col, "left_semi")
-        survivors.write.mode("append").parquet(corpus_dir)
-        if have_index:
-            MI.append_minhash_index(survivors_sh, index_dir, id_col=id_col)
+
+    def _corpus_exists() -> bool:
+        return os.path.isdir(corpus_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_dir)
+        )
+
+    def _sync_index_with_corpus() -> bool:
+        """Self-heal the index from the corpus; True if an index exists
+        afterwards (i.e. there is anything to match against)."""
+        if not _corpus_exists():
+            return False
+        corpus = spark.read.parquet(corpus_dir)
+        if os.path.isdir(MI._data_path(index_dir)):
+            idx_ids = MI.read_minhash_index(spark, index_dir).select(id_col)
+            missing = corpus.join(idx_ids, id_col, "left_anti")
+            if not missing.isEmpty():
+                MI.append_minhash_index(_shingled(missing), index_dir, id_col=id_col)
         else:
-            MI.build_minhash_index(survivors_sh, index_dir, id_col=id_col)
+            MI.build_minhash_index(_shingled(corpus), index_dir, id_col=id_col)
+        return True
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        have_index = _sync_index_with_corpus()
+        sh = _shingled(batch_df).persist()
+        survivors_sh = None
+        try:
+            kept = sh
+            if have_index:
+                matched = (
+                    MI.incremental_near_dup_matches_indexed(
+                        spark,
+                        index_dir,
+                        sh,
+                        id_col=id_col,
+                        threshold=threshold,
+                        persist=False,
+                    )
+                    .select(F.col("batch_id").alias(id_col))
+                    .distinct()
+                )
+                kept = sh.join(matched, id_col, "left_anti")
+            in_batch = minhash_near_dup_pairs(
+                kept, id_col=id_col, threshold=threshold, persist=False
+            )
+            losers = in_batch.select(F.col("id_b").alias(id_col)).distinct()
+            survivors_sh = kept.join(losers, id_col, "left_anti").persist()
+            survivors = batch_df.join(
+                survivors_sh.select(id_col), id_col, "left_semi"
+            )
+            survivors.write.mode("append").parquet(corpus_dir)
+            if os.path.isdir(MI._data_path(index_dir)):
+                MI.append_minhash_index(survivors_sh, index_dir, id_col=id_col)
+            else:
+                MI.build_minhash_index(survivors_sh, index_dir, id_col=id_col)
+        finally:
+            sh.unpersist()
+            if survivors_sh is not None:
+                survivors_sh.unpersist()
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

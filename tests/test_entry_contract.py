@@ -97,12 +97,17 @@ def test_priority_packs_inside_driver_window():
     # (queries_extras — registered there by design). Both are still checked
     # every round by full_correctness.py -> CORRECTNESS_FULL.json and by
     # this file's oracle-mirror tests.
+    import os
+
+    import datafusion_dedup_ai_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
     overflow_ok: set[str] = set()
     for mod in ("queries_relational", "queries_extras"):
         overflow_ok |= set(
             re.findall(
                 r'register\(\s*\n?\s*"([^"]+)"',
-                open(f"datafusion_dedup_ai_spark/{mod}.py").read(),
+                open(os.path.join(pkg_dir, f"{mod}.py")).read(),
             )
         )
     bad_overflow = [n for n in overflow if n not in overflow_ok]

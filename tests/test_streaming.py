@@ -453,3 +453,77 @@ def test_streaming_near_dup_ingest_replay_is_idempotent(spark, sf_dir, tmp_path)
     q2.awaitTermination(300)
     n2 = spark.read.parquet(corpus_dir).count()
     assert n1 == n2, f"replay added {n2 - n1} near-duplicate rows"
+
+
+def test_streaming_near_dup_ingest_short_docs_dedup(spark, tmp_path):
+    """Docs too short to shingle (< 2 tokens) must still dedup: the sink
+    falls back to the full text as a singleton shingle, so exact short
+    duplicates match at jaccard 1.0 across batches AND across replays."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dedup_ai_spark.streaming import ingest as I
+
+    stage = str(tmp_path / "stage")
+    rows = [
+        # batch 0 (chunk 000): a short doc and a normal doc
+        (0, "hello"), (1, "a perfectly normal document with many words here"),
+        # batch 1 (chunk 001): the SAME short doc text again + an empty doc
+        (2, "hello"), (3, ""),
+        # batch 2 (chunk 002): empty doc again
+        (4, ""),
+    ]
+    for chunk, ids in enumerate(([0, 1], [2, 3], [4])):
+        spark.createDataFrame(
+            [(i, rows[i][1]) for i in ids], ["doc_id", "text"]
+        ).withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("unit")
+        ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+            "overwrite"
+        ).json(os.path.join(stage, f"chunk={chunk:03d}"))
+
+    def run(ckpt):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+                StructField("lang", StringType()),
+                StructField("source", StringType()),
+                StructField("n_chars", LongType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .json(stage)
+        )
+        q = I.start_near_dup_ingest(
+            stream,
+            corpus_dir=str(tmp_path / "corpus"),
+            index_dir=str(tmp_path / "index"),
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    # 'hello' kept once (doc 0), empty doc kept once (doc 3; json drops
+    # empty-string rows to null -> coalesce handles it), normal doc kept
+    texts = sorted(t if t is not None else "" for _, t in got)
+    ids = {i for i, _ in got}
+    assert 0 in ids and 1 in ids, got
+    assert 2 not in ids, f"duplicate short doc not dropped: {got}"
+    assert len([t for t in texts if t == "hello"]) == 1
+
+    # full replay with fresh checkpoint: zero growth
+    n1 = spark.read.parquet(str(tmp_path / "corpus")).count()
+    run("ckpt2")
+    n2 = spark.read.parquet(str(tmp_path / "corpus")).count()
+    assert n1 == n2, f"replay added {n2 - n1} rows"
