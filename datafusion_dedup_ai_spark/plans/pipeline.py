@@ -12,6 +12,7 @@ from correctness (nondeterministic external I/O in the reference).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,8 +57,6 @@ def dedup_pipeline(
     # doesn't inline the expensive base-name expression into downstream
     # filters/projections. MEMORY_AND_DISK: spills instead of recomputing at
     # cluster scale.
-    from pyspark import StorageLevel
-
     prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
     # Entity collapse: Jaro-Winkler scores DISTINCT base pairs per block; the
     # per-block replay (cluster_exact) then reproduces the reference's full
@@ -67,6 +66,12 @@ def dedup_pipeline(
     matches = group_pair_matches(prepared, config)
     link_identical = (1.0 >= config.soft_threshold) or (1.0 >= config.hard_threshold)
     clustered = cluster_exact(prepared, matches, link_identical=link_identical)
+    # `elect_canonical` consumes its input twice (per-cluster aggregation +
+    # the final member join); without a persist the cogrouped union-find —
+    # the most expensive stage — would execute once per consumer. Persisting
+    # here pins the replay to a single execution (tests/test_plans.py asserts
+    # exactly one FlatMapCoGroupsInPandas evaluation in the executed plan).
+    clustered = clustered.persist(StorageLevel.MEMORY_AND_DISK)
     final = elect_canonical(clustered)
     if enricher is not None:
         final = enricher.enrich(final)

@@ -88,6 +88,31 @@ def test_embedding_dedup_clusters_no_cartesian(spark, sf_dir):
     ), "bucket equi-join missing from edge-generator plan"
 
 
+def test_dedup_clusters_single_cogroup_execution(spark, sf_dir):
+    """The per-block union-find replay (FlatMapCoGroupsInPandas) is the most
+    expensive stage of the dedup pipeline; `elect_canonical` consumes its
+    output more than once, so the pipeline persists the clustered frame.
+    Regression gate: NO cogroup node may be reachable in the executed plan
+    without crossing an InMemoryTableScan boundary — i.e. the replay runs
+    only while populating the cache, exactly once."""
+    df = entry_mod.queries()["dedup_clusters"](spark, sf_dir)
+    root = df._jdf.queryExecution().executedPlan()
+
+    def count_uncached_cogroups(node) -> int:
+        name = node.getClass().getSimpleName()
+        if name.startswith("InMemoryTableScan"):
+            return 0
+        n = 1 if "FlatMapCoGroupsInPandas" in name else 0
+        children = node.children()
+        for i in range(children.size()):
+            n += count_uncached_cogroups(children.apply(i))
+        return n
+
+    assert count_uncached_cogroups(root) == 0
+    # and the cogroup must still exist somewhere (inside the cached relation)
+    assert "FlatMapCoGroupsInPandas" in root.toString()
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     """Runtime bloom-filter join pruning — the 100 TB pattern where a
     selective dimension filter is pushed into the FACT side as a bloom
