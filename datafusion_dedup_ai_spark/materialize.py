@@ -19,9 +19,22 @@ identically for both, and the registry resolves callable oracles at
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sf_cache_key(sf_dir: str) -> str:
+    """Directory key for per-sf materialized fixtures: basename plus a short
+    hash of the ABSOLUTE path, so distinct sf dirs sharing a basename (e.g.
+    two checkouts' testdata/sf0.01) never collide in `.materialized/`."""
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    return (
+        os.path.basename(norm)
+        + "-"
+        + hashlib.md5(norm.encode()).hexdigest()[:8]
+    )
 
 # The driver runs the side-by-side compare at sf0.01 with no env set; pytest
 # sets SPARK_GRAFT_TEST_SF_DIR (tests/conftest.py) so both the Spark fixture
@@ -34,8 +47,9 @@ def oracle_sf_dir() -> str:
 
 
 def clusters_snapshot_path(sf_dir: str) -> str:
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_REPO_ROOT, ".materialized", sf_name, "clusters.parquet")
+    return os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "clusters.parquet"
+    )
 
 
 # Paths written by THIS process — re-materialize once per process even if a
@@ -61,5 +75,18 @@ def read_clusters_snapshot(spark, sf_dir: str):
 
 def snapshot_glob() -> str:
     """DuckDB-side reference to the snapshot the driver's compare targets
-    (Spark writes a directory of part files; DuckDB globs them)."""
+    (Spark writes a directory of part files; DuckDB globs them).
+
+    Resolution-time materialization: oracle SQL strings are resolved lazily
+    (registry callables), so if an ACTIVE SparkSession exists the snapshot is
+    (re)materialized right here — the oracle is then valid even when the
+    driver resolves/executes oracles before running the Spark query, and a
+    stale on-disk snapshot from an earlier process/round is refreshed before
+    either side reads it. Without an active session (SQL-only inspection),
+    the path alone is returned unchanged."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        materialize_clusters(spark, oracle_sf_dir())
     return os.path.join(clusters_snapshot_path(oracle_sf_dir()), "*.parquet")

@@ -64,7 +64,16 @@ def _read_meta(path: str) -> dict:
 
 
 def _check_meta(path: str, num_hashes: int, bands: int, seed: int) -> None:
-    meta = _read_meta(path)
+    try:
+        meta = _read_meta(path)
+    except FileNotFoundError:
+        raise ValueError(
+            f"minhash index at {path} has data but no {_META_FILE} sidecar "
+            "(interrupted build from a pre-sidecar version, or manual "
+            "tampering) — signature parameters are unverifiable; rebuild "
+            "with build_minhash_index (index_exists() treats this state as "
+            "'no index', so self-healing callers rebuild automatically)"
+        ) from None
     want = {"num_hashes": num_hashes, "bands": bands, "seed": seed}
     got = {k: meta[k] for k in want}
     if got != want:
@@ -73,6 +82,14 @@ def _check_meta(path: str, num_hashes: int, bands: int, seed: int) -> None:
             f"caller requested {want} — mixing signature generations "
             "destroys recall, rebuild the index instead"
         )
+
+
+def index_exists(path: str) -> bool:
+    """True only when the index is COMPLETE: parquet data AND the parameter
+    sidecar. A data dir without the sidecar (crash during a legacy build) is
+    'no index' — self-healing callers rebuild instead of wedging on a
+    missing-meta error."""
+    return os.path.isfile(_meta_path(path)) and os.path.isdir(_data_path(path))
 
 
 def build_minhash_index(
@@ -88,13 +105,17 @@ def build_minhash_index(
     pass over the shingle sets, stored alongside them. One shuffle (the
     signature groupBy); the join back to shingles is on the already-grouped
     id so AQE keeps it local-ish at any scale."""
+    # Meta BEFORE data: a crash between the two writes must never leave data
+    # with no sidecar — that state wedges every subsequent _check_meta caller.
+    # Meta-without-data is safe (index_exists() is false, callers rebuild and
+    # the rebuild overwrites the sidecar).
+    _write_meta(
+        path, {"num_hashes": num_hashes, "bands": bands, "seed": seed}
+    )
     sigs = minhash_signatures(shingled, id_col, shingles_col, num_hashes, seed)
     out = shingled.select(F.col(id_col), F.col(shingles_col)).join(sigs, id_col)
     out.select(id_col, "sig", shingles_col).write.mode("overwrite").parquet(
         _data_path(path)
-    )
-    _write_meta(
-        path, {"num_hashes": num_hashes, "bands": bands, "seed": seed}
     )
 
 

@@ -75,8 +75,11 @@ def media_table(documents: DataFrame) -> DataFrame:
 
 
 def media_fixture_path(sf_dir: str) -> str:
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_REPO_ROOT, ".materialized", sf_name, "media.parquet")
+    from datafusion_dedup_ai_spark.materialize import sf_cache_key
+
+    return os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "media.parquet"
+    )
 
 
 _written: set[str] = set()

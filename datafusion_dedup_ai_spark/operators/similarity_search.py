@@ -214,17 +214,18 @@ def lsh_near_pairs(
     """
     b = lsh_bucketize(corpus, id_col, vec_col, n_tables, n_bits, dim, seed)
     if max_bucket_size is not None:
-        # the size aggregate is a separate job feeding a broadcast, which
-        # would re-run the Arrow bucketize stage — persist so the pandas-UDF
-        # pass over the corpus executes once for both consumers
-        from pyspark import StorageLevel
-
-        b = b.persist(StorageLevel.MEMORY_AND_DISK)
-        sizes = b.groupBy("table", "bucket").agg(F.count("*").alias("_n"))
-        oversized = sizes.where(F.col("_n") > max_bucket_size).select(
-            "table", "bucket"
+        # Bucket-size cap as an unbounded window count over (table, bucket):
+        # ONE pass, no separate size-aggregate job — the earlier persist +
+        # broadcast-anti-join formulation pinned the bucketized frame in
+        # executor storage for the session (never unpersisted). The window's
+        # shuffle is on the same (table, bucket) key the self-join below
+        # needs anyway, so the exchange is reused, not added.
+        w = Window.partitionBy("table", "bucket")
+        b = (
+            b.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
         )
-        b = b.join(F.broadcast(oversized), ["table", "bucket"], "left_anti")
     cand = (
         b.alias("a")
         .join(

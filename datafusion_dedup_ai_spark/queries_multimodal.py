@@ -22,9 +22,18 @@ from datafusion_dedup_ai_spark.registry import register
 
 
 def _media_glob() -> str:
-    """DuckDB-side path to the fixture the driver's compare targets. The
-    Spark side materializes it on query build, which happens before the
-    oracle runs in the driver's side-by-side compare."""
+    """DuckDB-side path to the fixture the driver's compare targets.
+
+    Resolved lazily (the oracle registrations are callables) and, when an
+    active SparkSession exists, the fixture is (re)materialized HERE — so
+    the oracle is valid regardless of whether the driver resolves oracles
+    before or after running the Spark query, and a stale fixture left by an
+    earlier process is refreshed before either side reads it."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        M.materialize_media(spark, oracle_sf_dir())
     return os.path.join(M.media_fixture_path(oracle_sf_dir()), "*.parquet")
 
 

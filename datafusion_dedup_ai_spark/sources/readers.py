@@ -26,7 +26,24 @@ TESTDATA_TABLES = (
 )
 
 
+def _pin_engine_confs(spark: SparkSession) -> None:
+    """Engine session invariants, applied identically on EVERY table load.
+
+    ``session.build_session`` already sets both; this re-pin exists for
+    driver-provided sessions built elsewhere. Applying it unconditionally
+    (not just when `events` happens to load first) makes query behavior
+    independent of table-load order — the confs are a documented engine
+    contract (UTC timestamp rendering matching the DuckDB oracle; NANOS
+    parquet readable as int64), not a per-read toggle. Neither has a
+    per-read DataFrameReader option in Spark, so a session conf is the only
+    scoping available.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_engine_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
@@ -40,8 +57,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #   - MICROS NTZ: reads as TIMESTAMP_NTZ; cast to TIMESTAMP with the
         #     session pinned to UTC, which maps wall-clock to the same epoch
         #     micros DuckDB's epoch_us() reports for the naive value.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampType
 

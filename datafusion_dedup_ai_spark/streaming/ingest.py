@@ -139,7 +139,10 @@ def start_near_dup_ingest(
         if not _corpus_exists():
             return False
         corpus = spark.read.parquet(corpus_dir)
-        if os.path.isdir(MI._data_path(index_dir)):
+        # index_exists (data AND meta sidecar), not a raw data-dir probe: a
+        # crash inside a build must read as 'no index' and trigger a rebuild,
+        # never wedge the sink on a missing-sidecar error.
+        if MI.index_exists(index_dir):
             idx_ids = MI.read_minhash_index(spark, index_dir).select(id_col)
             missing = corpus.join(idx_ids, id_col, "left_anti")
             if not missing.isEmpty():
@@ -177,7 +180,7 @@ def start_near_dup_ingest(
                 survivors_sh.select(id_col), id_col, "left_semi"
             )
             survivors.write.mode("append").parquet(corpus_dir)
-            if os.path.isdir(MI._data_path(index_dir)):
+            if MI.index_exists(index_dir):
                 MI.append_minhash_index(survivors_sh, index_dir, id_col=id_col)
             else:
                 MI.build_minhash_index(survivors_sh, index_dir, id_col=id_col)

@@ -333,6 +333,39 @@ def test_index_meta_mismatch_rejected(spark, shingled, tmp_path):
         )
 
 
+def test_index_missing_sidecar_reads_as_no_index(spark, shingled, tmp_path):
+    """Crash-safety: build writes the meta sidecar BEFORE the parquet data,
+    so the only orphan state a crash can produce is meta-without-data — which
+    index_exists() reports as 'no index' and a rebuild repairs. A data dir
+    WITHOUT the sidecar (legacy builds / tampering) must also read as 'no
+    index' for self-healing callers, while direct _check_meta callers get a
+    clear rebuild instruction instead of FileNotFoundError."""
+    import os
+
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+
+    corpus_sh = shingled.where(F.expr("doc_id % 10 < 8")).limit(10)
+    path = str(tmp_path / "idx")
+    MI.build_minhash_index(corpus_sh, path)
+    assert MI.index_exists(path)
+
+    os.remove(MI._meta_path(path))
+    assert not MI.index_exists(path)
+    with pytest.raises(ValueError, match="rebuild"):
+        MI.incremental_near_dup_matches_indexed(spark, path, corpus_sh)
+    # rebuild repairs the orphan state in place
+    MI.build_minhash_index(corpus_sh, path)
+    assert MI.index_exists(path)
+    assert MI.incremental_near_dup_matches_indexed(
+        spark, path, corpus_sh
+    ).count() > 0
+
+    # meta-without-data (crash between sidecar and data write): no index yet
+    fresh = str(tmp_path / "fresh")
+    MI._write_meta(fresh, {"num_hashes": 64, "bands": 16, "seed": 42})
+    assert not MI.index_exists(fresh)
+
+
 def test_duplicate_substring_spans_semantics(spark):
     """Planted check for the ExactSubstr span op: two docs share one 8-token
     run; the op must emit exactly that run as ONE maximal span per doc (the
