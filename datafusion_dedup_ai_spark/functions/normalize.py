@@ -24,17 +24,28 @@ from datafusion_dedup_ai_spark.config import (
 
 # ---------------------------------------------------------------------------
 # N1 — normalize: upper, strip punctuation except & / -, collapse whitespace.
-# Reference engine.py:43-51. Java regex \w is ASCII [a-zA-Z0-9_] while Python's
-# is Unicode; testdata is ASCII where both agree (use "(?U)" if Unicode-exact
-# reference parity is ever needed — DuckDB/RE2 has no (?U), so judged queries
-# stay ASCII).
+# Reference engine.py:43-51. The reference uses Python `re`, whose \w/\s/\b
+# are Unicode; Java regex defaults them to ASCII. The engine therefore embeds
+# the (?U) flag (UNICODE_CHARACTER_CLASS) by DEFAULT, so "Müller GmbH" or
+# "Société Générale S.A." normalize exactly as the reference does
+# (tests/test_normalize.py pins Spark == Python `re` on non-ASCII fixtures).
+# ``unicode_aware=False`` restores the ASCII classes. Judged queries are
+# unaffected either way: the testdata is ASCII, where both agree (and the
+# DuckDB oracles' RE2 has no (?U), which is why the GATED fixtures stay
+# ASCII — SURVEY.md §7 R2).
 # ---------------------------------------------------------------------------
 
+_UFLAG = "(?U)"
 
-def normalize_name(col: Column) -> Column:
+
+def _u(pattern: str, unicode_aware: bool) -> str:
+    return (_UFLAG + pattern) if unicode_aware else pattern
+
+
+def normalize_name(col: Column, unicode_aware: bool = True) -> Column:
     s = F.upper(F.coalesce(col.cast("string"), F.lit("")))
-    s = F.regexp_replace(s, r"[^\w\s&/-]", " ")
-    s = F.regexp_replace(s, r"\s+", " ")
+    s = F.regexp_replace(s, _u(r"[^\w\s&/-]", unicode_aware), " ")
+    s = F.regexp_replace(s, _u(r"\s+", unicode_aware), " ")
     return F.trim(s)
 
 
@@ -54,19 +65,27 @@ def normalize_name(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _token_patterns(tokens: tuple[str, ...]) -> tuple[str, ...]:
-    return tuple(rf"\b{_re.escape(t)}$" for t in tokens)
+def _token_patterns(tokens: tuple[str, ...], unicode_aware: bool) -> tuple[str, ...]:
+    # \b is Unicode-sensitive too: without (?U), "CAFÉLTD" has an ASCII word
+    # boundary between É and L and the suffix would be wrongly stripped.
+    return tuple(_u(rf"\b{_re.escape(t)}$", unicode_aware) for t in tokens)
 
 
-def _any_trailing_guard(tokens: tuple[str, ...]) -> str:
+def _any_trailing_guard(tokens: tuple[str, ...], unicode_aware: bool) -> str:
     alts = "|".join(_re.escape(t) for t in tokens)
-    return rf"\b(?:{alts})$"
+    return _u(rf"\b(?:{alts})$", unicode_aware)
 
 
-_SUFFIX_PATTERNS = _token_patterns(LEGAL_SUFFIXES)
-_COUNTRY_PATTERNS = _token_patterns(COUNTRY_TOKENS)
-_SUFFIX_GUARD = _any_trailing_guard(LEGAL_SUFFIXES)
-_COUNTRY_GUARD = _any_trailing_guard(COUNTRY_TOKENS)
+# Both variants precomputed so the regexes stay foldable literals (constraint
+# 2 in _strip_trailing_fixpoint) whichever flag the caller picks.
+_SUFFIX_PATTERNS = {
+    u: _token_patterns(LEGAL_SUFFIXES, u) for u in (False, True)
+}
+_COUNTRY_PATTERNS = {
+    u: _token_patterns(COUNTRY_TOKENS, u) for u in (False, True)
+}
+_SUFFIX_GUARD = {u: _any_trailing_guard(LEGAL_SUFFIXES, u) for u in (False, True)}
+_COUNTRY_GUARD = {u: _any_trailing_guard(COUNTRY_TOKENS, u) for u in (False, True)}
 
 
 def _strip_trailing_fixpoint(
@@ -92,14 +111,22 @@ def _strip_trailing_fixpoint(
     )
 
 
-def strip_legal_suffixes(col: Column, passes: int = SUFFIX_STRIP_PASSES) -> Column:
+def strip_legal_suffixes(
+    col: Column, passes: int = SUFFIX_STRIP_PASSES, unicode_aware: bool = True
+) -> Column:
     """N2: repeatedly delete a trailing legal-form token (reference engine.py:53-60)."""
-    return _strip_trailing_fixpoint(col, _SUFFIX_PATTERNS, _SUFFIX_GUARD, passes)
+    return _strip_trailing_fixpoint(
+        col, _SUFFIX_PATTERNS[unicode_aware], _SUFFIX_GUARD[unicode_aware], passes
+    )
 
 
-def fold_subsidiaries(col: Column, passes: int = SUFFIX_STRIP_PASSES) -> Column:
+def fold_subsidiaries(
+    col: Column, passes: int = SUFFIX_STRIP_PASSES, unicode_aware: bool = True
+) -> Column:
     """N3: repeatedly delete a trailing country token (reference engine.py:62-70)."""
-    return _strip_trailing_fixpoint(col, _COUNTRY_PATTERNS, _COUNTRY_GUARD, passes)
+    return _strip_trailing_fixpoint(
+        col, _COUNTRY_PATTERNS[unicode_aware], _COUNTRY_GUARD[unicode_aware], passes
+    )
 
 
 # ---------------------------------------------------------------------------

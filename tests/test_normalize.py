@@ -105,6 +105,62 @@ def test_token_sort_key(spark):
     assert got == ["IBMINDIA", "IBMINDIA", "ABC", ""]
 
 
+# --- Unicode regime: Spark default (?U) == Python `re` defaults -----------
+#
+# The reference runs Python `re`, whose \w/\s/\b are Unicode. The engine's
+# normalize/strip/fold embed (?U) by default; this pins Spark == the TRUE
+# reference semantics on non-ASCII names (the ASCII mirrors above cover the
+# regime the DuckDB-gated queries run in). Fixtures are NFC-composed: Java's
+# (?U)\w includes nonspacing marks (Mn) while Python's \w does not, so
+# DECOMPOSED accents are a documented residual divergence — real-world text
+# normalization NFC-folds first.
+
+def py_normalize_unicode(name) -> str:
+    if name is None:
+        return ""
+    s = str(name).upper()
+    s = re.sub(r"[^\w\s&/-]", " ", s)  # Python \w/\s: Unicode by default
+    s = re.sub(r"\s+", " ", s).strip()
+    return s
+
+
+def py_base_unicode(name) -> str:
+    b = py_strip_fixpoint(py_normalize_unicode(name), LEGAL_SUFFIXES)
+    b = py_strip_fixpoint(b, COUNTRY_TOKENS)
+    return DEFAULT_ACRONYM_MAP.get(b, b)
+
+
+UNICODE_CASES = [
+    "Müller GmbH",
+    "Société Générale S.A.",
+    "CaféLtd",  # NO Unicode word boundary between É and L: suffix must survive
+    "Café Ltd",
+    "Zürich Insurance Co",
+    "Nestlé S.A.",
+    "ÀCME-CORP Ltd",
+    "naïve & Søn A/S",
+    "Straße GmbH & Co KG",
+    "ПАО Газпром",
+    "株式会社トヨタ",
+    "Łódź Tekstylia SP Z O O",
+]
+
+
+def test_unicode_normalize_matches_python_re(spark):
+    got = spark_eval(spark, UNICODE_CASES, normalize_name)
+    assert got == [py_normalize_unicode(n) for n in UNICODE_CASES]
+
+
+def test_unicode_base_name_matches_python_re(spark):
+    got = spark_eval(spark, UNICODE_CASES, base_name)
+    assert got == [py_base_unicode(n) for n in UNICODE_CASES]
+    # the boundary case that ASCII \b gets WRONG: ASCII regex sees a word
+    # boundary inside CAFÉLTD (É is a non-word char to ASCII \b) and strips
+    # the suffix; Unicode keeps the name intact
+    cafeltd = spark_eval(spark, ["CaféLtd"], base_name)[0]
+    assert cafeltd == "CAFÉLTD"
+
+
 name_strategy = st.text(
     alphabet=st.sampled_from(
         list("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 .,&/-")
