@@ -159,9 +159,26 @@ def near_duplicate_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs above a cosine threshold (embedding-space near-dup). The
-    exact quadratic form — at scale, run lsh_topk per shard instead."""
+    EXACT QUADRATIC form — it exists as the correctness baseline the LSH
+    tier's recall is measured against (``lsh_near_pairs`` is the scale path
+    and what the production composite uses).
+
+    ``max_rows`` is the scale guard: the corpus is counted (a cheap
+    single-column job) and anything larger FAILS LOUDLY instead of launching
+    an N^2 crossJoin that would run for days at cluster scale. Pass ``None``
+    only for deliberate oracle/recall grading on bounded fixtures."""
+    if max_rows is not None:
+        n = corpus.select(id_col).count()
+        if n > max_rows:
+            raise ValueError(
+                f"near_duplicate_embeddings is O(N^2): corpus has {n} rows > "
+                f"max_rows={max_rows}. Use lsh_near_pairs (bucketed candidates "
+                "+ exact verify) at this scale, or raise max_rows explicitly "
+                "if a quadratic baseline on this corpus is intended"
+            )
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -76,8 +76,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-duplicate pairs (cosine >= 0.35) — exact
-    quadratic form; the LSH tier is the scale path."""
+    """Embedding-space near-duplicate pairs (cosine >= 0.35) — the exact
+    quadratic baseline the LSH tier's recall is graded against. Scale-guarded:
+    the operator counts the corpus and fails loudly above ``max_rows``
+    (default 100k) instead of launching an N^2 crossJoin; the production
+    composite (`embedding_dedup_clusters`) uses the bucketed `lsh_near_pairs`
+    path, plan-asserted crossJoin-free in tests/test_plans.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.near_duplicate_embeddings(emb, threshold=NEAR_DUP_THRESHOLD)
 

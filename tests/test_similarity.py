@@ -131,6 +131,19 @@ def test_lsh_near_pairs_recall_vs_exact(spark, emb):
     assert len(capped & exact) / len(exact) >= 0.5, "cap destroyed recall"
 
 
+def test_near_duplicate_embeddings_quadratic_guard(spark, emb):
+    """The exact quadratic baseline must FAIL LOUDLY above max_rows instead
+    of launching an N^2 crossJoin — and the error must point at the scale
+    path. Small corpora and an explicit None opt-out still run."""
+    with pytest.raises(ValueError, match="lsh_near_pairs"):
+        S.near_duplicate_embeddings(emb, max_rows=10)
+    # under the cap (and with the guard disabled) the exact form still runs
+    small = emb.limit(20)
+    n_guarded = S.near_duplicate_embeddings(small, max_rows=100).count()
+    n_unguarded = S.near_duplicate_embeddings(small, max_rows=None).count()
+    assert n_guarded == n_unguarded
+
+
 def test_embedding_clusters_match_union_find(spark, sf_dir):
     """Label-propagation components over the LSH-candidate near-pairs must
     equal a driver-side union-find over the same edge list (the composite
