@@ -88,6 +88,11 @@ class DedupConfig:
     enable_enrichment: bool = False
     acronym_overrides: dict[str, str] = field(default_factory=dict)
     max_block_size: int | None = None
+    # Blocks with more member rows than this route to the label-propagation
+    # mega-block fallback in clustering (identical partitions, order-
+    # independent upper-bound confidences) instead of one cogroup task.
+    # ``None`` keeps exact reference semantics for every block.
+    mega_block_rows: int | None = None
 
     @property
     def acronym_map(self) -> dict[str, str]:

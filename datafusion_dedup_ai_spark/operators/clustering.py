@@ -188,6 +188,106 @@ def cluster_label_propagation(edges: DataFrame, max_iters: int = 50) -> DataFram
     return labels.select(F.col("v").alias("row_order"), F.col("label").alias("cluster_id"))
 
 
+def cluster_mega_blocks(
+    members: DataFrame,
+    matches: DataFrame,
+    conf_identical: float,
+    reason_identical: str,
+) -> DataFrame:
+    """Scale fallback for pathological blocks too large for one cogroup task
+    (reference engine.py:194-200 keys by first-char/length-bucket/first-token,
+    so a corpus where every name shares those lands in ONE block).
+
+    The component structure is recovered WITHOUT materializing row-level
+    pairs, via a bipartite contraction: every row links to its base-group's
+    representative (min row_order), and matched base groups link rep-to-rep.
+    Components over this contracted graph equal components over the row-pair
+    graph when identical bases link (which they do whenever 1.0 clears the
+    thresholds — the only regime this fallback serves; ``cluster_exact``
+    enforces it). Labels then come from hash-min label propagation —
+    O(diameter) bounded-shuffle iterations, never a quadratic task.
+
+    Confidences/reasons are ORDER-INDEPENDENT UPPER BOUNDS (documented
+    divergence from the C3 scan-order quirk): every row takes the strongest
+    link its base group participates in — the identical-base tier when its
+    group has >= 2 rows, else the best match edge touching the group — and
+    isolated rows keep the stage-1 defaults.
+
+    Input/output contract matches the cogroup replay: members (block_key,
+    row_order, base_name), matches (block_key, base_a, base_b,
+    pair_confidence, pair_reason) -> _MEMBER_SCHEMA rows for every member.
+    """
+    reps = members.groupBy("block_key", "base_name").agg(
+        F.min("row_order").alias("rep"), F.count("*").alias("grp_n")
+    )
+    with_rep = members.join(reps, ["block_key", "base_name"])
+    row_edges = with_rep.where(F.col("row_order") != F.col("rep")).select(
+        F.col("row_order").alias("row_order_a"), F.col("rep").alias("row_order_b")
+    )
+    ra = reps.select(
+        F.col("block_key"), F.col("base_name").alias("base_a"),
+        F.col("rep").alias("rep_a"),
+    )
+    rb = reps.select(
+        F.col("block_key"), F.col("base_name").alias("base_b"),
+        F.col("rep").alias("rep_b"),
+    )
+    match_edges = (
+        matches.join(ra, ["block_key", "base_a"])
+        .join(rb, ["block_key", "base_b"])
+        .select(
+            F.col("rep_a").alias("row_order_a"), F.col("rep_b").alias("row_order_b")
+        )
+    )
+    labels = cluster_label_propagation(row_edges.union(match_edges))
+
+    # group-level confidence: strongest link the base group participates in
+    touch = (
+        matches.select(
+            "block_key", F.col("base_a").alias("base_name"),
+            "pair_confidence", "pair_reason",
+        )
+        .union(
+            matches.select(
+                "block_key", F.col("base_b").alias("base_name"),
+                "pair_confidence", "pair_reason",
+            )
+        )
+        .groupBy("block_key", "base_name")
+        .agg(
+            F.max("pair_confidence").alias("m_conf"),
+            F.max_by("pair_reason", "pair_confidence").alias("m_reason"),
+        )
+    )
+    ident = F.when(F.col("grp_n") >= 2, F.lit(conf_identical))
+    conf = F.greatest(F.coalesce(F.col("m_conf"), F.lit(0.0)), F.coalesce(ident, F.lit(0.0)))
+    reason = (
+        F.when(
+            F.coalesce(ident, F.lit(0.0)) >= F.coalesce(F.col("m_conf"), F.lit(0.0)),
+            F.when(F.col("grp_n") >= 2, F.lit(reason_identical)).otherwise(
+                F.coalesce(F.col("m_reason"), F.lit(REASON_DEFAULT))
+            ),
+        ).otherwise(F.col("m_reason"))
+    )
+    graded = (
+        with_rep.join(touch, ["block_key", "base_name"], "left")
+        .withColumn(
+            "confidence",
+            F.when(conf > 0.0, conf).otherwise(F.lit(CONF_DEFAULT)),
+        )
+        .withColumn("reason", reason)
+    )
+    return (
+        graded.join(labels, "row_order", "left")
+        .select(
+            "row_order",
+            F.coalesce(F.col("cluster_id"), F.col("row_order")).alias("cluster_id"),
+            "confidence",
+            "reason",
+        )
+    )
+
+
 def _replay_block(
     members: pd.DataFrame,
     matches: pd.DataFrame,
@@ -296,11 +396,18 @@ def cluster_exact(
     prepared: DataFrame,
     group_matches: DataFrame,
     link_identical: bool = True,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """C1/C3/C4 via cogrouped per-block replay of the collapsed inputs.
 
     Shuffle volume is O(rows + distinct base pairs) — never the row-pair
     matrix. Empty-base rows stay singletons with the C4 rule.
+
+    ``max_block_rows`` routes blocks with more member rows than the cap to
+    the ``cluster_mega_blocks`` label-propagation fallback instead of a
+    single cogroup task: identical partitions, order-independent
+    upper-bound confidences (documented divergence). ``None`` (default)
+    keeps every block on the exact replay.
     """
     from datafusion_dedup_ai_spark.config import (
         CONF_TOKEN_AND_HARD,
@@ -310,6 +417,36 @@ def cluster_exact(
     members = prepared.where(F.col("base_name") != "").select(
         "block_key", "row_order", "base_name"
     )
+
+    mega_labeled = None
+    if max_block_rows is not None:
+        if not link_identical:
+            raise ValueError(
+                "max_block_rows requires link_identical semantics: the "
+                "mega-block fallback contracts identical-base rows to one "
+                "vertex, which is only component-preserving when identical "
+                "bases link (1.0 clears the thresholds)"
+            )
+        # The pathological-key set is tiny by construction (a handful of hot
+        # blocks), so it broadcasts; every other block stays on the exact
+        # replay path.
+        mega_keys = (
+            members.groupBy("block_key")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_block_rows)
+            .select("block_key")
+        )
+        mega_members = members.join(F.broadcast(mega_keys), "block_key", "left_semi")
+        mega_matches = group_matches.join(
+            F.broadcast(mega_keys), "block_key", "left_semi"
+        )
+        members = members.join(F.broadcast(mega_keys), "block_key", "left_anti")
+        group_matches = group_matches.join(
+            F.broadcast(mega_keys), "block_key", "left_anti"
+        )
+        mega_labeled = cluster_mega_blocks(
+            mega_members, mega_matches, CONF_TOKEN_AND_HARD, REASON_TOKEN_AND_HARD
+        )
 
     def run(mem_pdf: pd.DataFrame, match_pdf: pd.DataFrame) -> pd.DataFrame:
         return _replay_block(
@@ -324,9 +461,11 @@ def cluster_exact(
         members.groupBy("block_key")
         .cogroup(gm.groupBy("match_block_key"))
         .applyInPandas(run, schema=_MEMBER_SCHEMA)
-        .withColumnsRenamed(
-            {"cluster_id": "m_cluster_id", "confidence": "m_confidence", "reason": "m_reason"}
-        )
+    )
+    if mega_labeled is not None:
+        labeled = labeled.unionByName(mega_labeled)
+    labeled = labeled.withColumnsRenamed(
+        {"cluster_id": "m_cluster_id", "confidence": "m_confidence", "reason": "m_reason"}
     )
     out = prepared.join(labeled, on="row_order", how="left")
     return (

@@ -65,7 +65,12 @@ def dedup_pipeline(
     # tests and a full-vs-collapsed equivalence test.
     matches = group_pair_matches(prepared, config)
     link_identical = (1.0 >= config.soft_threshold) or (1.0 >= config.hard_threshold)
-    clustered = cluster_exact(prepared, matches, link_identical=link_identical)
+    clustered = cluster_exact(
+        prepared,
+        matches,
+        link_identical=link_identical,
+        max_block_rows=config.mega_block_rows,
+    )
     # `elect_canonical` consumes its input twice (per-cluster aggregation +
     # the final member join); without a persist the cogrouped union-find —
     # the most expensive stage — would execute once per consumer. Persisting

@@ -42,6 +42,40 @@ def test_external_attacher_shape(spark):
     assert f == g
 
 
+def test_mega_block_fallback_partition_matches_exact(spark):
+    """A pathological corpus where (almost) every name lands in ONE block —
+    the reference's key is first-char/length-bucket/first-token, so 120 rows
+    share block A_1_AAACORP. With max_block_rows=50 that block routes to the
+    label-propagation fallback; the partition (row_order -> cluster_id, and
+    cluster sizes) must equal the exact replay's, and the small block that
+    stayed on the exact path must match bit-for-bit including confidences."""
+    names = [f"AAACORP {i % 7}" for i in range(120)] + ["Zebra Inc"] * 3
+    df = spark.createDataFrame(list(enumerate(names)), ["idx", "name"])
+    cfg = DedupConfig()
+    prep = prepare_names(df, "name", cfg, order_col="idx")
+    matches = group_pair_matches(prep, cfg)
+    exact = cluster_exact(prep, matches)
+    routed = cluster_exact(prep, matches, max_block_rows=50)
+
+    def part(df_):
+        return {
+            r["row_order"]: r["cluster_id"]
+            for r in df_.select("row_order", "cluster_id").collect()
+        }
+
+    assert part(exact) == part(routed)
+    # the sub-threshold block must be byte-identical (exact path both times)
+    small_cols = ["row_order", "cluster_id", "confidence", "reason"]
+    sm_e = [tuple(r) for r in exact.where(F.col("base_name") == "ZEBRA")
+            .select(small_cols).orderBy("row_order").collect()]
+    sm_r = [tuple(r) for r in routed.where(F.col("base_name") == "ZEBRA")
+            .select(small_cols).orderBy("row_order").collect()]
+    assert sm_e == sm_r and len(sm_e) == 3
+    # fallback requires identical-base linking semantics
+    with pytest.raises(ValueError, match="link_identical"):
+        cluster_exact(prep, matches, link_identical=False, max_block_rows=50)
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_random_fuzzy_corpora(spark, seed):
     rng = random.Random(seed)
