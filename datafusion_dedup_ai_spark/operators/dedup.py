@@ -238,6 +238,14 @@ def minhash_near_dup_pairs(
     if persist:
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(shingled, id_col, shingles_col, num_hashes, seed)
+    if persist:
+        # Both sides of the band self-join consume the signature frame; the
+        # 64-min explode aggregate is the CPU-heavy stage and would execute
+        # once per side without this pin (observed in the sf0.1 physical
+        # plan: two Generate+HashAggregate signature subtrees). Signatures
+        # are num_hashes longs per doc — orders of magnitude smaller than
+        # the shingle sets, so the cache is cheap at any scale.
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, rows_per_band)
     return verify_jaccard(cands, shingled, id_col, shingles_col, threshold)
 

@@ -161,7 +161,11 @@ def incremental_near_dup_matches_indexed(
     index: signatures are READ (columns doc_id+sig), shingle sets are READ
     (columns doc_id+shingles, candidate ids only), and the corpus text is
     never touched. ``persist=False`` for callers that already cached the
-    batch frame and release it themselves (the streaming sink)."""
+    batch frame and release it themselves (the streaming sink does, per
+    micro-batch). The default persist lives for the session — long-running
+    batch callers issuing many DISTINCT batch frames should pass
+    persist=False and manage the cache, or clear the catalog cache between
+    batches (bench.py's pattern), or executor storage grows per call."""
     from pyspark import StorageLevel
 
     _check_meta(index_path, num_hashes, bands, seed)
