@@ -86,6 +86,32 @@ def test_frame_samples_within_payload(media):
         assert 0 <= r["byte_offset"] < sizes[r["doc_id"]]
 
 
+def test_oracle_resolution_materializes_fixture(spark, sf_dir):
+    """Execution-order independence: resolving the media oracle SQL must
+    (re)materialize the parquet fixture itself when a SparkSession is active
+    — the driver may run oracles BEFORE the Spark query, and a stale fixture
+    from an earlier process must be refreshed before either side reads it."""
+    import os
+    import shutil
+
+    from datafusion_dedup_ai_spark.queries_multimodal import _media_glob
+
+    path = M.media_fixture_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    M._written.discard(path)
+    glob = _media_glob()
+    assert os.path.isdir(path), "oracle resolution did not materialize"
+    assert glob.startswith(path)
+    # cluster-snapshot oracles follow the same contract
+    from datafusion_dedup_ai_spark import materialize as MZ
+
+    snap = MZ.clusters_snapshot_path(sf_dir)
+    shutil.rmtree(snap, ignore_errors=True)
+    MZ._written.discard(snap)
+    MZ.snapshot_glob()
+    assert os.path.isdir(snap)
+
+
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         M.decode_media(b"\x00", "image")
