@@ -125,14 +125,21 @@ def read_inputs(
 
 
 def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
-    try:
-        import pandas as pd
+    """S2: driver-side xlsx read (reference app.py:85-88 semantics: first
+    sheet, first row = header). pandas+openpyxl when available; otherwise the
+    stdlib fallback (sources/xlsx_lite.py) parses the OOXML parts directly —
+    no environment gate either way."""
+    import pandas as pd
 
-        pdf = pd.read_excel(path)  # needs openpyxl; gated import
-    except ImportError as exc:  # pragma: no cover - env without openpyxl
-        raise NotImplementedError(
-            "xlsx reading requires openpyxl on the driver; convert to CSV/parquet"
-        ) from exc
+    try:
+        pdf = pd.read_excel(path)
+    except ImportError:  # no openpyxl: stdlib OOXML fallback
+        from datafusion_dedup_ai_spark.sources.xlsx_lite import read_xlsx
+
+        sheets = read_xlsx(path)
+        rows = next(iter(sheets.values()), [])
+        header = [str(h) for h in rows[0]] if rows else []
+        pdf = pd.DataFrame(rows[1:], columns=header)
     return spark.createDataFrame(pdf)
 
 

@@ -34,19 +34,29 @@ def write_reports_parquet(reports: dict[str, DataFrame], out_dir: str) -> dict[s
 
 
 def write_xlsx_driver_side(reports: dict[str, DataFrame], path: str) -> None:
-    """Reference-parity xlsx sink: multi-sheet workbook via pandas/openpyxl,
-    driver-side (results after dedup are config-sized). Gated: openpyxl is not
-    in this environment."""
+    """O7: reference-parity multi-sheet xlsx sink (outputs.py:44-58),
+    driver-side — results after dedup are config-sized; the scalable sink is
+    write_reports_parquet. Uses pandas/openpyxl when available, else the
+    stdlib OOXML writer (sources/xlsx_lite.py) — no environment gate."""
+    import pandas as pd
+
     try:
         import openpyxl  # noqa: F401
-        import pandas as pd
-    except ImportError as exc:
-        raise NotImplementedError(
-            "xlsx sink requires openpyxl on the driver; use write_reports_parquet"
-        ) from exc
-    with pd.ExcelWriter(path, engine="openpyxl") as writer:
+
+        with pd.ExcelWriter(path, engine="openpyxl") as writer:
+            for sheet, df in reports.items():
+                df.toPandas().to_excel(writer, sheet_name=sheet[:31], index=False)
+    except ImportError:
+        from datafusion_dedup_ai_spark.sources.xlsx_lite import write_xlsx
+
+        sheets: dict[str, list[list]] = {}
         for sheet, df in reports.items():
-            df.toPandas().to_excel(writer, sheet_name=sheet[:31], index=False)
+            pdf = df.toPandas()
+            rows: list[list] = [list(map(str, pdf.columns))]
+            for rec in pdf.itertuples(index=False):
+                rows.append([None if v is None else v for v in rec])
+            sheets[sheet[:31]] = rows
+        write_xlsx(path, sheets)
 
 
 def settings_sheet(config, spark) -> DataFrame:

@@ -105,16 +105,45 @@ def test_settings_sheet(spark):
     assert rows["hard_threshold"] == "0.9"
 
 
-def test_xlsx_sink_gated(spark):
-    df = spark.range(1)
-    try:
-        import openpyxl  # noqa: F401
+def test_xlsx_roundtrip_stdlib(tmp_path):
+    """xlsx_lite: write -> read round-trip of mixed types (strings needing
+    XML escaping, ints, floats, bools, None gaps), multi-sheet, 31-char
+    sheet-name truncation, deterministic bytes."""
+    from datafusion_dedup_ai_spark.sources import xlsx_lite as X
 
-        pytest.skip("openpyxl present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        sinks.write_xlsx_driver_side({"s": df}, "/tmp/out.xlsx")
+    rows = [
+        ["name", "n", "ratio", "flag", "note"],
+        ["a & <b>", 1, 1.5, True, None],
+        ["plain", -7, 0.25, False, "x\ny"],
+    ]
+    sheets = {"first": rows, "s" * 40: [["only", "header"]]}
+    p1, p2 = str(tmp_path / "a.xlsx"), str(tmp_path / "b.xlsx")
+    X.write_xlsx(p1, sheets)
+    X.write_xlsx(p2, sheets)
+    assert open(p1, "rb").read() == open(p2, "rb").read(), "non-deterministic"
+    back = X.read_xlsx(p1)
+    assert list(back) == ["first", "s" * 31]
+    assert back["first"] == rows
+    assert back["s" * 31] == [["only", "header"]]
+
+
+def test_xlsx_sink_and_reader_end_to_end(spark, tmp_path):
+    """O7 sink + S2 reader with no openpyxl in the environment: the report
+    workbook writes via the stdlib fallback and reads back as a DataFrame
+    through the standard read_input dispatch (first row = header)."""
+    df = spark.createDataFrame(
+        [("acme ltd", 2, 0.98), ("globex", 1, 0.5)],
+        ["canonical_name", "cluster_size", "confidence"],
+    )
+    path = str(tmp_path / "reports.xlsx")
+    sinks.write_xlsx_driver_side({"clusters": df, "stats": df.limit(1)}, path)
+
+    back = read_input(spark, path)
+    got = {r["canonical_name"]: r for r in back.collect()}
+    assert set(got) == {"acme ltd", "globex"}
+    assert got["acme ltd"]["cluster_size"] == 2
+    assert abs(got["acme ltd"]["confidence"] - 0.98) < 1e-12
+    assert first_string_column(back) == "canonical_name"
 
 
 def test_label_propagation_matches_exact_partition(spark, sf_dir):
