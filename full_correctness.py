@@ -57,6 +57,9 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entry_mod.queries()
+    # resolve the oracle dict ONCE: resolution is not free (callable oracles
+    # materialize their parquet fixtures on first touch)
+    oracles = entry_mod.oracle_sql()
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         rec: dict = {
@@ -70,7 +73,7 @@ def main() -> None:
         try:
             sdf = fn(spark, sf_dir).toPandas()
             rec["spark_rows"] = len(sdf)
-            oracle = entry_mod.oracle_sql().get(name)
+            oracle = oracles.get(name)
             if oracle is None:
                 rec["err"] = "no_oracle"
             else:
