@@ -49,10 +49,30 @@ def _col_index(ref: str) -> int:
     return idx - 1
 
 
+# XML 1.0 cannot carry most control characters even escaped; OOXML encodes
+# them as _xHHHH_ (and protects literal text that LOOKS like that escape by
+# encoding its underscore as _x005F_). openpyxl does the same.
+_XML_INVALID = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_OOXML_ESC_LITERAL = re.compile(r"_(?=x[0-9A-Fa-f]{4}_)")
+_OOXML_ESC = re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _encode_text(s: str) -> str:
+    s = _OOXML_ESC_LITERAL.sub("_x005F_", s)
+    s = _XML_INVALID.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+    return escape(s)
+
+
+def _decode_text(s: str) -> str:
+    return _OOXML_ESC.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _sheet_xml(rows: list[list]) -> bytes:
+    n_cols = max((len(r) for r in rows), default=0)
+    dim = f"A1:{_col_letter(max(n_cols - 1, 0))}{max(len(rows), 1)}"
     parts = [
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
-        f'<worksheet xmlns="{_NS}"><sheetData>',
+        f'<worksheet xmlns="{_NS}"><dimension ref="{dim}"/><sheetData>',
     ]
     for r, row in enumerate(rows, start=1):
         cells = []
@@ -67,7 +87,7 @@ def _sheet_xml(rows: list[list]) -> bytes:
             else:
                 cells.append(
                     f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-                    f"{escape(str(v))}</t></is></c>"
+                    f"{_encode_text(str(v))}</t></is></c>"
                 )
         parts.append(f'<row r="{r}">{"".join(cells)}</row>')
     parts.append("</sheetData></worksheet>")
@@ -138,18 +158,20 @@ def _parse_value(cell: ET.Element, shared: list[str]):
     t = cell.get("t", "n")
     if t == "inlineStr":
         ts = cell.find(f"{{{_NS}}}is/{{{_NS}}}t")
-        return ts.text or "" if ts is not None else ""
+        return _decode_text(ts.text or "") if ts is not None else ""
     v = cell.find(f"{{{_NS}}}v")
     if v is None or v.text is None:
         return None
     if t == "s":
-        return shared[int(v.text)]
+        return _decode_text(shared[int(v.text)])
     if t == "b":
         return v.text == "1"
     if t == "str":
-        return v.text
-    num = float(v.text)
-    return int(num) if num.is_integer() and "." not in v.text and "E" not in v.text.upper() else num
+        return _decode_text(v.text)
+    text = v.text
+    if re.fullmatch(r"-?\d+", text):
+        return int(text)  # exact — float() would round ints past 2^53
+    return float(text)
 
 
 def read_xlsx(path: str) -> dict[str, list[list]]:
@@ -173,16 +195,26 @@ def read_xlsx(path: str) -> dict[str, list[list]]:
             name = sheet.get("name")
             target = rels[sheet.get(f"{{{_NS_REL}}}id")]
             sh_root = ET.fromstring(zf.read(target))
-            rows: list[list] = []
+            by_row: dict[int, list] = {}
             for row_el in sh_root.iter(f"{{{_NS}}}row"):
+                r_idx = int(row_el.get("r", len(by_row) + 1)) - 1
                 row: list = []
                 for cell in row_el.iter(f"{{{_NS}}}c"):
                     idx = _col_index(cell.get("r", _col_letter(len(row)) + "1"))
                     while len(row) < idx:
                         row.append(None)
                     row.append(_parse_value(cell, shared))
-                rows.append(row)
-            width = max((len(r) for r in rows), default=0)
+                by_row[r_idx] = row
+            # grid shape from the dimension element when present (all-None
+            # rows/columns otherwise vanish — cells are sparse in the XML)
+            n_rows = max(by_row, default=-1) + 1
+            width = max((len(r) for r in by_row.values()), default=0)
+            dim = sh_root.find(f"{{{_NS}}}dimension")
+            if dim is not None and ":" in (dim.get("ref") or ""):
+                end = dim.get("ref").split(":")[1]
+                width = max(width, _col_index(end) + 1)
+                n_rows = max(n_rows, int(re.search(r"\d+", end).group(0)))
+            rows = [by_row.get(i, []) for i in range(n_rows)]
             for r in rows:
                 r.extend([None] * (width - len(r)))
             out[name] = rows

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from datafusion_dedup_ai_spark.config import DedupConfig, parse_mapping_string
@@ -125,6 +126,36 @@ def test_xlsx_roundtrip_stdlib(tmp_path):
     assert list(back) == ["first", "s" * 31]
     assert back["first"] == rows
     assert back["s" * 31] == [["only", "header"]]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.booleans(),
+                st.integers(min_value=-(10**25), max_value=10**25),
+                st.floats(allow_nan=False, allow_infinity=False),
+                st.text(max_size=20),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=6,
+    ).map(lambda rows: [r + [None] * (max(map(len, rows)) - len(r)) for r in rows])
+)
+def test_xlsx_property_roundtrip(tmp_path_factory, rows):
+    """Property round-trip: any grid of None/bool/int/float/str survives
+    write->read exactly — including ints past 2^53 (parsed as int, never
+    through float) and arbitrary unicode (XML-escaped)."""
+    from datafusion_dedup_ai_spark.sources import xlsx_lite as X
+
+    path = str(tmp_path_factory.mktemp("xl") / "t.xlsx")
+    X.write_xlsx(path, {"s": rows})
+    back = X.read_xlsx(path)["s"]
+    assert back == rows
 
 
 def test_xlsx_sink_and_reader_end_to_end(spark, tmp_path):
