@@ -407,3 +407,167 @@ def q_streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_INGEST_DONE.add(root)
     corpus = spark.read.parquet(corpus_dir)
     return corpus.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rule pack (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", arXiv:2112.11446
+# §A1.1): per-rule boolean flags + the conjunctive keep decision, so a
+# pipeline can audit WHICH rule rejected a document, not just that one did.
+# Rules needing punctuation/line structure (bullet ratio, ellipsis lines,
+# symbol-to-word ratio) are omitted: the corpus is single-space word text and
+# they would be vacuously true; the bands below all have both-sided traffic
+# on the testdata. Thresholds are module constants so both engine sides are
+# generated from one definition.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_words,
+               CAST(n_word_chars AS DOUBLE) / len(tk) AS mean_word_len,
+               CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))
+                    AS DOUBLE) / len(tk) AS frac_alpha_words,
+               CAST(len(list_filter(list_distinct(tk),
+                    x -> list_contains({_SQL_STOPWORDS}, x))) AS BIGINT)
+                   AS n_stopword_hits
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopword_hits,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AS flag_word_count,
+           (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                AND {GOPHER_MAX_MEAN_WORD_LEN}) AS flag_mean_word_len,
+           (frac_alpha_words >= {GOPHER_MIN_ALPHA_FRAC}) AS flag_alpha_words,
+           (n_stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS flag_stopwords,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                 AND {GOPHER_MAX_MEAN_WORD_LEN})
+            AND (frac_alpha_words >= {GOPHER_MIN_ALPHA_FRAC})
+            AND (n_stopword_hits >= {GOPHER_MIN_STOPWORD_HITS})) AS keep
+    FROM m
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule flags per document: word-count band, mean-word-length
+    band, alphabetic-word fraction, distinct-stopword presence — each as its
+    own boolean plus the conjunctive keep. All ratios are single IEEE
+    divisions of exact integers (mean_word_len counts non-space chars via
+    translate, which equals the sum of token lengths on single-space text),
+    so the hash gate holds bitwise. Pure column expressions — codegen-only
+    at any scale."""
+    d = load_spread(spark, sf_dir, "documents")
+    t = T.tokens(F.col("text"))
+    n_words = F.size(t).cast("bigint")
+    mean_word_len = (
+        F.length(F.translate(F.col("text"), " ", "")).cast("double") / F.size(t)
+    )
+    frac_alpha = (
+        F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / F.size(t)
+    )
+    sw_hits = F.size(
+        F.filter(
+            F.array_distinct(t),
+            lambda x: x.isin(*T.STOPWORDS),
+        )
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        sw_hits.alias("n_stopword_hits"),
+    )
+    f_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    f_mwl = F.col("mean_word_len").between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    f_alpha = F.col("frac_alpha_words") >= GOPHER_MIN_ALPHA_FRAC
+    f_sw = F.col("n_stopword_hits") >= GOPHER_MIN_STOPWORD_HITS
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "frac_alpha_words",
+        "n_stopword_hits",
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_alpha.alias("flag_alpha_words"),
+        f_sw.alias("flag_stopwords"),
+        (f_wc & f_mwl & f_alpha & f_sw).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication, hash-gated
+# ---------------------------------------------------------------------------
+
+
+def _semantic_cells_glob() -> str:
+    """DuckDB-side path to the (vec_id, cell) assignment fixture, resolved
+    lazily and (re)materialized when an active SparkSession exists — same
+    contract as materialize.snapshot_glob / queries_multimodal._media_glob."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from datafusion_dedup_ai_spark.materialize import oracle_sf_dir
+    from datafusion_dedup_ai_spark.operators import semantic_dedup as SD
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        SD.materialize_semantic_cells(spark, oracle_sf_dir())
+    return os.path.join(SD.semantic_cells_path(oracle_sf_dir()), "*.parquet")
+
+
+def _semantic_dedup_oracle() -> str:
+    from datafusion_dedup_ai_spark.operators.semantic_dedup import SEMANTIC_TAU
+    from datafusion_dedup_ai_spark.queries_similarity import _sql_cosine
+
+    cos = _sql_cosine("a.v", "b.v")
+    return f"""
+    WITH cells AS (
+        SELECT vec_id, cell FROM '{_semantic_cells_glob()}'
+    ), v AS (
+        SELECT c.vec_id, c.cell, e.embedding::DOUBLE[] AS v
+        FROM cells c JOIN embeddings e USING (vec_id)
+    ), dup AS (
+        SELECT b.vec_id, MIN(a.vec_id) AS dup_of, MAX({cos}) AS max_cos
+        FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {cos} >= {SEMANTIC_TAU}
+        GROUP BY b.vec_id
+    )
+    SELECT v.vec_id, v.cell, dup.dup_of IS NULL AS keep,
+           dup.dup_of, dup.max_cos
+    FROM v LEFT JOIN dup USING (vec_id)
+    """
+
+
+@register("semantic_dedup_embeddings", _semantic_dedup_oracle)
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) keep/drop decisions over `embeddings`:
+    spherical-k-means cells, then within-cell cosine >= tau drops every
+    vector with a smaller-id near-duplicate (operators/semantic_dedup.py).
+    The Spark side runs the FULL operator (centroid train + assign + prune);
+    the oracle replays the prune in SQL over the materialized (vec_id, cell)
+    fixture — so the hash gate verifies the within-cell logic exactly AND
+    that the query's own assignment matches the fixture's (assignment
+    determinism, also pinned in tests/test_semdedup.py)."""
+    from datafusion_dedup_ai_spark.operators.semantic_dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb)
