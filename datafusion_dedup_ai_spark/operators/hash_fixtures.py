@@ -1,0 +1,125 @@
+"""Materialized hash fixtures that upgrade the MinHash/SimHash tiers from
+rows-only to hash-gated oracle checks.
+
+The approximate-dedup tiers mix bits with Spark's ``xxhash64``, which DuckDB
+cannot evaluate — that made their oracle checks rows-only through round 4.
+But xxhash64 is the ONLY non-SQL-expressible step in those pipelines:
+everything downstream — the ``(a*x+b) mod (2^61-1)`` MinHash mins, band
+grouping, candidate generation, exact-Jaccard verification, SimHash bit
+votes, pigeonhole banding, Hamming verification — is integer arithmetic that
+DuckDB replays exactly. So we materialize the per-document hash values once
+per process (the materialize.py snapshot pattern) and the oracles recompute
+the FULL pipelines in SQL from the same parquet fixture. The xxhash64 step
+itself is pinned independently against a pure-Python xxHash64 reference in
+tests/test_xxhash64_ref.py, closing the loop:
+
+    Python xxHash64 reference == Spark xxhash64   (tests)
+    Spark xxhash64 -> parquet fixture             (this module)
+    fixture -> SQL replay of the whole pipeline   (queries_dedup_ext oracles)
+
+Residual gap (documented, negligible): Spark compresses each LSH band slice
+to a 64-bit bucket via ``xxhash64(slice)`` while the oracle groups on the
+slice VALUES, so an xxhash64 collision between different slices could hand
+Spark an extra candidate pair — which would still need to pass exact-Jaccard
+verification to change the output. Probability ~ n_cross_pairs * 2^-64.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark.functions import text as T
+from datafusion_dedup_ai_spark.materialize import _REPO_ROOT, sf_cache_key
+from datafusion_dedup_ai_spark.sources.readers import load_spread
+
+_MASK32 = (1 << 32) - 1
+
+# Paths written by THIS process — re-materialize once per process even if a
+# stale fixture from an earlier round survives on disk.
+_written: set[str] = set()
+
+
+def shingle_hashes_path(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "shingle_hashes.parquet"
+    )
+
+
+def token_hashes_path(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "token_hashes.parquet"
+    )
+
+
+def materialize_shingle_hashes(spark: SparkSession, sf_dir: str) -> str:
+    """(doc_id, shingle, x): one row per distinct word-bigram shingle per
+    document, with ``x = xxhash64(shingle) & 0xFFFFFFFF`` — exactly the value
+    operators/dedup.py::minhash_signatures feeds its 64 hash families.
+    Shingling MUST stay in lockstep with queries_dedup_ext._shingled_docs
+    (same T.distinct_shingles over the same table)."""
+    path = shingle_hashes_path(sf_dir)
+    if path not in _written:
+        d = load_spread(spark, sf_dir, "documents")
+        rows = (
+            d.select("doc_id", T.distinct_shingles(F.col("text")).alias("shingles"))
+            .select("doc_id", F.explode("shingles").alias("shingle"))
+            .select(
+                "doc_id",
+                "shingle",
+                F.xxhash64("shingle").bitwiseAND(F.lit(_MASK32)).alias("x"),
+            )
+        )
+        rows.write.mode("overwrite").parquet(path)
+        _written.add(path)
+    return path
+
+
+def materialize_token_hashes(spark: SparkSession, sf_dir: str) -> str:
+    """(doc_id, h, cnt): per-document token-hash multiplicities with
+    ``h = xxhash64(token)`` (full signed 64-bit) — the vote inputs of
+    operators/dedup.py::simhash64 (which explodes tokens WITH duplicates, so
+    the fixture carries the multiplicity as a count)."""
+    path = token_hashes_path(sf_dir)
+    if path not in _written:
+        d = load_spread(spark, sf_dir, "documents")
+        rows = (
+            d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+            .groupBy("doc_id", F.xxhash64("t").alias("h"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        rows.write.mode("overwrite").parquet(path)
+        _written.add(path)
+    return path
+
+
+def _glob(materializer, path_fn) -> str:
+    """Oracle-resolution-time fixture path: if an active SparkSession exists,
+    (re)materialize the fixture HERE so the oracle is valid regardless of
+    whether the driver resolves oracles before or after running the Spark
+    query (the queries_multimodal._media_glob contract)."""
+    from datafusion_dedup_ai_spark.materialize import oracle_sf_dir
+
+    sf_dir = oracle_sf_dir()
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        materializer(spark, sf_dir)
+    return os.path.join(path_fn(sf_dir), "*.parquet")
+
+
+def shingle_hashes_glob() -> str:
+    return _glob(materialize_shingle_hashes, shingle_hashes_path)
+
+
+def token_hashes_glob() -> str:
+    return _glob(materialize_token_hashes, token_hashes_path)
+
+
+def load_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(materialize_shingle_hashes(spark, sf_dir))
+
+
+def load_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(materialize_token_hashes(spark, sf_dir))

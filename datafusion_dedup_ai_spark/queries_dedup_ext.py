@@ -1,7 +1,11 @@
 """Scalable-dedup query pack: exact dedup (oracle-gated) and the MinHash-LSH /
-SimHash approximate tiers (rows-only at t2 — xxhash64 has no DuckDB
-equivalent; their fidelity is pinned by tests/test_dedup_ext.py against the
-exact oracle-gated ngram_jaccard_pairs)."""
+SimHash approximate tiers — hash-gated since round 5 via the materialized
+hash fixtures (operators/hash_fixtures.py): xxhash64 has no DuckDB
+equivalent, but it is the only non-SQL step, so the oracles replay the FULL
+signature/banding/candidate/verify arithmetic in SQL from the same parquet
+fixture while tests/test_xxhash64_ref.py pins Spark's xxhash64 against a
+pure-Python reference. Recall fidelity vs the exact oracle-gated
+ngram_jaccard_pairs stays pinned in tests/test_dedup_ext.py."""
 
 from __future__ import annotations
 
@@ -10,8 +14,181 @@ from pyspark.sql import functions as F
 
 from datafusion_dedup_ai_spark.functions import text as T
 from datafusion_dedup_ai_spark.operators import dedup as D
+from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
 from datafusion_dedup_ai_spark.registry import register
 from datafusion_dedup_ai_spark.sources.readers import load_spread, load_table
+
+
+# ---------------------------------------------------------------------------
+# SQL-replay oracle builders (see operators/hash_fixtures.py docstring)
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES = 64
+_BANDS = 16
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+_JACCARD_T = 0.2
+_MAX_HAMMING = 6
+
+
+def _minhash_mins_with(glob: str) -> str:
+    """CTE fragment: the 64 hash-family parameters (same seed-42 stream as
+    operators/dedup.py::_hash_params) and the per-(doc, family) min —
+    ``(a*x+b) mod (2^61-1)`` replayed on the fixture's xxhash64 low-32 bits.
+    Products stay under 2^63 (a < 2^31, x < 2^32), exactly as on the Spark
+    side, so every value is exact in BIGINT."""
+    params = D._hash_params(_NUM_HASHES, seed=42)
+    values = ", ".join(f"({i},{a},{b})" for i, (a, b) in enumerate(params))
+    return f"""
+    params(i, a, b) AS (VALUES {values}),
+    mins AS (
+        SELECT f.doc_id, p.i,
+               MIN((p.a * f.x + p.b) % {D.MERSENNE_61}) AS hv
+        FROM '{glob}' f CROSS JOIN params p
+        GROUP BY f.doc_id, p.i
+    )"""
+
+
+def _minhash_signatures_oracle() -> str:
+    g = HF.shingle_hashes_glob()
+    return f"""
+    WITH {_minhash_mins_with(g)}
+    SELECT doc_id, to_json(list(hv ORDER BY i))::VARCHAR AS sig_json
+    FROM mins GROUP BY doc_id
+    """
+
+
+def _band_cands_with(glob: str) -> str:
+    """CTE fragment (requires ``mins``): band keys and candidate pairs.
+    The oracle groups on the band's VALUE TUPLE where Spark buckets on
+    xxhash64(slice) — equality of slices iff equality of buckets, modulo a
+    ~2^-64 xxhash64 collision that exact-Jaccard verification would still
+    have to pass (hash_fixtures.py docstring)."""
+    return f"""
+    bandkeys AS (
+        SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+               string_agg(hv::VARCHAR, ',' ORDER BY i) AS bkey
+        FROM mins GROUP BY doc_id, i // {_ROWS_PER_BAND}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM '{glob}' GROUP BY doc_id)"""
+
+
+def _minhash_near_pairs_oracle() -> str:
+    g = HF.shingle_hashes_glob()
+    return f"""
+    WITH {_minhash_mins_with(g)},
+    {_band_cands_with(g)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandkeys a JOIN bandkeys b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN '{g}' fa ON fa.doc_id = c.id_a
+        JOIN '{g}' fb ON fb.doc_id = c.id_b AND fb.shingle = fa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT cm.id_a, cm.id_b, cm.n_common,
+           (sa.n + sb.n - cm.n_common) AS n_union,
+           CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common) AS jaccard
+    FROM common cm
+    JOIN sizes sa ON sa.doc_id = cm.id_a
+    JOIN sizes sb ON sb.doc_id = cm.id_b
+    WHERE CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common)
+          >= {_JACCARD_T}
+    """
+
+
+def _incremental_near_dup_oracle() -> str:
+    """Cross-set variant: batch docs (doc_id%10>=8) vs corpus docs
+    (doc_id%10<8). Per-doc mins/band keys are independent of the other
+    documents, so the global fixture serves both sides; only the candidate
+    join is restricted to cross-set pairs — the same |batch| x collision-rate
+    topology as the Spark index path."""
+    g = HF.shingle_hashes_glob()
+    return f"""
+    WITH {_minhash_mins_with(g)},
+    {_band_cands_with(g)},
+    cand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM bandkeys b JOIN bandkeys c
+          ON b.band = c.band AND b.bkey = c.bkey
+        WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+    ),
+    common AS (
+        SELECT c.batch_id, c.corpus_id, COUNT(*) AS n_common
+        FROM cand c
+        JOIN '{g}' fa ON fa.doc_id = c.batch_id
+        JOIN '{g}' fb ON fb.doc_id = c.corpus_id AND fb.shingle = fa.shingle
+        GROUP BY c.batch_id, c.corpus_id
+    )
+    SELECT cm.batch_id, cm.corpus_id, cm.n_common,
+           (sa.n + sb.n - cm.n_common) AS n_union,
+           CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common) AS jaccard
+    FROM common cm
+    JOIN sizes sa ON sa.doc_id = cm.batch_id
+    JOIN sizes sb ON sb.doc_id = cm.corpus_id
+    WHERE CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common)
+          >= {_JACCARD_T}
+    """
+
+
+def _simhash_fp_with(glob: str) -> str:
+    """CTE fragment: 64 multiplicity-weighted bit votes and the signed-64
+    fingerprint reconstruction (bit 63 contributes -2^63; partial sums peak
+    at 2^63-1, so BIGINT arithmetic never overflows)."""
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN (h & {D._signed64(1 << j)}) != 0"
+        f" THEN cnt ELSE -cnt END) AS v{j}"
+        for j in range(64)
+    )
+    recon = " + ".join(
+        [f"CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(63)]
+        + [f"CASE WHEN v63 >= 0 THEN {-(1 << 63)} ELSE 0 END"]
+    )
+    return f"""
+    votes AS (
+        SELECT doc_id, {vote_cols}
+        FROM '{glob}' GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM votes)"""
+
+
+def _simhash_fingerprints_oracle() -> str:
+    g = HF.token_hashes_glob()
+    return f"""
+    WITH {_simhash_fp_with(g)}
+    SELECT doc_id, simhash FROM fp
+    """
+
+
+def _simhash_near_pairs_oracle() -> str:
+    g = HF.token_hashes_glob()
+    n_chunks = _MAX_HAMMING + 1
+    width = 64 // n_chunks
+    masks = []
+    for c in range(n_chunks):
+        shift = c * width
+        w = width if c < n_chunks - 1 else 64 - shift
+        masks.append((c, D._signed64(((1 << w) - 1) << shift)))
+    mask_values = ", ".join(f"({c}, {m})" for c, m in masks)
+    return f"""
+    WITH {_simhash_fp_with(g)},
+    chunks(chunk, mask) AS (VALUES {mask_values}),
+    buckets AS (
+        SELECT doc_id, simhash, c.chunk, simhash & c.mask AS val
+        FROM fp CROSS JOIN chunks c
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM buckets a JOIN buckets b
+          ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {_MAX_HAMMING}
+    """
 
 
 # ===========================================================================
@@ -94,12 +271,13 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.distinct_shingles(F.col("text")).alias("shingles"))
 
 
-@register("minhash_signatures", None)
+@register("minhash_signatures", _minhash_signatures_oracle)
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-hash MinHash signatures over word-bigram shingles (one explode +
-    64 partial-aggregated mins; xxhash64 mixing — no DuckDB analog).
+    64 partial-aggregated mins). Hash-gated: the oracle replays the
+    (a*x+b) mod p mins in SQL from the materialized xxhash64 fixture.
 
-    The contract surface serializes ``sig`` to JSON: the driver's rows-only
+    The contract surface serializes ``sig`` to JSON: the driver's
     canonicalizer sorts every column and array cells are unhashable in pandas.
     Library callers use D.minhash_signatures directly for the array form.
     """
@@ -107,10 +285,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", F.to_json("sig").alias("sig_json"))
 
 
-@register("minhash_near_dup_pairs", None)
+@register("minhash_near_dup_pairs", _minhash_near_pairs_oracle)
 def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH (16 bands x 4 rows) candidates, exact-Jaccard-verified at 0.2 —
-    the scale path replacing the quadratic ngram_jaccard_pairs join."""
+    the scale path replacing the quadratic ngram_jaccard_pairs join.
+    Hash-gated: the oracle replays signature -> banding -> candidate ->
+    verify entirely in SQL from the shingle-hash fixture."""
     return D.minhash_near_dup_pairs(_shingled_docs(spark, sf_dir))
 
 
@@ -119,17 +299,21 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register("simhash_fingerprints", None)
+@register("simhash_fingerprints", _simhash_fingerprints_oracle)
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints. Hash-gated: the oracle reconstructs the
+    multiplicity-weighted bit votes and the signed fingerprint in SQL from
+    the token-hash fixture."""
     d = load_spread(spark, sf_dir, "documents")
     tok = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
     return D.simhash64(tok)
 
 
-@register("simhash_near_pairs", None)
+@register("simhash_near_pairs", _simhash_near_pairs_oracle)
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming <= 6 pairs via pigeonhole banding (equi-join on bit chunks,
-    never all-pairs)."""
+    never all-pairs). Hash-gated: the oracle replays chunk banding +
+    bit_count(xor) verification in SQL from the token-hash fixture."""
     d = load_spread(spark, sf_dir, "documents")
     tok = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
     return D.simhash_near_pairs(D.simhash64(tok), max_hamming=6)
@@ -199,7 +383,7 @@ def _corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register("incremental_near_dup_matches", None)
+@register("incremental_near_dup_matches", _incremental_near_dup_oracle)
 def q_incremental_near_dup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH matches of incoming-batch docs against the existing corpus
     (cross-set only — |batch| x collision-rate candidates, never |corpus|^2),
@@ -210,7 +394,8 @@ def q_incremental_near_dup_matches(spark: SparkSession, sf_dir: str) -> DataFram
     actually runs. Index-path == recompute-path equality, the
     no-corpus-rescan plan property, and cross-set recall vs the exact
     Jaccard ground truth are pinned in tests/test_dedup_ext.py.
-    Rows-only (xxhash64 signatures have no DuckDB analog)."""
+    Hash-gated since round 5: the oracle replays the cross-set pipeline in
+    SQL from the shingle-hash fixture."""
     from datafusion_dedup_ai_spark.operators import minhash_index as MI
 
     index_path = _corpus_index_path(spark, sf_dir)
