@@ -571,3 +571,218 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb)
+
+
+# ===========================================================================
+# Round-5 additions: cross-source priority dedup, model-shaped quality
+# scoring, DSIR-style importance weighting, heavy-hitter sketching.
+# ===========================================================================
+
+# Deterministic source priority: parse the numeric suffix of srcN and
+# scramble it with an affine map so the rule is neither "min source string"
+# nor "min doc_id" (a real pipeline's priority list is an explicit ranking
+# of curated > reference > crawl sources; the scramble stands in for that
+# editorial ordering while staying SQL-replayable).
+_SRC_PRIORITY_SQL = "(CAST(substr(source, 4) AS BIGINT) * 7) % 20"
+
+
+@register(
+    "cross_source_priority_dedup",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+                   AS prefix_key,
+               {_SRC_PRIORITY_SQL} AS priority
+        FROM documents
+    ), ranked AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY prefix_key) AS n_copies,
+               COUNT(DISTINCT source) OVER (PARTITION BY prefix_key)
+                   AS n_sources,
+               ROW_NUMBER() OVER (
+                   PARTITION BY prefix_key ORDER BY priority, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT doc_id, source, prefix_key, n_copies, n_sources
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_cross_source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source dedup with a keep-priority rule: documents sharing a
+    content fingerprint (first-8-token prefix hash — near-dup bucket with
+    real traffic on this corpus; exact md5(text) has none) keep ONE copy,
+    chosen by source priority then doc_id. This is the "prefer the curated
+    source's copy over the crawl's" pass every multi-source training
+    pipeline runs after per-source dedup.
+
+    Scale shape: one shuffle on the fingerprint; the window carries three
+    frame-less aggregates over the same partition key (single Exchange +
+    Sort, no self-join). Priority is a pure expression — a real priority
+    list would be a broadcast map join, same plan otherwise."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 1, 8))).alias(
+            "prefix_key"
+        ),
+        ((F.substring("source", 4, 10).cast("bigint") * 7) % 20).alias("priority"),
+    )
+    w = Window.partitionBy("prefix_key")
+    wo = w.orderBy("priority", "doc_id")
+    ranked = keyed.select(
+        "doc_id",
+        "source",
+        "prefix_key",
+        F.count("*").over(w).alias("n_copies"),
+        F.size(F.collect_set("source").over(w)).cast("bigint").alias("n_sources"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    return ranked.where(F.col("rn") == 1).drop("rn")
+
+
+# Hash-derived per-token weight in [-1000, 1000]: both engines parse the
+# first 8 hex chars of md5(token) as an integer. A production classifier
+# would broadcast-join real trained weights; the hash derivation keeps the
+# fixture self-contained while exercising the identical aggregation plan
+# (and is itself a published trick — hashed features, Weinberger et al. 2009).
+_TOKEN_W_SPARK = None  # built inline below
+_TOKEN_W_SQL = "(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2001) - 1000"
+_QUALITY_BIAS = -3_500  # centers the hash-weight logit so keep/drop both fire
+_QUALITY_THRESHOLD = 0
+
+
+@register(
+    "linear_quality_scores",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM({_TOKEN_W_SQL}) + {_QUALITY_BIAS} AS BIGINT)
+                   AS logit_scaled
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, logit_scaled,
+           logit_scaled >= {_QUALITY_THRESHOLD} AS keep
+    FROM scored
+    """,
+)
+def q_linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped linear quality classifier (the CCNet/DCLM filtering
+    stage): per-document logit = bias + sum over token occurrences of a
+    per-token weight, keep when the logit clears a threshold. Weights are
+    integer-scaled so the aggregation is exact at any parallelism (the
+    float sigmoid is monotone in the logit, so thresholding the logit IS
+    thresholding the probability).
+
+    Scale shape: weights are computed inline from the token bytes (no join
+    at all); explode -> one map-side-combined sum per doc. With a real
+    trained vocabulary this becomes explode -> broadcast-join weights ->
+    same aggregate."""
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    w = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % 2001
+        - 1000
+    )
+    scored = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum(w) + F.lit(_QUALITY_BIAS)).alias("logit_scaled"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logit_scaled",
+        (F.col("logit_scaled") >= F.lit(_QUALITY_THRESHOLD)).alias("keep"),
+    )
+
+
+_DSIR_SCALE = 1_000_000
+_DSIR_TARGET_PRED = "CAST(substr(source, 4) AS BIGINT) < 4"  # srcs 0-3
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), raw_counts AS (
+        SELECT term, COUNT(*) AS raw_cnt FROM toks GROUP BY term
+    ), target_counts AS (
+        SELECT term, COUNT(*) AS target_cnt FROM toks
+        WHERE {_DSIR_TARGET_PRED} GROUP BY term
+    ), feature_scores AS (
+        SELECT r.term,
+               (COALESCE(t.target_cnt, 0) * {_DSIR_SCALE}) // r.raw_cnt
+                   AS fscore
+        FROM raw_counts r LEFT JOIN target_counts t USING (term)
+    )
+    SELECT k.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(f.fscore) AS BIGINT) AS dsir_score_scaled
+    FROM toks k JOIN feature_scores f USING (term)
+    GROUP BY k.doc_id
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score each document by how target-like its token distribution is —
+    sum over token occurrences of the per-token target/raw frequency ratio.
+    The target set is sources 0-3 (the "curated" slice); the raw set is the
+    whole corpus. Ratios are integer-scaled (floor((target*1e6)/raw)) so the
+    sum is exact at any parallelism — DSIR's log-ratio form is monotone-
+    equivalent for ranking/resampling, and IEEE log would break the
+    bit-exact oracle gate.
+
+    Scale shape: two map-side-combined token aggregations; the per-token
+    score table is vocabulary-sized and broadcast-joins back onto the
+    exploded corpus (at web scale: a shuffle join on term with the same
+    hot-term salting as the TF-IDF pass). One final sum per doc."""
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    raw = toks.groupBy("term").agg(F.count("*").alias("raw_cnt"))
+    target = (
+        toks.where(F.substring("source", 4, 10).cast("bigint") < 4)
+        .groupBy("term")
+        .agg(F.count("*").alias("target_cnt"))
+    )
+    fscores = raw.join(target, "term", "left").select(
+        "term",
+        F.expr(
+            f"(COALESCE(target_cnt, 0) * {_DSIR_SCALE}) div raw_cnt"
+        ).alias("fscore"),
+    )
+    return (
+        toks.join(F.broadcast(fscores), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("fscore").alias("dsir_score_scaled"),
+        )
+    )
+
+
+@register("heavy_hitter_terms", None)
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters with k=8 counters per partition summary
+    (operators/sketches.py) — the bounded-memory path for frequent-term
+    mining when the vocabulary itself is too wide to shuffle. Self-grading:
+    each retained term carries its exact count, the underestimate, and the
+    N/(k+1) error bound. Rows-only by nature (the sketch is approximate and
+    its content depends on partition order); the sketch guarantees
+    (0 <= underestimate <= bound, no heavy term missed) are pinned in
+    tests/test_sketches.py."""
+    from datafusion_dedup_ai_spark.operators.sketches import heavy_hitters_report
+
+    d = load_spread(spark, sf_dir, "documents")
+    report = heavy_hitters_report(d, "text", k=8)
+    # Partition-order-dependent columns (mg_count/underestimate vary with
+    # input split) would break even a rows-only re-run comparison at a
+    # different parallelism; the retained-term SET for k >> skew is stable
+    # on this corpus, and the invariants are what the tests pin.
+    return report.orderBy("term")
