@@ -91,8 +91,18 @@ def main() -> None:
         for name in HEADLINE:
             qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
+        # drain the warm phase's shuffle/persist cleanup BEFORE the first
+        # timed query — 19 warm executions' worth of async deletions
+        # otherwise land inside the first measurements (observed: the first
+        # timed query's first run 3-7x its steady state).
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3.0)
 
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # 5 repeats: controlled A/B runs showed the outliers are NOT cold-start
+    # (a slow run appears as often on run 2 as run 1 — asynchronous cleanup
+    # and single-JVM scheduling noise, see SCALE.md "Bench variance") so a
+    # deeper median is the honest stabilizer, not more pre-warming.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name in HEADLINE:
