@@ -94,8 +94,9 @@ def _ann_tier_frames(
     - lsh: multi-table random-hyperplane LSH (8 tables x 4 bits), exact
       re-rank of bucket-collision candidates. Hashes independently of the
       data distribution.
-    - ivf: IVF-flat (spherical k-means cells, nprobe=4 of 16), exact re-rank
-      within probed cells. Adapts cells to the data distribution.
+    - ivf: IVF-flat (spherical k-means cells, nprobe=4 of 16, corpus
+      multi-assignment R=2 for cell-boundary recall), exact re-rank within
+      probed cells. Adapts cells to the data distribution.
     - int8: SQ8 quantization — integer-dot candidate generation over the
       4x-smaller codes, exact re-rank of the top k*4. The memory tier: at
       100 TB the quantized scan fits where the float scan spills.
@@ -110,7 +111,9 @@ def _ann_tier_frames(
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return {
         "lsh": S.lsh_topk(emb, queries, k=TOP_K),
-        "ivf": S.ivf_topk(emb, queries, k=TOP_K, n_cells=16, nprobe=4),
+        "ivf": S.ivf_topk(
+            emb, queries, k=TOP_K, n_cells=16, nprobe=4, corpus_assign=2
+        ),
         "int8": quantized_topk(emb, queries, k=TOP_K, oversample=4),
     }
 

@@ -74,7 +74,9 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     k = 5
     queries = emb.where(F.col("vec_id") < 10)
     bf = S.brute_force_topk(emb, queries, k=k).collect()
-    ivf = S.ivf_topk(emb, queries, k=k, n_cells=16, nprobe=4).collect()
+    ivf = S.ivf_topk(
+        emb, queries, k=k, n_cells=16, nprobe=4, corpus_assign=2
+    ).collect()
     bf_sets, ivf_sets = {}, {}
     for r in bf:
         bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -84,9 +86,11 @@ def test_ivf_recall_vs_brute_force(spark, emb):
         len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
     ]
     mean_recall = sum(recalls) / len(recalls)
-    # probing 4 of 16 data-adapted cells must beat the 25% random-candidate
-    # floor by a wide margin on every geometry
-    assert mean_recall >= 0.5, f"IVF mean recall@5 {mean_recall:.2f}"
+    # nprobe=4 of 16 data-adapted cells with R=2 corpus multi-assignment:
+    # must clear the 0.64 single-assignment point (see the measured Pareto in
+    # operators/similarity_search.ivf_topk) with margin over the ~43%
+    # random-candidate floor
+    assert mean_recall >= 0.7, f"IVF mean recall@5 {mean_recall:.2f}"
 
 
 def test_ivf_centroids_deterministic(spark, emb):
