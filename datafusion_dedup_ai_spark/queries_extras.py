@@ -786,3 +786,238 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different parallelism; the retained-term SET for k >> skew is stable
     # on this corpus, and the invariants are what the tests pin.
     return report.orderBy("term")
+
+
+# ---------------------------------------------------------------------------
+# Jaccard-CONTAINMENT near-dup pairs (asymmetric: subset documents)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.5
+_SQL_TOKS = "string_split(text, ' ')"
+_SQL_BIGRAMS_T = "[t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]"
+
+
+@register(
+    "doc_containment_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct({_SQL_BIGRAMS_T}) AS shingles FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM sh
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_min,
+           CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by bigram-shingle CONTAINMENT — |A∩B| over
+    the SMALLER set, not the union. Jaccard misses a short document pasted
+    inside a much longer one (the quote/boilerplate-wrapper case: J =
+    |A|/|B| -> 0 as B grows, containment stays 1.0); dedup passes built on
+    suffix arrays (Lee et al. 2021) catch these, and this is the
+    shingle-join equivalent. Same plan shape as ngram_jaccard_pairs — the
+    shingle equi-join is the one shuffle; only the normalizer differs."""
+    d = load_spread(spark, sf_dir, "documents")
+    sh = d.select("doc_id", T.distinct_shingles(F.col("text")).alias("shingles"))
+    sizes = sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("n_min", F.least(F.col("sa.n_sh"), F.col("sb.n_sh")).cast("bigint"))
+        .withColumn("containment", F.col("n_common").cast("double") / F.col("n_min"))
+    )
+    return out.where(F.col("containment") >= CONTAINMENT_THRESHOLD).select(
+        "doc_a", "doc_b", "n_common", "n_min", "containment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+# u = (hex8(md5(doc_id)) + 1) / 2^32 in (0, 1]; key = ln(u) / weight.
+# E-S: taking the K LARGEST u^(1/w) — equivalently the K largest ln(u)/w —
+# draws a without-replacement sample where selection probability is
+# proportional to weight (Efraimidis & Spirakis 2006).
+_ES_U_SQL = (
+    "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)"
+    " / 4294967296.0)"
+)
+
+
+@register(
+    "weighted_doc_sample",
+    f"""
+    SELECT doc_id, source, n_chars, sample_rank FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY ln({_ES_U_SQL}) / CAST(n_chars AS DOUBLE) DESC,
+                            doc_id ASC
+               ) AS BIGINT) AS sample_rank
+        FROM documents)
+    WHERE sample_rank <= {WEIGHTED_SAMPLE_K}
+    """,
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis exponential-keys): keep the K docs with the largest
+    ln(u)/weight where u is an md5-derived uniform — selection probability
+    proportional to weight (here n_chars: a token-mass-proportional draw,
+    the shape used for budgeted corpus subsetting). Like every sampler in
+    this pack, u is a pure function of doc_id, so the sample is reproducible
+    across runs/engines/partitionings.
+
+    The double key stays INTERNAL: Spark's Math.log and DuckDB's libm ln
+    differ by 1 ulp on ~5% of values (measured), so the gate compares the
+    selected ids/ranks, never the keys. Key gaps between distinct docs are
+    ~1e7 ulp, so selection order is ulp-robust.
+
+    Scale shape: global top-K = TakeOrderedAndProject (per-partition heaps,
+    no full sort, no single-partition window); the rank is re-derived over the
+    K survivors only."""
+    d = load_table(spark, sf_dir, "documents")
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    top = (
+        d.select("doc_id", "source", "n_chars", key.alias("_key"))
+        .orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+    w = Window.orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source upsampling plan (epochs-per-source, LLaMA-recipe shape)
+# ---------------------------------------------------------------------------
+
+# Target mixture weight per source bucket: sources 0-3 (the "curated" slice)
+# get 4x the weight of the rest. All arithmetic integer-scaled; the
+# fractional epoch is realized per-doc by an md5 draw against the scaled
+# remainder, so expected copies per source hit the target exactly.
+_UPSAMPLE_SCALE = 1_000_000
+_TARGET_W_SQL = "(CASE WHEN CAST(substr(source, 4) AS BIGINT) < 4 THEN 4 ELSE 1 END)"
+
+
+@register(
+    "source_upsampling_plan",
+    f"""
+    WITH weighted AS (
+        SELECT doc_id, source, n_chars, {_TARGET_W_SQL} AS target_w
+        FROM documents
+    ), totals AS (
+        SELECT SUM(n_chars * target_w) AS wsum, SUM(n_chars) AS csum
+        FROM weighted
+    ), planned AS (
+        SELECT doc_id, source, n_chars,
+               (target_w * csum * {_UPSAMPLE_SCALE}) // wsum AS r_scaled,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT
+                   % {_UPSAMPLE_SCALE} AS draw
+        FROM weighted CROSS JOIN totals
+    )
+    SELECT doc_id, source, CAST(r_scaled AS BIGINT) AS r_scaled,
+           CAST(r_scaled // {_UPSAMPLE_SCALE}
+                + CASE WHEN draw < r_scaled % {_UPSAMPLE_SCALE}
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM planned
+    """,
+)
+def q_source_upsampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-per-source materialization plan (the LLaMA-style data recipe:
+    'see curated sources ~4x as often'): renormalizes each source's token
+    mass to its target mixture weight and emits per-doc integer copy counts.
+    The repeat factor r = target_share / natural_share is realized as
+    floor(r) copies plus one more with probability frac(r), decided by an
+    md5 draw — so a source's expected emitted tokens hit the target exactly,
+    deterministically, with no RNG state.
+
+    All integer arithmetic (scaled by 1e6, floor division) — exact at any
+    parallelism on both engines. Scale shape: one single-row total
+    (broadcast back), then a pure map; the expansion itself (explode over
+    sequence(1, n_copies)) is a downstream map too."""
+    d = load_table(spark, sf_dir, "documents")
+    target_w = F.when(
+        F.substring("source", 4, 10).cast("bigint") < 4, F.lit(4)
+    ).otherwise(F.lit(1))
+    weighted = d.select("doc_id", "source", "n_chars", target_w.alias("target_w"))
+    totals = weighted.agg(
+        F.sum(F.col("n_chars") * F.col("target_w")).alias("wsum"),
+        F.sum("n_chars").alias("csum"),
+    )
+    planned = weighted.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "source",
+        F.expr(f"(target_w * csum * {_UPSAMPLE_SCALE}) div wsum").alias("r_scaled"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8), 16, 10)
+            .cast("bigint")
+            % _UPSAMPLE_SCALE
+        ).alias("draw"),
+    )
+    return planned.select(
+        "doc_id",
+        "source",
+        F.col("r_scaled").cast("bigint").alias("r_scaled"),
+        (
+            F.expr(f"r_scaled div {_UPSAMPLE_SCALE}")
+            + F.when(
+                F.col("draw") < F.col("r_scaled") % _UPSAMPLE_SCALE, F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (mergeable bounded-state cardinality)
+# ---------------------------------------------------------------------------
+
+
+@register("kmv_distinct_sketch", None)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-token estimate (Bar-Yossef et al. 2002):
+    keep the K smallest md5-hash fractions over the word-bigram stream (916
+    distinct bigrams at sf0.01 — wide enough that the estimator path, not
+    the exact small-vocabulary fallback, is what runs); the K-th smallest
+    value m estimates the cardinality as (K-1)/m. Self-grading
+    single row — (k, kth_frac, est_distinct, exact_distinct, rel_error) —
+    so the driver sees the error directly; the mergeability law (top-K of
+    partial top-Ks == global top-K) and the error bound are pinned in
+    tests/test_sketches.py. Rows-only: the estimate is approximate by
+    nature. Complements approx_count_distinct (HLL) by exposing the sketch
+    STATE (the K hashes are also a uniform sample of the distinct values —
+    reusable for distinct-value sampling, which HLL cannot do)."""
+    from datafusion_dedup_ai_spark.operators.sketches import kmv_distinct_report
+
+    d = load_spread(spark, sf_dir, "documents")
+    return kmv_distinct_report(d, "text", k=64, gram=2)

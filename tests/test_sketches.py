@@ -114,3 +114,137 @@ def test_dsir_targets_score_higher(spark, sf_dir):
     m["per_tok"] = m.dsir_score_scaled / m.n_tokens
     is_target = m.source.str.slice(3).astype(int) < 4
     assert m[is_target].per_tok.mean() >= m[~is_target].per_tok.mean()
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_merge_is_partitioning_invariant(spark, sf_dir):
+    """The merged KMV state (k smallest distinct global hashes) must be
+    identical whether the corpus arrives as 1 partition or 8 — the merge law
+    that makes the sketch distributable."""
+    from datafusion_dedup_ai_spark.operators.sketches import kmv_partials
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 32
+
+    def merged_state(df):
+        return [
+            r["h"]
+            for r in kmv_partials(df, "text", k=k, gram=2)
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        ]
+
+    one = merged_state(docs.coalesce(1))
+    many = merged_state(docs.repartition(8))
+    assert one == many and len(one) == k
+
+
+def test_kmv_exact_when_vocab_below_k(spark):
+    """Fewer distinct values than k: the state is complete and the report
+    must return the exact count with zero error."""
+    from datafusion_dedup_ai_spark.operators.sketches import kmv_distinct_report
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a b") for i in range(50)], ["doc_id", "text"]
+    )
+    row = kmv_distinct_report(docs, "text", k=64).collect()[0]
+    assert row["n_state"] == row["exact_distinct"] == 3
+    assert row["est_distinct"] == 3.0 and row["rel_error"] == 0.0
+
+
+def test_kmv_estimate_within_bound(spark, sf_dir):
+    """Estimator path (bigram vocab 916 >> k=64): KMV standard error is
+    ~1/sqrt(k-2) ~ 0.127; assert the realized error stays within 3 sigma."""
+    from datafusion_dedup_ai_spark.operators.sketches import kmv_distinct_report
+    from datafusion_dedup_ai_spark.sources.readers import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    row = kmv_distinct_report(docs, "text", k=64, gram=2).collect()[0]
+    assert row["n_state"] == 64
+    assert row["exact_distinct"] > 64
+    assert row["rel_error"] <= 3 / (64 - 2) ** 0.5, row["rel_error"]
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling / upsampling plan / containment
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_python_mirror(spark, sf_dir):
+    """The Spark top-K by Efraimidis-Spirakis key must equal an independent
+    pure-Python computation of the same draw (validates the plan end to end,
+    not just the SQL oracle's dialect agreement)."""
+    import hashlib
+    import math
+
+    from datafusion_dedup_ai_spark.registry import queries
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    got = (
+        queries()["weighted_doc_sample"](spark, sf_dir)
+        .orderBy("sample_rank")
+        .toPandas()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    keyed = []
+    for r in docs:
+        v = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        u = (v + 1.0) / 4294967296.0
+        keyed.append((math.log(u) / float(r["n_chars"]), -r["doc_id"]))
+    keyed.sort(reverse=True)
+    expect = [-d for _, d in keyed[: len(got)]]
+    assert list(got.doc_id) == expect
+
+
+def test_upsampling_plan_hits_target_mass(spark, sf_dir):
+    """Per-source integer repeat factors must renormalize token mass to the
+    4:1 target weighting: planned mass ratio (r_scaled x n_chars) between a
+    curated and an uncurated source equals 4.0 up to integer-floor error,
+    and realized copies are floor(r) or floor(r)+1."""
+    from datafusion_dedup_ai_spark.registry import queries
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    plan = queries()["source_upsampling_plan"](spark, sf_dir).toPandas()
+    chars = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .toPandas()
+    )
+    m = plan.merge(chars, on="doc_id")
+    assert ((m.n_copies - m.r_scaled // 1_000_000).isin([0, 1])).all()
+    m["snum"] = m.source.str.slice(3).astype(int)
+    m["planned_mass"] = m.r_scaled * m.n_chars / 1e6
+    per_char = m.groupby(m.snum < 4).apply(
+        lambda g: g.planned_mass.sum() / g.n_chars.sum()
+    )
+    ratio = per_char[True] / per_char[False]
+    assert abs(ratio - 4.0) < 0.01, ratio
+
+
+def test_containment_catches_subset_doc(spark):
+    """A short doc pasted verbatim inside a long one: containment 1.0 (the
+    pair this operator exists for) while Jaccard stays below the usual 0.2
+    near-dup threshold."""
+    from datafusion_dedup_ai_spark.functions import text as T
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "one two three four five six seven eight nine ten "
+        + short
+        + " eleven twelve thirteen fourteen fifteen sixteen seventeen "
+        + "eighteen nineteen twenty twentyone twentytwo twentythree"
+    )
+    docs = spark.createDataFrame([(0, long), (1, short)], ["doc_id", "text"])
+    sh = docs.select("doc_id", T.distinct_shingles(F.col("text")).alias("sg"))
+    rows = {r["doc_id"]: set(r["sg"]) for r in sh.collect()}
+    inter = len(rows[0] & rows[1])
+    jacc = inter / len(rows[0] | rows[1])
+    cont = inter / min(len(rows[0]), len(rows[1]))
+    assert jacc < 0.2 <= 1.0 == cont
