@@ -44,6 +44,7 @@ HEADLINE = [
     "doc_token_stats",
     "doc_tfidf_topterms",
     "ngram_jaccard_pairs",
+    "doc_containment_pairs",
     "minhash_near_dup_pairs",
     "duplicate_substring_spans",
     "simhash_fingerprints",
