@@ -123,3 +123,39 @@ def load_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(materialize_token_hashes(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH bucket fixture (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def lsh_buckets_path(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "lsh_buckets.parquet"
+    )
+
+
+def materialize_lsh_buckets(spark: SparkSession, sf_dir: str) -> str:
+    """(vec_id, table, bucket): the sign-bit hyperplane codes of
+    operators/similarity_search.lsh_bucketize at lsh_near_pairs' production
+    parameters (16 tables x 4 bits, seed 7) — the ONE non-SQL step of the
+    embedding near-dup pipeline (a numpy matmul). Everything downstream —
+    bucket self-join, exact-cosine verify, component labeling — is SQL the
+    oracle replays. The code computation itself is pinned against a
+    numpy-free pure-Python reference in tests/test_similarity.py."""
+    path = lsh_buckets_path(sf_dir)
+    if path not in _written:
+        from datafusion_dedup_ai_spark.operators import similarity_search as S
+        from datafusion_dedup_ai_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        S.lsh_bucketize(emb, n_tables=16, n_bits=4, seed=7).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _written.add(path)
+    return path
+
+
+def lsh_buckets_glob() -> str:
+    return _glob(materialize_lsh_buckets, lsh_buckets_path)

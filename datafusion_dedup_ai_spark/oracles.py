@@ -118,3 +118,37 @@ def sql_reason(ratio: str, token_match: str) -> str:
         f"WHEN {ratio} >= 0.85 THEN 'ratio >= 0.85' "
         f"ELSE 'Isolated or weak match' END)"
     )
+
+
+def sql_connected_components(pairs_cte: str, universe_sql: str, id_col: str) -> str:
+    """CTE chain labeling every id in ``universe_sql`` with the MIN id of its
+    connected component over the undirected edge set in ``pairs_cte``
+    (columns id_a, id_b) — the exact semantics of
+    operators/clustering.cluster_label_propagation. Requires the enclosing
+    query to open with WITH RECURSIVE. ``walk`` is a transitive closure
+    (O(|component| * |edges|) rows — fine for oracle-scale graphs; the Spark
+    side's iterative hash-min is the form that scales). Produces CTEs:
+    ``fullset(id_col, cluster_id)`` and ``csize(cluster_id, cluster_size,
+    rep)``."""
+    return f"""
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM {pairs_cte}
+        UNION ALL SELECT id_b, id_a FROM {pairs_cte}
+    ),
+    walk(node, reach) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    cc_labels AS (
+        SELECT node AS id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+    ),
+    cc_universe AS ({universe_sql}),
+    fullset AS (
+        SELECT u.{id_col}, COALESCE(l.cluster_id, u.{id_col}) AS cluster_id
+        FROM cc_universe u LEFT JOIN cc_labels l ON l.id = u.{id_col}
+    ),
+    csize AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size, MIN({id_col}) AS rep
+        FROM fullset GROUP BY cluster_id
+    )"""

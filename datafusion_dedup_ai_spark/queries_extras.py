@@ -24,7 +24,47 @@ from datafusion_dedup_ai_spark.sources.readers import load_spread, load_table
 NEAR_DUP_JACCARD = 0.5
 
 
-@register("text_dedup_clusters", None)
+def _text_dedup_clusters_oracle() -> str:
+    """SQL replay of the FULL fuzzy-dedup composite: MinHash mins + banding +
+    candidate + exact-Jaccard verify from the shingle-hash fixture
+    (queries_dedup_ext's builders), then connected components as a recursive
+    transitive closure (oracles.sql_connected_components)."""
+    from datafusion_dedup_ai_spark import queries_dedup_ext as QD
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+    from datafusion_dedup_ai_spark.oracles import sql_connected_components
+
+    g = HF.shingle_hashes_glob()
+    return f"""
+    WITH RECURSIVE {QD._minhash_mins_with(g)},
+    {QD._band_cands_with(g)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandkeys a JOIN bandkeys b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN '{g}' fa ON fa.doc_id = c.id_a
+        JOIN '{g}' fb ON fb.doc_id = c.id_b AND fb.shingle = fa.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT cm.id_a, cm.id_b
+        FROM common cm
+        JOIN sizes sa ON sa.doc_id = cm.id_a
+        JOIN sizes sb ON sb.doc_id = cm.id_b
+        WHERE CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common)
+              >= {NEAR_DUP_JACCARD}
+    ),
+    {sql_connected_components("pairs", "SELECT doc_id FROM documents", "doc_id")}
+    SELECT f.doc_id, f.cluster_id, s.cluster_size,
+           f.doc_id = s.rep AS is_representative
+    FROM fullset f JOIN csize s USING (cluster_id)
+    """
+
+
+@register("text_dedup_clusters", _text_dedup_clusters_oracle)
 def q_text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level fuzzy-dedup clusters: MinHash-LSH near-dup pairs
     (J >= 0.5, exact-verified) -> hash-min label propagation -> every doc
@@ -36,10 +76,12 @@ def q_text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan); label propagation iterates two shuffles x O(component diameter) —
     near-dup components are shallow (dup groups, not social graphs). The
     same composition as embedding_dedup_clusters, over text instead of
-    embeddings. Rows-only (xxhash64 signatures); the component step's
-    equivalence to a driver-side union-find is pinned for the embedding
-    twin in tests/test_similarity.py, and recall of the pair tier in
-    tests/test_dedup_ext.py."""
+    embeddings. Hash-gated since round 5: the oracle replays the whole
+    pipeline INCLUDING connected components (recursive-CTE transitive
+    closure — label propagation's min-id-per-component semantics ARE
+    SQL-expressible at oracle scale); the component step's equivalence to a
+    driver-side union-find stays pinned in tests/test_similarity.py, and
+    recall of the pair tier in tests/test_dedup_ext.py."""
     from datafusion_dedup_ai_spark.operators.clustering import (
         cluster_label_propagation,
     )

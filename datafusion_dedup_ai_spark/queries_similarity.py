@@ -171,16 +171,51 @@ def composite_near_pairs(emb: DataFrame) -> DataFrame:
     return S.lsh_near_pairs(emb, threshold=NEAR_DUP_THRESHOLD)
 
 
-@register("embedding_dedup_clusters", None)
+def _embedding_dedup_clusters_oracle() -> str:
+    """SQL replay of the semantic-dedup composite from the materialized
+    hyperplane-bucket fixture (operators/hash_fixtures.py::
+    materialize_lsh_buckets — the numpy matmul is the only non-SQL step):
+    bucket self-join candidates, bitwise-mirrored cosine verify, then
+    connected components as a recursive transitive closure."""
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+    from datafusion_dedup_ai_spark.oracles import sql_connected_components
+
+    g = HF.lsh_buckets_glob()
+    return f"""
+    WITH RECURSIVE cvec AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM '{g}' a JOIN '{g}' b
+          ON a."table" = b."table" AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN cvec ca ON ca.vec_id = c.id_a
+        JOIN cvec cb ON cb.vec_id = c.id_b
+        WHERE {_sql_cosine('ca.v', 'cb.v')} >= {NEAR_DUP_THRESHOLD}
+    ),
+    {sql_connected_components("pairs", "SELECT vec_id FROM embeddings", "vec_id")}
+    SELECT f.vec_id, f.cluster_id, s.cluster_size
+    FROM fullset f JOIN csize s USING (cluster_id)
+    """
+
+
+@register("embedding_dedup_clusters", _embedding_dedup_clusters_oracle)
 def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup composite, scale-safe: LSH-candidate near-pairs
     (bucket equi-join + exact cosine >= 0.35 verify, operators/
     similarity_search.lsh_near_pairs — no crossJoin in the plan, asserted in
     tests/test_plans.py) -> hash-min label propagation -> (vec_id,
     cluster_id, cluster_size). Singletons keep their own id with size 1.
-    Rows-only (iterative connected components); edge recall vs the exact
-    quadratic reference and component equivalence vs driver-side union-find
-    are pinned in tests/test_similarity.py."""
+    Hash-gated since round 5: the oracle replays bucket-join candidates +
+    the bitwise-mirrored cosine verify + recursive-CTE connected components
+    from the materialized hyperplane-bucket fixture; edge recall vs the
+    exact quadratic reference and component equivalence vs driver-side
+    union-find stay pinned in tests/test_similarity.py."""
     from datafusion_dedup_ai_spark.operators.clustering import (
         cluster_label_propagation,
     )

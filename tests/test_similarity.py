@@ -186,3 +186,39 @@ def test_embedding_clusters_match_union_find(spark, sf_dir):
         parent.setdefault(v, v)
     want = {v: find(v) for v in got}
     assert got == want
+
+
+def test_lsh_bucket_codes_match_python_reference(spark, emb):
+    """The numpy-matmul sign-bit codes (the one non-SQL step the
+    embedding_dedup_clusters oracle trusts via its materialized fixture)
+    must equal a numpy-free pure-Python recomputation — same hyperplanes,
+    naive dot products. Closes the fixture's trust loop the way
+    tests/test_xxhash64_ref.py does for the MinHash fixture."""
+    import random
+
+    n_tables, n_bits, dim, seed = 16, 4, 64, 7
+    rng = random.Random(seed)
+    flat = [rng.gauss(0.0, 1.0) for _ in range(n_tables * n_bits * dim)]
+    planes = [
+        [flat[(t * n_bits + b) * dim + d] for d in range(dim)]
+        for t in range(n_tables)
+        for b in range(n_bits)
+    ]
+
+    sample = emb.limit(25).collect()
+    got = {
+        (r["vec_id"], r["table"]): r["bucket"]
+        for r in S.lsh_bucketize(
+            emb.limit(25), n_tables=n_tables, n_bits=n_bits, seed=seed
+        ).collect()
+    }
+    for row in sample:
+        v = [float(x) for x in row["embedding"]]
+        for t in range(n_tables):
+            code = 0
+            for b in range(n_bits):
+                plane = planes[t * n_bits + b]
+                dot = sum(v[d] * plane[d] for d in range(dim))
+                if dot > 0:
+                    code |= 1 << b
+            assert got[(row["vec_id"], t)] == code
