@@ -1063,3 +1063,67 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_spread(spark, sf_dir, "documents")
     return kmv_distinct_report(d, "text", k=64, gram=2)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (corpus diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    """
+    WITH keyed AS (
+        SELECT doc_id, source,
+               md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+                   AS prefix_key
+        FROM documents
+    ),
+    pairs AS (
+        SELECT least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b,
+               a.prefix_key
+        FROM keyed a JOIN keyed b
+          ON a.prefix_key = b.prefix_key AND a.doc_id < b.doc_id
+    )
+    SELECT source_a, source_b,
+           COUNT(*) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT prefix_key) AS BIGINT) AS n_keys_shared
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise duplication matrix between sources: for every (unordered)
+    source pair, how many duplicate doc pairs share a content fingerprint
+    (the same first-8-token prefix hash cross_source_priority_dedup keys on)
+    and how many distinct fingerprints collide. The corpus-health diagnostic
+    that tells you crawl-X is largely a copy of curated-Y BEFORE you spend a
+    dedup pass on it — and the input to choosing a cross-source dedup
+    priority order.
+
+    Scale shape: one shuffle on the fingerprint; within-key self-join is
+    bounded by duplicate-group size (boilerplate-heavy keys are the skew to
+    watch — the same max_df-style cap as the shingle tiers applies); the
+    final matrix is |sources|^2 rows, i.e. tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(T.tokens(F.col("text")), 1, 8))).alias(
+            "prefix_key"
+        ),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.prefix_key") == F.col("b.prefix_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.least(F.col("a.source"), F.col("b.source")).alias("source_a"),
+        F.greatest(F.col("a.source"), F.col("b.source")).alias("source_b"),
+        F.col("a.prefix_key").alias("prefix_key"),
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("prefix_key").cast("bigint").alias("n_keys_shared"),
+    )
