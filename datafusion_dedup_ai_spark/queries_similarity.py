@@ -91,9 +91,9 @@ def _ann_tier_frames(
 ) -> dict[str, DataFrame]:
     """The three ANN tiers, each (query_id, neighbor_id, cosine, rk):
 
-    - lsh: multi-table random-hyperplane LSH (8 tables x 4 bits), exact
-      re-rank of bucket-collision candidates. Hashes independently of the
-      data distribution.
+    - lsh: multi-table random-hyperplane LSH (8 tables x 4 bits, +1
+      query-side multi-probe), exact re-rank of bucket-collision candidates.
+      Hashes independently of the data distribution.
     - ivf: IVF-flat (spherical k-means cells, nprobe=4 of 16, corpus
       multi-assignment R=2 for cell-boundary recall), exact re-rank within
       probed cells. Adapts cells to the data distribution.

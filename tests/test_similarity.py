@@ -59,9 +59,10 @@ def test_lsh_recall_vs_brute_force(spark, emb):
         len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
     ]
     mean_recall = sum(recalls) / len(recalls)
-    # random vectors are a worst case for LSH; 16x4 tables still must beat
-    # random-candidate recall by a wide margin
-    assert mean_recall >= 0.4, f"mean recall@5 {mean_recall:.2f}"
+    # random vectors are a worst case for LSH; 8x4 tables with the default
+    # +1 multi-probe (measured 0.96 on 5 queries) must clear the 0.72
+    # no-probe point with margin
+    assert mean_recall >= 0.7, f"mean recall@5 {mean_recall:.2f}"
 
 
 def test_lsh_bucket_determinism(spark, emb):
