@@ -78,7 +78,7 @@ def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int) -> np.ndarray:
     return np.array(flat, dtype=np.float64).reshape(n_tables, n_bits, dim)
 
 
-def lsh_bucketize(
+def lsh_codes(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -87,9 +87,12 @@ def lsh_bucketize(
     dim: int = 64,
     seed: int = 7,
     extra_probes: int = 0,
+    out_col: str = "codes",
 ) -> DataFrame:
-    """(id, table, bucket): sign-bit signatures against fixed Gaussian
-    hyperplanes, one numpy matmul per Arrow batch.
+    """(id, codes array<long>): per-vector sign-bit bucket codes against
+    fixed Gaussian hyperplanes, one numpy matmul per Arrow batch. The array
+    holds ``(1 + extra_probes)`` codes per table, table-major — the
+    persisted form for a vector index (one row per vector).
 
     ``extra_probes`` > 0 is query-side MULTI-PROBE (Lv et al., VLDB 2007):
     besides the base code, emit codes with the 1..R lowest-|margin| bits
@@ -118,15 +121,51 @@ def lsh_bucketize(
         probed = np.repeat(codes[:, :, None], n_codes, axis=2)
         for r in range(n_codes - 1):
             probed[:, :, r + 1] = codes ^ (1 << flip_order[:, :, r])
-        # flatten (table, probe) -> the posexplode index below recovers the
-        # table as idx // n_codes
         return pd.Series(list(probed.reshape(len(M), n_tables * n_codes)))
 
-    b = df.select(F.col(id_col), buckets_udf(F.col(vec_col)).alias("codes"))
-    out = b.select(id_col, F.posexplode("codes").alias("pos", "bucket"))
+    # Evaluation barrier, not a semantics claim (the UDF is deterministic):
+    # downstream posexplode generates a `size(codes) > 0` filter that
+    # Catalyst pushes below the projection, running the matmul TWICE per row
+    # (observed: two ArrowEvalPython nodes in the executed plan). Same
+    # pattern as the Jaro-Winkler barrier at functions/similarity.py.
+    buckets_udf = buckets_udf.asNondeterministic()
+    return df.select(F.col(id_col), buckets_udf(F.col(vec_col)).alias(out_col))
+
+
+def explode_codes(
+    codes_df: DataFrame,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    extra_probes: int = 0,
+    n_bits: int = 4,
+) -> DataFrame:
+    """(id, table, bucket) from a codes array — the join-ready form. The
+    posexplode index recovers the table as idx // codes_per_table."""
+    n_codes = 1 + min(extra_probes, n_bits)
+    out = codes_df.select(
+        id_col, F.posexplode(codes_col).alias("pos", "bucket")
+    )
     return out.select(
         id_col, (F.col("pos") / n_codes).cast("int").alias("table"), "bucket"
     )
+
+
+def lsh_bucketize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    extra_probes: int = 0,
+) -> DataFrame:
+    """(id, table, bucket): exploded form of ``lsh_codes`` — see there for
+    the multi-probe semantics."""
+    codes = lsh_codes(
+        df, id_col, vec_col, n_tables, n_bits, dim, seed, extra_probes
+    )
+    return explode_codes(codes, id_col, "codes", extra_probes, n_bits)
 
 
 def lsh_topk(

@@ -1127,3 +1127,87 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_dup_pairs"),
         F.countDistinct("prefix_key").cast("bigint").alias("n_keys_shared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic matching against a persisted vector index
+# ---------------------------------------------------------------------------
+
+from datafusion_dedup_ai_spark.queries_similarity import (  # noqa: E402
+    NEAR_DUP_THRESHOLD,
+    _sql_cosine,
+)
+
+# ---------------------------------------------------------------------------
+
+# Deterministic corpus/batch split (mirrors queries_dedup_ext's): 80%
+# existing corpus, 20% incoming batch.
+_VEC_CORPUS_PRED = "vec_id % 10 < 8"
+_VEC_BATCH_PRED = "vec_id % 10 >= 8"
+
+_VINDEX_BUILT: set[str] = set()
+
+
+def _vector_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from datafusion_dedup_ai_spark.materialize import _REPO_ROOT, sf_cache_key
+    from datafusion_dedup_ai_spark.operators import vector_index as VI
+
+    path = os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "vector_index"
+    )
+    if path not in _VINDEX_BUILT:
+        emb = load_table(spark, sf_dir, "embeddings")
+        VI.build_vector_index(emb.where(F.expr(_VEC_CORPUS_PRED)), path)
+        _VINDEX_BUILT.add(path)
+    return path
+
+
+def _incremental_semantic_oracle() -> str:
+    """Cross-set replay from the hyperplane-bucket fixture: per-vector codes
+    are independent of the other vectors, so the full-corpus fixture serves
+    both sides; only the candidate join is restricted to cross-set pairs,
+    then the bitwise-mirrored cosine verifies."""
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+
+    g = HF.lsh_buckets_glob()
+    return f"""
+    WITH cvec AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT b.vec_id AS batch_id, c.vec_id AS corpus_id
+        FROM '{g}' b JOIN '{g}' c
+          ON b."table" = c."table" AND b.bucket = c.bucket
+        WHERE b.vec_id % 10 >= 8 AND c.vec_id % 10 < 8
+    )
+    SELECT cd.batch_id, cd.corpus_id,
+           {_sql_cosine('bv.v', 'cv.v')} AS cosine
+    FROM cand cd
+    JOIN cvec bv ON bv.vec_id = cd.batch_id
+    JOIN cvec cv ON cv.vec_id = cd.corpus_id
+    WHERE {_sql_cosine('bv.v', 'cv.v')} >= {NEAR_DUP_THRESHOLD}
+    """
+
+
+@register("incremental_semantic_matches", _incremental_semantic_oracle)
+def q_incremental_semantic_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup matches of an incoming batch (vec_id%10>=8) against
+    the existing corpus (vec_id%10<8), via the PERSISTED vector index
+    (operators/vector_index.py): the corpus is coded ONCE PER PROCESS into a
+    parquet index; the batch path computes only its own codes, bucket-joins
+    them against the index's stored codes, and exact-cosine-verifies the
+    candidates against the index's stored embeddings — corpus codes are
+    never recomputed (single-ArrowEvalPython plan assert in
+    tests/test_vector_index.py). Hash-gated: the oracle replays the
+    cross-set bucket join + bitwise-mirrored cosine from the materialized
+    hyperplane-bucket fixture."""
+    from datafusion_dedup_ai_spark.operators import vector_index as VI
+
+    index_path = _vector_index_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.where(F.expr(_VEC_BATCH_PRED))
+    return VI.incremental_semantic_matches_indexed(
+        spark, index_path, batch, threshold=NEAR_DUP_THRESHOLD
+    )

@@ -235,5 +235,3 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.join(sizes, "cluster_id").select(
         "vec_id", "cluster_id", "cluster_size"
     )
-
-
