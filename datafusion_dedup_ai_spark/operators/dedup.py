@@ -420,3 +420,73 @@ def incremental_near_dup_matches(
         .where(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "n_common", "n_union", "jaccard")
     )
+
+
+def greedy_min_id_dropped(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id): the vertices DROPPED by sequential-by-id leader dedup over the
+    near-dup pair graph — process ids ascending, keep a vertex iff it has no
+    already-KEPT neighbor (greedy maximal independent set).
+
+    Why this rule and not "drop every id_b of a pair": the naive rule is not
+    self-consistent under replay. On a chain a~b, b~c (no a~c pair, a<b<c)
+    it keeps only {a}; a replayed c then matches nothing kept — its only
+    neighbor b was itself dropped — and ingests twice. Leader dedup keeps
+    {a, c}: every dropped vertex has a KEPT neighbor, so an at-least-once
+    sink that matches arrivals against survivors drops every replay
+    (idempotency with no transactional sink), and nothing is dropped whose
+    near-duplicates all disappeared — the drop list is justified by the
+    surviving corpus alone.
+
+    Implementation: the classic parallel rounds equivalent to the sequential
+    order — each round promotes every undecided vertex with no SMALLER
+    undecided neighbor to kept (dropped neighbors do not block, exactly as
+    in the sequential scan) and drops the new leaders' undecided neighbors.
+    Rounds = O(longest dependency chain), tiny for near-dup graphs; each
+    round is two shuffles on the edge list, same cost model as
+    cluster_label_propagation."""
+    sym = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b), F.col(id_a)))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    undecided = sym.select(F.col("u").alias("id")).distinct()
+    dropped = None
+    for _ in range(max_iters):
+        e = sym.join(
+            undecided.select(F.col("id").alias("u")), "u"
+        ).join(undecided.select(F.col("id").alias("v")), "v")
+        blocked = (
+            e.where(F.col("v") < F.col("u"))
+            .select(F.col("u").alias("id"))
+            .distinct()
+        )
+        leaders = undecided.join(blocked, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        newly_dropped = (
+            e.join(leaders.select(F.col("id").alias("u")), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        dropped = (
+            newly_dropped
+            if dropped is None
+            else dropped.union(newly_dropped).distinct()
+        )
+        undecided = (
+            undecided.join(leaders, "id", "left_anti")
+            .join(newly_dropped, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if undecided.isEmpty():
+            break
+    if dropped is None:
+        return sym.select(F.col("u").alias("id")).limit(0)
+    return dropped

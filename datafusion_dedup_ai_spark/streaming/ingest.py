@@ -85,18 +85,21 @@ def start_near_dup_ingest(
     2. drop batch docs matching the signature INDEX at ``jaccard >=
        threshold`` (cross-set band join — |batch| x collision-rate, never
        touching corpus text);
-    3. drop within-batch near-dups greedily: any doc pairing with a
-       lower-id batch doc goes (transitively safe: if a~b~c with a<b<c and
-       (b,c) pair, c still pairs with the kept-or-dropped b and is dropped —
-       the survivor set contains no pair);
+    3. drop within-batch near-dups by LEADER election
+       (operators/dedup.greedy_min_id_dropped): process ids ascending, keep
+       a doc iff it has no already-kept near-dup. NOT "drop every id_b of a
+       pair" — on a chain a~b, b~c without a~c that rule keeps only {a},
+       and a replayed c then matches nothing in the index (its only
+       neighbor b was dropped) and ingests twice;
     4. append the survivors to the parquet corpus AND their signatures +
        shingle sets to the index.
 
-    Replay idempotency needs no transactional sink: a replayed survivor is
-    in the index, matches itself at jaccard 1.0 >= threshold, and is
-    dropped — content similarity is the exactly-once mechanism (the same
-    argument as the exact-hash ingest, one tier up). Two details make the
-    contract hold in the failure cases a naive two-write sink misses:
+    Replay idempotency needs no transactional sink: a replayed survivor
+    matches itself in the index at jaccard 1.0, and every replayed
+    non-survivor matches the KEPT leader that displaced it — content
+    similarity is the exactly-once mechanism (the same argument as the
+    exact-hash ingest, one tier up). Two details make the contract hold in
+    the failure cases a naive two-write sink misses:
 
     * **Crash between the corpus write and the index append** would leave
       survivors invisible to future matching. Every batch therefore starts
@@ -115,7 +118,10 @@ def start_near_dup_ingest(
     """
     from datafusion_dedup_ai_spark.functions import text as T
     from datafusion_dedup_ai_spark.operators import minhash_index as MI
-    from datafusion_dedup_ai_spark.operators.dedup import minhash_near_dup_pairs
+    from datafusion_dedup_ai_spark.operators.dedup import (
+        greedy_min_id_dropped,
+        minhash_near_dup_pairs,
+    )
 
     spark = stream.sparkSession
 
@@ -174,7 +180,9 @@ def start_near_dup_ingest(
             in_batch = minhash_near_dup_pairs(
                 kept, id_col=id_col, threshold=threshold, persist=False
             )
-            losers = in_batch.select(F.col("id_b").alias(id_col)).distinct()
+            losers = greedy_min_id_dropped(in_batch).withColumnRenamed(
+                "id", id_col
+            )
             survivors_sh = kept.join(losers, id_col, "left_anti").persist()
             survivors = batch_df.join(
                 survivors_sh.select(id_col), id_col, "left_semi"
@@ -242,4 +250,175 @@ def replay_documents_as_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("recursiveFileLookup", "true")
         .json(stage_dir)
+    )
+
+
+def start_semantic_ingest(
+    stream: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Always-on SEMANTIC near-duplicate screening over an embedding stream:
+    the streaming form of the persisted-vector-index pipeline
+    (operators/vector_index.py) — the embedding twin of
+    ``start_near_dup_ingest``, same contract one modality over.
+
+    Per micro-batch:
+
+    1. code the batch (one Arrow matmul — batch side only);
+    2. drop batch vectors matching the vector INDEX at ``cosine >=
+       threshold`` (cross-set bucket join; corpus codes are read, never
+       recomputed);
+    3. drop within-batch near-dups by leader election (greedy_min_id_dropped
+       — same replay-safety argument as the text sink: every dropped vector
+       has a KEPT neighbor to match on replay);
+    4. append the survivors to the parquet corpus AND their codes +
+       embeddings to the index.
+
+    Replay idempotency: a replayed survivor is in the index and matches
+    itself at cosine 1.0 >= threshold, so it is dropped — content similarity
+    is the exactly-once mechanism. The failure-case details mirror the text
+    sink:
+
+    * **Crash between corpus write and index append**: every batch starts by
+      reconciling — corpus vectors missing from the index (id anti-join) get
+      their codes appended from the corpus rows. Corpus is the authority,
+      the index self-heals.
+    * **Zero vectors** have undefined cosine (NaN never clears the
+      threshold), so a replayed zero vector would bypass similarity and
+      duplicate forever. The sink screens zero-norm batch vectors by EXACT
+      id+vector equality against the corpus instead — the degenerate-input
+      fallback playing the role the singleton-shingle fallback plays for
+      too-short documents.
+    """
+    from datafusion_dedup_ai_spark.operators import vector_index as VI
+    from datafusion_dedup_ai_spark.operators.dedup import greedy_min_id_dropped
+    from datafusion_dedup_ai_spark.operators.similarity_search import (
+        dot_fold,
+        as_double,
+        lsh_near_pairs,
+    )
+
+    spark = stream.sparkSession
+
+    def _corpus_exists() -> bool:
+        return os.path.isdir(corpus_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_dir)
+        )
+
+    def _sync_index_with_corpus() -> bool:
+        if not _corpus_exists():
+            return False
+        corpus = spark.read.parquet(corpus_dir)
+        if VI.index_exists(index_dir):
+            idx_ids = VI.read_vector_index(spark, index_dir).select(id_col)
+            missing = corpus.join(idx_ids, id_col, "left_anti")
+            if not missing.isEmpty():
+                VI.append_vector_index(
+                    missing, index_dir, id_col=id_col, vec_col=vec_col
+                )
+        else:
+            VI.build_vector_index(
+                corpus, index_dir, id_col=id_col, vec_col=vec_col
+            )
+        return True
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        have_index = _sync_index_with_corpus()
+        norm2 = dot_fold(as_double(F.col(vec_col)), as_double(F.col(vec_col)))
+        batch = batch_df.withColumn("_zero", norm2 == 0.0).persist()
+        try:
+            kept = batch
+            if have_index:
+                nonzero = batch.where(~F.col("_zero"))
+                matched = (
+                    VI.incremental_semantic_matches_indexed(
+                        spark,
+                        index_dir,
+                        nonzero,
+                        id_col=id_col,
+                        vec_col=vec_col,
+                        threshold=threshold,
+                    )
+                    .select(F.col("batch_id").alias(id_col))
+                    .distinct()
+                )
+                corpus = spark.read.parquet(corpus_dir)
+                exact_zero = (
+                    batch.where(F.col("_zero"))
+                    .join(
+                        corpus.select(id_col, vec_col),
+                        [id_col, vec_col],
+                        "left_semi",
+                    )
+                    .select(id_col)
+                )
+                kept = batch.join(
+                    matched.unionByName(exact_zero), id_col, "left_anti"
+                )
+            in_batch = lsh_near_pairs(
+                kept.where(~F.col("_zero")),
+                id_col=id_col,
+                vec_col=vec_col,
+                threshold=threshold,
+            )
+            losers = greedy_min_id_dropped(in_batch).withColumnRenamed(
+                "id", id_col
+            )
+            survivors = kept.join(losers, id_col, "left_anti").drop("_zero")
+            survivors.write.mode("append").parquet(corpus_dir)
+            if VI.index_exists(index_dir):
+                VI.append_vector_index(
+                    survivors, index_dir, id_col=id_col, vec_col=vec_col
+                )
+            else:
+                VI.build_vector_index(
+                    survivors, index_dir, id_col=id_col, vec_col=vec_col
+                )
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def replay_embeddings_as_stream(
+    spark,
+    sf_dir: str,
+    stage_dir: str,
+    n_chunks: int = 4,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stage the embeddings table as n_chunks parquet files and read them
+    back as a file-source stream (parquet staging keeps the float arrays
+    bit-exact across the round trip, which the replay-idempotence contract
+    depends on). Deterministic chunking by vec_id range."""
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    if not os.path.isdir(stage_dir) or not os.listdir(stage_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+        step = (n + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            chunk = emb.where(
+                (F.col("vec_id") >= i * step) & (F.col("vec_id") < (i + 1) * step)
+            )
+            chunk.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage_dir, f"chunk={i:03d}")
+            )
+    schema = spark.read.parquet(os.path.join(stage_dir, "chunk=000")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
     )

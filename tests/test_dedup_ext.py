@@ -477,3 +477,28 @@ def test_duplicate_substring_spans_vs_python_reference(spark, tmp_path, seed):
         for r in q_duplicate_substring_spans(spark, d).collect()
     }
     assert got == want, f"seed {seed}: {got ^ want}"
+
+
+def test_greedy_min_id_dropped_chain_vs_naive(spark):
+    """The leader rule on a chain a~b~c (no a~c): keeps {a, c}, drops {b} —
+    the naive drop-every-id_b rule would wrongly drop c, whose only
+    near-duplicate b does not survive (and which would then re-ingest on
+    replay). Plus a clique, where both rules agree."""
+    from datafusion_dedup_ai_spark.operators.dedup import greedy_min_id_dropped
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    assert {r["id"] for r in greedy_min_id_dropped(chain).collect()} == {2}
+
+    clique = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], ["id_a", "id_b"]
+    )
+    assert {r["id"] for r in greedy_min_id_dropped(clique).collect()} == {2, 3}
+
+    # deeper chain: 1~2~3~4~5 -> keep odds, drop evens (two parallel rounds)
+    deep = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    assert {r["id"] for r in greedy_min_id_dropped(deep).collect()} == {2, 4}
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert greedy_min_id_dropped(empty).count() == 0

@@ -412,12 +412,26 @@ def test_streaming_near_dup_ingest_matches_sequential_batch(spark, sf_dir, tmp_p
                 .distinct()
             )
             sh = sh.join(matched, "doc_id", "left_anti")
-        losers = (
+        # independent pure-Python mirror of the sink's leader dedup:
+        # sequential by ascending id, keep iff no already-kept neighbor
+        pair_rows = (
             D.minhash_near_dup_pairs(sh, threshold=thr)
-            .select(F.col("id_b").alias("doc_id"))
-            .distinct()
+            .select("id_a", "id_b")
+            .collect()
         )
-        sh = sh.join(losers, "doc_id", "left_anti")
+        neighbors: dict = {}
+        for r in pair_rows:
+            neighbors.setdefault(r["id_a"], set()).add(r["id_b"])
+            neighbors.setdefault(r["id_b"], set()).add(r["id_a"])
+        kept_ids: set = set()
+        dropped_ids: set = set()
+        for v in sorted(neighbors):
+            if neighbors[v] & kept_ids:
+                dropped_ids.add(v)
+            else:
+                kept_ids.add(v)
+        if dropped_ids:
+            sh = sh.where(~F.col("doc_id").isin(*dropped_ids))
         sh = sh.persist()
         want |= {r["doc_id"] for r in sh.select("doc_id").collect()}
         accepted = sh if accepted is None else accepted.unionByName(sh)
@@ -527,3 +541,57 @@ def test_streaming_near_dup_ingest_short_docs_dedup(spark, tmp_path):
     run("ckpt2")
     n2 = spark.read.parquet(str(tmp_path / "corpus")).count()
     assert n1 == n2, f"replay added {n2 - n1} rows"
+
+
+def test_streaming_semantic_ingest_survivor_set_is_pair_free(spark, sf_dir, tmp_path):
+    """Replaying the embeddings table in 4 micro-batches through the
+    semantic-ingest sink must leave a corpus with ZERO near-dup pairs under
+    the sink's own matcher (every pair is caught either in-batch or against
+    the index), and the index must mirror the corpus ids exactly."""
+    from datafusion_dedup_ai_spark.operators import vector_index as VI
+    from datafusion_dedup_ai_spark.operators.similarity_search import lsh_near_pairs
+    from datafusion_dedup_ai_spark.streaming import ingest as I
+
+    stream = I.replay_embeddings_as_stream(
+        spark, sf_dir, str(tmp_path / "stage"), n_chunks=4
+    )
+    q = I.start_semantic_ingest(
+        stream,
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=str(tmp_path / "vindex"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    n = corpus.count()
+    assert 0 < n < 500, n  # some vectors dropped, not all
+    assert lsh_near_pairs(corpus, threshold=0.35).isEmpty()
+    idx_ids = {
+        r["vec_id"]
+        for r in VI.read_vector_index(spark, str(tmp_path / "vindex"))
+        .select("vec_id")
+        .collect()
+    }
+    assert idx_ids == {r["vec_id"] for r in corpus.select("vec_id").collect()}
+
+
+def test_streaming_semantic_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Full replay with a fresh checkpoint (worst at-least-once failure) must
+    add zero corpus rows: each replayed survivor matches itself in the index
+    at cosine 1.0."""
+    from datafusion_dedup_ai_spark.streaming import ingest as I
+
+    stage = str(tmp_path / "stage")
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "vindex")
+    stream = I.replay_embeddings_as_stream(spark, sf_dir, stage, n_chunks=2)
+    q = I.start_semantic_ingest(stream, corpus_dir, index_dir, str(tmp_path / "c1"))
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(corpus_dir).count()
+
+    stream2 = I.replay_embeddings_as_stream(spark, sf_dir, stage, n_chunks=2)
+    q2 = I.start_semantic_ingest(stream2, corpus_dir, index_dir, str(tmp_path / "c2"))
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(corpus_dir).count()
+    assert n1 == n2, f"replay added {n2 - n1} duplicate rows"
