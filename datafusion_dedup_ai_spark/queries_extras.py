@@ -1211,3 +1211,50 @@ def q_incremental_semantic_matches(spark: SparkSession, sf_dir: str) -> DataFram
     return VI.incremental_semantic_matches_indexed(
         spark, index_path, batch, threshold=NEAR_DUP_THRESHOLD
     )
+
+
+_SEM_INGEST_DONE: set[str] = set()
+
+
+@register("streaming_semantic_ingest", None)
+def q_streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The always-on SEMANTIC ingest (streaming/ingest.start_semantic_ingest)
+    driven to completion over a deterministic 4-chunk replay of `embeddings`,
+    surfaced as the post-ingest survivor corpus: (vec_id, label). Each
+    micro-batch screens against the persisted vector index (cosine >= 0.35)
+    and in-batch via leader dedup, then appends survivors to the corpus and
+    their codes to the index.
+
+    Rows-only by design (foreachBatch + index state are not SQL-expressible);
+    replay idempotency and the pair-free survivor invariant are pinned in
+    tests/test_streaming.py. Registered past the driver window: it runs
+    under the committed full-registry audit (CORRECTNESS_FULL.json)."""
+    import os
+    import shutil
+
+    from datafusion_dedup_ai_spark.materialize import _REPO_ROOT, sf_cache_key
+    from datafusion_dedup_ai_spark.streaming.ingest import (
+        replay_embeddings_as_stream,
+        start_semantic_ingest,
+    )
+
+    root = os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "sem_ingest"
+    )
+    corpus_dir = os.path.join(root, "corpus")
+    if root not in _SEM_INGEST_DONE:
+        shutil.rmtree(root, ignore_errors=True)
+        stream = replay_embeddings_as_stream(
+            spark, sf_dir, os.path.join(root, "stage")
+        )
+        q = start_semantic_ingest(
+            stream,
+            corpus_dir,
+            os.path.join(root, "index"),
+            os.path.join(root, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        _SEM_INGEST_DONE.add(root)
+    corpus = spark.read.parquet(corpus_dir)
+    return corpus.select("vec_id", "label")
