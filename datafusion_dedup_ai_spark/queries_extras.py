@@ -7,8 +7,12 @@ checks line-by-line.
 
 Contents: the fuzzy-dedup FINAL step (doc cluster assignment + representative
 election over MinHash-LSH pairs — what a pipeline actually applies to drop
-near-duplicates), and weighted source-mixture sampling (hit target corpus
-proportions deterministically).
+near-duplicates), weighted source-mixture / Efraimidis-Spirakis sampling and
+the LLaMA-recipe upsampling plan, per-source quality/token-budget selection,
+DSIR importance weights, linear quality scores, Gopher rule flags, SemDeDup,
+cross-source priority dedup and the source-overlap duplication matrix,
+containment near-dup pairs, the Misra-Gries and KMV sketch reports, the skew
+-guard report, and the streaming ingest replays (text near-dup + semantic).
 """
 
 from __future__ import annotations
