@@ -1,6 +1,9 @@
 """Similarity-search query pack over `embeddings`. The exact tier is
-oracle-gated (DuckDB mirrors the left-fold dot product bitwise); the LSH tier
-is rows-only (recall pinned against brute force in tests/test_similarity.py).
+oracle-gated (DuckDB mirrors the left-fold dot product bitwise); the ANN
+top-k tiers are rows-only (approximate by construction — their recall is the
+self-grading `ann_recall_report` plus pinned floors in
+tests/test_similarity.py), and the semantic-dedup composite is hash-gated
+via the materialized hyperplane-bucket fixture + recursive-CTE components.
 """
 
 from __future__ import annotations
