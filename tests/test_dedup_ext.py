@@ -502,3 +502,52 @@ def test_greedy_min_id_dropped_chain_vs_naive(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert greedy_min_id_dropped(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property: leader dedup == sequential reference on arbitrary graphs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_greedy_min_id_dropped_matches_sequential_property(spark, edges):
+    """On arbitrary pair graphs (cycles, stars, chains, parallel edges,
+    either orientation), the parallel-rounds implementation must equal the
+    sequential-by-id reference: keep v iff no already-kept neighbor. The
+    replay-safety invariant — every dropped vertex has a kept neighbor — is
+    checked directly too."""
+    from datafusion_dedup_ai_spark.operators.dedup import greedy_min_id_dropped
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["id_a", "id_b"]
+    )
+    got = {r["id"] for r in greedy_min_id_dropped(pairs).collect()}
+
+    neighbors: dict = {}
+    for a, b in edges:
+        neighbors.setdefault(a, set()).add(b)
+        neighbors.setdefault(b, set()).add(a)
+    kept: set = set()
+    dropped: set = set()
+    for v in sorted(neighbors):
+        if neighbors[v] & kept:
+            dropped.add(v)
+        else:
+            kept.add(v)
+    assert got == dropped
+    for v in got:
+        assert neighbors[v] & kept, f"dropped {v} has no kept neighbor"
