@@ -457,6 +457,7 @@ def greedy_min_id_dropped(
     )
     undecided = sym.select(F.col("u").alias("id")).distinct()
     dropped = None
+    converged = False
     for _ in range(max_iters):
         e = sym.join(
             undecided.select(F.col("id").alias("u")), "u"
@@ -486,7 +487,20 @@ def greedy_min_id_dropped(
             .localCheckpoint(eager=True)
         )
         if undecided.isEmpty():
+            converged = True
             break
+    if not converged:
+        # Every round decides at least the smallest undecided id, so this
+        # needs a dependency chain > max_iters rounds deep (e.g. thousands of
+        # consecutive-id boilerplate mutations). Returning the partial set
+        # would SILENTLY break the pair-free-survivor and replay-idempotency
+        # contracts of the streaming sinks — fail loudly instead.
+        n_left = undecided.count()
+        raise RuntimeError(
+            f"greedy_min_id_dropped did not converge in {max_iters} rounds "
+            f"({n_left} vertices undecided) — the pair graph has a longer "
+            "sequential dependency chain than expected; raise max_iters"
+        )
     if dropped is None:
         return sym.select(F.col("u").alias("id")).limit(0)
     return dropped

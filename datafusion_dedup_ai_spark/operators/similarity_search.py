@@ -88,11 +88,14 @@ def lsh_codes(
     seed: int = 7,
     extra_probes: int = 0,
     out_col: str = "codes",
+    passthrough: bool = False,
 ) -> DataFrame:
     """(id, codes array<long>): per-vector sign-bit bucket codes against
     fixed Gaussian hyperplanes, one numpy matmul per Arrow batch. The array
     holds ``(1 + extra_probes)`` codes per table, table-major — the
     persisted form for a vector index (one row per vector).
+    ``passthrough=True`` keeps ALL input columns and appends ``out_col`` —
+    the index-build form, a single map stage with no recombination join.
 
     ``extra_probes`` > 0 is query-side MULTI-PROBE (Lv et al., VLDB 2007):
     besides the base code, emit codes with the 1..R lowest-|margin| bits
@@ -129,6 +132,8 @@ def lsh_codes(
     # (observed: two ArrowEvalPython nodes in the executed plan). Same
     # pattern as the Jaro-Winkler barrier at functions/similarity.py.
     buckets_udf = buckets_udf.asNondeterministic()
+    if passthrough:
+        return df.withColumn(out_col, buckets_udf(F.col(vec_col)))
     return df.select(F.col(id_col), buckets_udf(F.col(vec_col)).alias(out_col))
 
 

@@ -74,7 +74,10 @@ def _check_meta(path: str, n_tables: int, n_bits: int, dim: int, seed: int) -> N
             "'no index', so self-healing callers rebuild automatically)"
         ) from None
     want = {"n_tables": n_tables, "n_bits": n_bits, "dim": dim, "seed": seed}
-    got = {k: meta[k] for k in want}
+    # .get, not [k]: a sidecar that parses but lacks a key (older format,
+    # manual edit) must land in the diagnostic mismatch branch below, not
+    # die with a bare KeyError that names neither path nor remedy.
+    got = {k: meta.get(k) for k in want}
     if got != want:
         raise ValueError(
             f"vector index at {path} was built with {got}; caller requested "
@@ -106,8 +109,11 @@ def build_vector_index(
         path,
         {"n_tables": n_tables, "n_bits": n_bits, "dim": dim, "seed": seed},
     )
-    codes = lsh_codes(emb, id_col, vec_col, n_tables, n_bits, dim, seed)
-    out = emb.select(F.col(id_col), F.col(vec_col)).join(codes, id_col)
+    out = lsh_codes(
+        emb.select(F.col(id_col), F.col(vec_col)),
+        id_col, vec_col, n_tables, n_bits, dim, seed,
+        passthrough=True,
+    )
     out.select(id_col, vec_col, "codes").write.mode("overwrite").parquet(
         _data_path(path)
     )
@@ -126,8 +132,11 @@ def append_vector_index(
     """Append an accepted batch's codes to the index (the per-crawl growth
     path). Parameters are validated against the build-time sidecar."""
     _check_meta(path, n_tables, n_bits, dim, seed)
-    codes = lsh_codes(emb_new, id_col, vec_col, n_tables, n_bits, dim, seed)
-    out = emb_new.select(F.col(id_col), F.col(vec_col)).join(codes, id_col)
+    out = lsh_codes(
+        emb_new.select(F.col(id_col), F.col(vec_col)),
+        id_col, vec_col, n_tables, n_bits, dim, seed,
+        passthrough=True,
+    )
     out.select(id_col, vec_col, "codes").write.mode("append").parquet(
         _data_path(path)
     )

@@ -289,12 +289,16 @@ def start_semantic_ingest(
       reconciling — corpus vectors missing from the index (id anti-join) get
       their codes appended from the corpus rows. Corpus is the authority,
       the index self-heals.
-    * **Zero vectors** have undefined cosine (NaN never clears the
-      threshold), so a replayed zero vector would bypass similarity and
-      duplicate forever. The sink screens zero-norm batch vectors by EXACT
-      id+vector equality against the corpus instead — the degenerate-input
-      fallback playing the role the singleton-shingle fallback plays for
-      too-short documents.
+    * **Zero vectors** have undefined cosine — under Spark's default ANSI
+      mode the division THROWS (and with ANSI off it yields NULL, which
+      never clears the threshold either way) — so zero-norm vectors must
+      never reach a cosine. The sink (a) keeps them OUT of the vector index
+      everywhere, including the self-heal reconcile, so no candidate pair
+      can involve one; (b) dedups them exactly instead: within-batch by
+      identical-vector min-id, and against the corpus by identical-vector
+      semi-join (which also covers replay) — the degenerate-input fallback
+      playing the role the singleton-shingle fallback plays for too-short
+      documents.
     """
     from datafusion_dedup_ai_spark.operators import vector_index as VI
     from datafusion_dedup_ai_spark.operators.dedup import greedy_min_id_dropped
@@ -306,6 +310,9 @@ def start_semantic_ingest(
 
     spark = stream.sparkSession
 
+    def _norm2(df: DataFrame):
+        return dot_fold(as_double(df[vec_col]), as_double(df[vec_col]))
+
     def _corpus_exists() -> bool:
         return os.path.isdir(corpus_dir) and any(
             f.endswith(".parquet") for f in os.listdir(corpus_dir)
@@ -314,28 +321,47 @@ def start_semantic_ingest(
     def _sync_index_with_corpus() -> bool:
         if not _corpus_exists():
             return False
+        # Zero-norm vectors live in the CORPUS but never in the INDEX: a
+        # zero code collides with real vectors, and the verify cosine then
+        # divides by zero (ANSI: SparkArithmeticException). The reconcile
+        # must apply the same filter or it would "heal" them back in.
         corpus = spark.read.parquet(corpus_dir)
+        indexable = corpus.where(_norm2(corpus) != 0.0)
         if VI.index_exists(index_dir):
             idx_ids = VI.read_vector_index(spark, index_dir).select(id_col)
-            missing = corpus.join(idx_ids, id_col, "left_anti")
+            missing = indexable.join(idx_ids, id_col, "left_anti")
             if not missing.isEmpty():
                 VI.append_vector_index(
                     missing, index_dir, id_col=id_col, vec_col=vec_col
                 )
         else:
             VI.build_vector_index(
-                corpus, index_dir, id_col=id_col, vec_col=vec_col
+                indexable, index_dir, id_col=id_col, vec_col=vec_col
             )
         return True
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
         have_index = _sync_index_with_corpus()
-        norm2 = dot_fold(as_double(F.col(vec_col)), as_double(F.col(vec_col)))
-        batch = batch_df.withColumn("_zero", norm2 == 0.0).persist()
+        batch = batch_df.withColumn(
+            "_zero", _norm2(batch_df) == 0.0
+        ).persist()
+        survivors = None
         try:
-            kept = batch
+            # within-batch exact dedup of zero vectors (identical vector,
+            # keep min id) — they are excluded from every cosine path, so
+            # similarity can never dedup them
+            zw = Window.partitionBy(vec_col).orderBy(id_col)
+            zero_losers = (
+                batch.where(F.col("_zero"))
+                .withColumn("_rn", F.row_number().over(zw))
+                .where(F.col("_rn") > 1)
+                .select(id_col)
+            )
+            kept = batch.join(zero_losers, id_col, "left_anti")
             if have_index:
-                nonzero = batch.where(~F.col("_zero"))
+                nonzero = kept.where(~F.col("_zero"))
                 matched = (
                     VI.incremental_semantic_matches_indexed(
                         spark,
@@ -350,15 +376,15 @@ def start_semantic_ingest(
                 )
                 corpus = spark.read.parquet(corpus_dir)
                 exact_zero = (
-                    batch.where(F.col("_zero"))
+                    kept.where(F.col("_zero"))
                     .join(
-                        corpus.select(id_col, vec_col),
-                        [id_col, vec_col],
+                        corpus.select(vec_col),
+                        [vec_col],
                         "left_semi",
                     )
                     .select(id_col)
                 )
-                kept = batch.join(
+                kept = kept.join(
                     matched.unionByName(exact_zero), id_col, "left_anti"
                 )
             in_batch = lsh_near_pairs(
@@ -370,18 +396,26 @@ def start_semantic_ingest(
             losers = greedy_min_id_dropped(in_batch).withColumnRenamed(
                 "id", id_col
             )
-            survivors = kept.join(losers, id_col, "left_anti").drop("_zero")
-            survivors.write.mode("append").parquet(corpus_dir)
+            # persist: the corpus write and the index append below both
+            # consume survivors — without the pin the whole match pipeline
+            # (index scan + bucket join + cosine verify) executes twice per
+            # batch (the text sink persists survivors_sh for the same
+            # reason)
+            survivors = kept.join(losers, id_col, "left_anti").persist()
+            survivors.drop("_zero").write.mode("append").parquet(corpus_dir)
+            indexable = survivors.where(~F.col("_zero")).drop("_zero")
             if VI.index_exists(index_dir):
                 VI.append_vector_index(
-                    survivors, index_dir, id_col=id_col, vec_col=vec_col
+                    indexable, index_dir, id_col=id_col, vec_col=vec_col
                 )
             else:
                 VI.build_vector_index(
-                    survivors, index_dir, id_col=id_col, vec_col=vec_col
+                    indexable, index_dir, id_col=id_col, vec_col=vec_col
                 )
         finally:
             batch.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

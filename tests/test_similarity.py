@@ -59,9 +59,11 @@ def test_lsh_recall_vs_brute_force(spark, emb):
         len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
     ]
     mean_recall = sum(recalls) / len(recalls)
-    # random vectors are a worst case for LSH; 8x4 tables with the default
-    # +1 multi-probe (measured 0.96 on 5 queries) must clear the 0.72
-    # no-probe point with margin
+    # random vectors are a worst case for LSH. This test runs 16x4 tables
+    # (stronger than the registered tier's 8x4) PLUS the default +1
+    # multi-probe; the floor reflects both levers, not multi-probe alone —
+    # the 8x4 +1-probe point measured 0.96 on the 5-query fixture
+    # (docstring Pareto in operators/similarity_search.lsh_codes)
     assert mean_recall >= 0.7, f"mean recall@5 {mean_recall:.2f}"
 
 

@@ -595,3 +595,78 @@ def test_streaming_semantic_ingest_replay_is_idempotent(spark, sf_dir, tmp_path)
     q2.awaitTermination(300)
     n2 = spark.read.parquet(corpus_dir).count()
     assert n1 == n2, f"replay added {n2 - n1} duplicate rows"
+
+
+def test_streaming_semantic_ingest_zero_vectors(spark, tmp_path):
+    """Zero-norm vectors must never crash the sink (cosine would divide by
+    zero under default ANSI mode) and must still dedup exactly: identical
+    zero vectors collapse in-batch and across batches/replay, the index
+    stays zero-free, and later nonzero batches match against the index
+    without error."""
+    import os
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from datafusion_dedup_ai_spark.operators import vector_index as VI
+    from datafusion_dedup_ai_spark.streaming import ingest as I
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    zero = [0.0] * 64
+    v = [float((i % 7) - 3) + 0.5 for i in range(64)]
+    near_v = [x * 1.01 for x in v]
+    stage = str(tmp_path / "stage")
+    # batch 1: two identical zero vectors + one real vector
+    spark.createDataFrame(
+        [(1, zero), (2, zero), (3, v)], schema
+    ).coalesce(1).write.parquet(os.path.join(stage, "chunk=000"))
+    # batch 2: a NEW id with the same zero vector (content dup) + a near-dup
+    # of the real vector (exercises cosine against an index that must not
+    # contain the zero row)
+    spark.createDataFrame(
+        [(4, zero), (5, near_v)], schema
+    ).coalesce(1).write.parquet(os.path.join(stage, "chunk=001"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "vindex")
+    q = I.start_semantic_ingest(
+        stream, corpus_dir, index_dir, str(tmp_path / "ckpt"), threshold=0.9
+    )
+    q.awaitTermination(300)
+
+    corpus = {r["vec_id"] for r in spark.read.parquet(corpus_dir).collect()}
+    # 2 (in-batch zero dup), 4 (cross-batch zero content dup), 5 (cosine
+    # near-dup of 3) all dropped
+    assert corpus == {1, 3}, corpus
+    idx = {r["vec_id"] for r in VI.read_vector_index(spark, index_dir).collect()}
+    assert idx == {3}, idx  # the zero vector is corpus-only, never indexed
+
+    # full replay with fresh checkpoint: nothing new
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q2 = I.start_semantic_ingest(
+        stream2, corpus_dir, index_dir, str(tmp_path / "ckpt2"), threshold=0.9
+    )
+    q2.awaitTermination(300)
+    corpus2 = {r["vec_id"] for r in spark.read.parquet(corpus_dir).collect()}
+    assert corpus2 == {1, 3}, corpus2
