@@ -1032,3 +1032,50 @@ def q_event_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_violations.cast("bigint").alias("n_violations"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery (per-row dependent top-N)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lateral_top_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t ON TRUE
+    """,
+)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a correlated LATERAL subquery — the SQL
+    surface for per-row dependent subplans. Catalyst DECORRELATES it
+    (DecorrelateInnerQuery rewrites the correlated limit into a
+    rank-over-window domain join), so the executed plan is the same
+    shuffle-once window top-k a hand-written version would produce — no
+    per-customer re-execution, which is what makes the construct survive
+    100 TB. Complements `window_topk_orders` (explicit window form): same
+    answer class, different front-end path, both oracle-gated. o_totalprice
+    is projected untouched (stored doubles, no arithmetic), so the hash
+    gate compares bit-identical values."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_lateral_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_lateral_orders"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_lateral_customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM v_lateral_orders o WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
