@@ -1262,3 +1262,81 @@ def q_streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SEM_INGEST_DONE.add(root)
     corpus = spark.read.parquet(corpus_dir)
     return corpus.select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+from datafusion_dedup_ai_spark.queries_similarity import N_QUERIES  # noqa: E402
+from datafusion_dedup_ai_spark.operators import similarity_search as S  # noqa: E402
+
+
+HARD_NEG_K = 3
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH c AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, label AS q_label, v AS qv
+        FROM c WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS negative_id,
+               CAST(c.label AS BIGINT) AS negative_label,
+               {_sql_cosine('q.qv', 'c.v')} AS cosine
+        FROM c CROSS JOIN q
+        WHERE c.label <> q.q_label
+    )
+    SELECT query_id, negative_id, negative_label, cosine, rk FROM (
+        SELECT query_id, negative_id, negative_label, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, negative_id ASC) AS BIGINT) AS rk
+        FROM scored)
+    WHERE rk <= {HARD_NEG_K}
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: per query vector, the
+    top-{HARD_NEG_K} most-similar vectors with a DIFFERENT label — the
+    near-miss examples that teach an embedding model its decision boundary
+    (the mining step behind triplet/InfoNCE dataset prep). Exact form on
+    the broadcast query set; at corpus scale the candidate generator swaps
+    to the LSH/IVF tiers with the label filter applied pre-re-rank — the
+    identical plan surgery as cosine_topk -> ann_topk_tiers, so the exact
+    query stays the graded baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("cv"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("negative_label") != F.col("q_label"))
+        .withColumn("cosine", S.cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            "negative_id",
+            F.col("negative_label").cast("bigint").alias("negative_label"),
+            "cosine",
+            "rk",
+        )
+    )
