@@ -15,6 +15,8 @@ is pinned in tests/test_similarity.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,6 +113,184 @@ def quantized_topk(
 
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    rescored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN tier
+# ---------------------------------------------------------------------------
+#
+# PQ (Jegou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011) splits the vector into M subvectors and vector-quantizes each
+# against its own K-entry codebook: a 64-dim float32 vector (256 B) becomes
+# M=8 one-byte codes — a 32x compression, vs SQ8's 4x. Candidate scoring is
+# ADC (asymmetric distance computation): the float query is compared to
+# codebook entries once, then every corpus vector's score is M table
+# lookups. This is the FAISS IVFPQ building block and the standard memory
+# tier when even int8 codes don't fit.
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codebook entries per subspace (4-bit codes)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    n_iter: int = 10,
+    sample_size: int = 2048,
+    seed: int = 11,
+):
+    """Per-subspace k-means codebooks, shape (m, k_codes, dim//m), trained on
+    a deterministic driver-side sample of L2-normalized vectors.
+
+    Same scale justification as train_spherical_centroids: the model is
+    m * k * dsub floats (a few KB), trained on ~10^4 sampled rows and
+    broadcast — the corpus-sized pass is only the assignment map."""
+    import random
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = random.Random(seed)
+    books = np.zeros((m, k_codes, dsub))
+    for sub in range(m):
+        Xs = X[:, sub * dsub : (sub + 1) * dsub]
+        k = min(k_codes, len(Xs))
+        cb = Xs[rng.sample(range(len(Xs)), k)].copy()
+        for _ in range(n_iter):
+            d2 = ((Xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = Xs[assign == c]
+                if len(members):  # empty cell keeps its old centroid
+                    cb[c] = members.mean(axis=0)
+        books[sub, :k] = cb
+        if k < k_codes:  # degenerate tiny sample: pad with the first entry
+            books[sub, k:] = cb[0]
+    return books
+
+
+def pq_assign_codes(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str | None = None,
+) -> DataFrame:
+    """(id, codes: array<long>): nearest-codebook-entry index per subspace.
+    One vectorized numpy pass per Arrow batch against the broadcast
+    codebooks — a pure map stage, no shuffle."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    C = codebooks.astype(np.float64)  # (m, k, dsub)
+    m, _, dsub = C.shape
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def codes_udf(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+        Xs = X.reshape(len(X), m, dsub)  # (n, m, dsub)
+        # (n, m, k) squared distances via ||x||^2 - 2x.c + ||c||^2
+        d2 = (
+            (Xs**2).sum(axis=2)[:, :, None]
+            - 2.0 * np.einsum("nmd,mkd->nmk", Xs, C)
+            + (C**2).sum(axis=2)[None, :, :]
+        )
+        return pd.Series(list(np.argmin(d2, axis=2).astype(np.int64)))
+
+    return df.select(
+        F.col(id_col).alias(out_id or id_col),
+        codes_udf(F.col(vec_col)).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    oversample: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k via PQ + ADC, then exact re-rank — the same
+    two-stage shape as quantized_topk but over 32x-compressed codes.
+
+    Stage 1 scans only (id, 8 longs) per corpus row: the ADC score of a
+    corpus vector against a query is sum_m LUT[m][code_m], where the LUT is
+    the query's dot products with the codebook entries. Here the LUT is
+    built per Arrow batch from the broadcast codebooks (at cluster scale
+    you'd build it once per query per partition — same asymptotics, the
+    batch einsum is the local analog). Stage 2 exact-re-ranks the
+    k * oversample survivors against the float vectors. Output schema
+    matches the other ANN tiers: (query_id, neighbor_id, cosine, rk).
+    Recall floor vs brute force is pinned in tests/test_similarity.py."""
+    from pyspark.sql.types import DoubleType
+
+    books = train_pq_codebooks(
+        corpus, id_col, vec_col, m=m, k_codes=k_codes, seed=seed
+    )
+    C = books.astype(np.float64)
+    dsub = C.shape[2]
+
+    codes = pq_assign_codes(corpus, books, id_col, vec_col, out_id="neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+
+    @F.pandas_udf(DoubleType())
+    def adc_udf(q_vecs: pd.Series, code_arrs: pd.Series) -> pd.Series:
+        Q = np.stack(q_vecs.to_numpy()).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12
+        Qs = Q.reshape(len(Q), C.shape[0], dsub)
+        lut = np.einsum("nmd,mkd->nmk", Qs, C)  # (n, m, k)
+        codes_m = np.stack(code_arrs.to_numpy()).astype(np.int64)  # (n, m)
+        n_idx = np.arange(len(Q))[:, None]
+        m_idx = np.arange(C.shape[0])[None, :]
+        return pd.Series(lut[n_idx, m_idx, codes_m].sum(axis=1))
+
+    scored = (
+        codes.crossJoin(F.broadcast(qv))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_score", adc_udf(F.col("q_vec"), F.col("codes")))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("crk", F.row_number().over(w1))
+        .where(F.col("crk") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     rescored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")

@@ -1340,3 +1340,259 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# ===========================================================================
+# Chunk-level dedup, char-distribution quality, Bloom ingest prefilter
+# (round-5 additions)
+# ===========================================================================
+
+
+def _chunk_dedup_stats_oracle() -> str:
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH chunks AS ({get_oracle("doc_chunks")}),
+    marked AS (
+        SELECT doc_id, chunk_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+        FROM chunks)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_chunk_fraction
+    FROM marked GROUP BY doc_id
+    """
+
+
+@register("chunk_dedup_stats", _chunk_dedup_stats_oracle)
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) duplication — the FineWeb/RefinedWeb-style
+    signal that catches boilerplate SHARED ACROSS documents that whole-doc
+    dedup misses: per document, the fraction of its 256-char chunks whose
+    exact text appeared earlier in the corpus ((doc_id, chunk_id) order).
+
+    Composes the registered doc_chunks windowing (one map-side explode, no
+    shuffle) with one keep-first window on chunk_text — a single shuffle
+    keyed by chunk content, the same shape as exact_dedup_documents — then a
+    per-doc re-aggregation (second shuffle on doc_id). dup_chunk_fraction is
+    a single int/int division cast to double, so it hash-gates bit-exactly.
+    At 100 TB the chunk-text shuffle key would be md5(chunk_text) (16 bytes
+    vs 256) — kept as raw text here so the oracle's grouping is
+    byte-identical rather than hash-collision-modulo-identical."""
+    from datafusion_dedup_ai_spark.queries_curation import q_doc_chunks
+
+    ch = q_doc_chunks(spark, sf_dir)
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    marked = ch.withColumn("rn", F.row_number().over(w))
+    dup = F.when(F.col("rn") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            (F.col("n_dup_chunks").cast("double") / F.col("n_chunks")).alias(
+                "dup_chunk_fraction"
+            ),
+        )
+    )
+
+
+@register(
+    "doc_char_diversity",
+    """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0
+    ), cc AS (
+        SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq_counts,
+           1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+                 / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+               AS simpson_diversity
+    FROM cc GROUP BY doc_id
+    """,
+)
+def q_doc_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality signal: per-doc Simpson diversity
+    1 - sum(p_c^2) over the character frequency distribution — near 0 for
+    single-character junk (aaaa...), high for natural text. The standard
+    entropy formulation needs ln (libm ulp drift poisons cross-engine
+    hashes — see doc_tfidf_topterms); Simpson is the established
+    diversity index that stays in exact integer arithmetic until ONE final
+    division, so it hash-gates bit-exactly and ranks junk identically.
+
+    Scale shape: explode-to-chars is map-side only — partial aggregation
+    combines (doc_id, char) counts before the shuffle, so the exchange
+    carries at most |alphabet| rows per document, not |text|. Empty docs are
+    excluded on both sides (Spark split('','') -> [] vs DuckDB [''] — the
+    filter removes the divergence)."""
+    d = load_spread(spark, sf_dir, "documents")
+    ch = d.where(F.length("text") > 0).select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    n_chars = F.sum("cnt").cast("bigint")
+    sum_sq = F.sum(F.col("cnt") * F.col("cnt")).cast("bigint")
+    return (
+        cc.groupBy("doc_id")
+        .agg(
+            n_chars.alias("n_chars"),
+            F.count("*").cast("bigint").alias("n_distinct_chars"),
+            sum_sq.alias("sum_sq_counts"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            "sum_sq_counts",
+            (
+                F.lit(1.0)
+                - F.col("sum_sq_counts").cast("double")
+                / (F.col("n_chars").cast("double") * F.col("n_chars").cast("double"))
+            ).alias("simpson_diversity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter ingest prefilter — constant-memory incremental exact dedup
+# ---------------------------------------------------------------------------
+#
+# The incremental-exact path (incremental_exact_new_docs) anti-joins the
+# batch against the corpus hash projection — correct, but the join's corpus
+# side grows with the corpus. The Bloom prefilter bounds the broadcast state:
+# k=3 positions per key, each a disjoint 16-bit slice of md5 (3 independent
+# 65,536-bit filters = 24 KiB packed), built with one bit_or aggregation.
+# A batch doc whose 3 bits are not all set is DEFINITELY new (no false
+# negatives) and skips the exact join; only bloom-maybe docs — true dups
+# plus the ~(fill_rate)^3 false positives — pay the corpus-sized verify.
+# This is the classic crawl-frontier / CDC dedup shape: the common case
+# (new content) is decided against 24 KiB of broadcast state.
+
+_BLOOM_SLOTS = 3  # disjoint md5 slices as independent hash functions
+
+# Same deterministic corpus/batch split as the incremental-exact path, so the
+# two operators answer the same question and are directly comparable.
+from datafusion_dedup_ai_spark.queries_dedup_ext import (  # noqa: E402
+    _BATCH_PRED,
+    _CORPUS_PRED,
+)
+
+
+@register(
+    "bloom_incremental_new_docs",
+    f"""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE {_CORPUS_PRED}
+    ), slots AS (
+        SELECT unnest([0, 1, 2]) AS slot
+    ), cpos AS (
+        SELECT DISTINCT slot, substr(h, 1 + 4 * slot, 4) AS pos
+        FROM corpus CROSS JOIN slots
+    ), batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE {_BATCH_PRED}
+    ), bpos AS (
+        SELECT doc_id, h, slot, substr(h, 1 + 4 * slot, 4) AS pos
+        FROM batch CROSS JOIN slots
+    ), probe AS (
+        SELECT b.doc_id, b.h, BOOL_AND(c.pos IS NOT NULL) AS bloom_maybe
+        FROM bpos b
+        LEFT JOIN cpos c ON b.slot = c.slot AND b.pos = c.pos
+        GROUP BY 1, 2
+    ), flags AS (
+        SELECT p.doc_id, p.h AS content_hash, p.bloom_maybe,
+               (p.bloom_maybe AND EXISTS (
+                   SELECT 1 FROM corpus c WHERE c.h = p.h)) AS in_corpus,
+               ROW_NUMBER() OVER (PARTITION BY p.h ORDER BY p.doc_id) AS rn
+        FROM probe p
+    )
+    SELECT doc_id, content_hash, bloom_maybe, in_corpus,
+           (NOT in_corpus AND rn = 1) AS is_new
+    FROM flags
+    """,
+)
+def q_bloom_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup: every incoming-batch doc
+    tagged (bloom_maybe, in_corpus, is_new), where the corpus-sized exact
+    verify runs ONLY for bloom-maybe docs.
+
+    Spark side builds a REAL packed Bloom filter: corpus md5 slices ->
+    (slot, word=pos div 64, bit=pos mod 64) -> bit_or(1L << bit) groupBy
+    (slot, word) — at most 3 x 1024 longs (24 KiB) whatever the corpus
+    size — broadcast to the batch, probed with (bits >> bit) & 1. The
+    DuckDB oracle expresses the identical membership semantics as a
+    position-set join (pos -> (word, bit) is a bijection, and bit_or only
+    unions positions within a word, so packed-bit membership == position-set
+    membership, row for row). No false negatives is a theorem (a corpus
+    key's own positions are always set); the measured false-positive rate
+    and the bloom_maybe=false => not-in-corpus invariant are pinned in
+    tests/test_extras2.py."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus_h = (
+        d.where(F.expr(_CORPUS_PRED))
+        .select(F.md5(F.col("text")).alias("h"))
+        .distinct()
+    )
+    batch = d.where(F.expr(_BATCH_PRED)).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        slots = F.array(*[F.lit(i) for i in range(_BLOOM_SLOTS)])
+        ex = df.select("*", F.explode(slots).alias("slot"))
+        pos = F.expr("cast(conv(substr(h, 1 + 4 * slot, 4), 16, 10) as long)")
+        return ex.withColumn("pos", pos).select(
+            "*",
+            F.expr("pos div 64").alias("word"),
+            F.expr("cast(pos % 64 as int)").alias("bit"),
+        )
+
+    bitset = (
+        positions(corpus_h)
+        .groupBy("slot", "word")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("bits"))
+    )
+    probed = (
+        positions(batch)
+        .join(F.broadcast(bitset), ["slot", "word"], "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.expr("(shiftright(bits, bit) & 1L) = 1L"), F.lit(False)
+            ),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hit").alias("bloom_maybe"))
+    )
+    maybe = probed.where(F.col("bloom_maybe"))
+    verified = maybe.join(
+        corpus_h.select(F.col("h"), F.lit(True).alias("in_corpus")), "h", "left"
+    ).select("doc_id", "h", "bloom_maybe", F.coalesce("in_corpus", F.lit(False)).alias("in_corpus"))
+    definite = probed.where(~F.col("bloom_maybe")).select(
+        "doc_id", "h", "bloom_maybe", F.lit(False).alias("in_corpus")
+    )
+    flags = verified.unionByName(definite)
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    return (
+        flags.withColumn("rn", rn)
+        .select(
+            "doc_id",
+            F.col("h").alias("content_hash"),
+            "bloom_maybe",
+            "in_corpus",
+            ((~F.col("in_corpus")) & (F.col("rn") == 1)).alias("is_new"),
+        )
+    )

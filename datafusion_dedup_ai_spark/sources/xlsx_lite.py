@@ -51,8 +51,11 @@ def _col_index(ref: str) -> int:
 
 # XML 1.0 cannot carry most control characters even escaped; OOXML encodes
 # them as _xHHHH_ (and protects literal text that LOOKS like that escape by
-# encoding its underscore as _x005F_). openpyxl does the same.
-_XML_INVALID = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# encoding its underscore as _x005F_). openpyxl does the same. \r (0x0D) is
+# VALID XML but must be escaped anyway: parsers normalize literal \r and
+# \r\n to \n on read (XML 1.0 §2.11), which would silently corrupt the
+# round-trip — Excel itself writes _x000D_ for the same reason.
+_XML_INVALID = re.compile(r"[\x00-\x08\x0b-\x0c\x0e-\x1f\x0d]")
 _OOXML_ESC_LITERAL = re.compile(r"_(?=x[0-9A-Fa-f]{4}_)")
 _OOXML_ESC = re.compile(r"_x([0-9A-Fa-f]{4})_")
 

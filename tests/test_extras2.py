@@ -1,0 +1,115 @@
+"""Pins for the round-5 ingest-extension queries: chunk-level dedup stats,
+char-distribution diversity, and the Bloom-filter ingest prefilter.
+
+The cross-engine value gates live in CORRECTNESS_FULL.json (full_correctness
+replays the DuckDB oracles); these tests pin the SEMANTIC invariants the
+hash gate can't express — no-false-negatives, equivalence with the exact
+incremental path, and agreement with a pure-Python reference.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_dedup_ai_spark import entry_queries  # noqa: F401 — registry
+from datafusion_dedup_ai_spark.queries_dedup_ext import (
+    q_incremental_exact_new_docs,
+)
+from datafusion_dedup_ai_spark.queries_extras import (
+    q_bloom_incremental_new_docs,
+    q_chunk_dedup_stats,
+    q_doc_char_diversity,
+)
+from datafusion_dedup_ai_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def bloom_rows(spark, sf_dir):
+    return q_bloom_incremental_new_docs(spark, sf_dir).collect()
+
+
+def test_bloom_no_false_negatives(bloom_rows):
+    """in_corpus => bloom_maybe: a key's own positions are always set, so a
+    true duplicate can never be waved through as definitely-new."""
+    for r in bloom_rows:
+        if r["in_corpus"]:
+            assert r["bloom_maybe"], f"false negative on doc {r['doc_id']}"
+
+
+def test_bloom_false_positive_rate(bloom_rows):
+    """With ~10^2-10^3 corpus keys in 3 x 65,536-bit filters the expected FP
+    rate is ~(n/65536)^3 — indistinguishable from zero at test scale."""
+    fp = sum(1 for r in bloom_rows if r["bloom_maybe"] and not r["in_corpus"])
+    candidates = sum(1 for r in bloom_rows if not r["in_corpus"])
+    assert candidates > 0
+    assert fp / candidates < 0.05, f"FP rate {fp}/{candidates}"
+
+
+def test_bloom_is_new_matches_exact_incremental(spark, sf_dir, bloom_rows):
+    """The Bloom path and the plain anti-join path must admit exactly the
+    same new-document set — the prefilter is an optimization, not a policy
+    change."""
+    bloom_new = {r["doc_id"] for r in bloom_rows if r["is_new"]}
+    exact_new = {
+        r["doc_id"]
+        for r in q_incremental_exact_new_docs(spark, sf_dir).collect()
+    }
+    assert bloom_new == exact_new
+
+
+def test_chunk_dedup_matches_python_reference(spark, sf_dir):
+    """Replay the whole operator in pure Python — same chunking (256/192),
+    same keep-first-by-(doc_id, chunk_id) rule — and require per-doc
+    equality on every count."""
+    docs = sorted(
+        load_table(spark, sf_dir, "documents").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    seen: set[str] = set()
+    expect: dict[int, tuple[int, int]] = {}
+    for doc in docs:
+        text = doc["text"] or ""
+        starts = range(0, max(len(text), 1), 192)
+        n, dups = 0, 0
+        for s in starts:
+            chunk = text[s : s + 256]
+            n += 1
+            if chunk in seen:
+                dups += 1
+            else:
+                seen.add(chunk)
+        expect[doc["doc_id"]] = (n, dups)
+    stats = {r["doc_id"]: r for r in q_chunk_dedup_stats(spark, sf_dir).collect()}
+    assert set(stats) == set(expect)
+    for doc_id, (n, dups) in expect.items():
+        r = stats[doc_id]
+        assert (r["n_chunks"], r["n_dup_chunks"]) == (n, dups), doc_id
+        assert r["dup_chunk_fraction"] == pytest.approx(dups / n, abs=0)
+
+
+def test_char_diversity_matches_python_reference(spark, sf_dir):
+    """Spot-check the Simpson index against a pure-Python Counter on every
+    document (tiny at sf0.001)."""
+    docs = load_table(spark, sf_dir, "documents").collect()
+    got = {r["doc_id"]: r for r in q_doc_char_diversity(spark, sf_dir).collect()}
+    checked = 0
+    for doc in docs:
+        if not doc["text"]:
+            assert doc["doc_id"] not in got
+            continue
+        c = Counter(doc["text"])
+        n = sum(c.values())
+        sum_sq = sum(v * v for v in c.values())
+        r = got[doc["doc_id"]]
+        assert r["n_chars"] == n
+        assert r["n_distinct_chars"] == len(c)
+        assert r["sum_sq_counts"] == sum_sq
+        assert r["simpson_diversity"] == pytest.approx(
+            1.0 - sum_sq / (n * n), abs=0
+        )
+        assert 0.0 <= r["simpson_diversity"] < 1.0
+        checked += 1
+    assert checked > 0

