@@ -1596,3 +1596,122 @@ def q_bloom_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((~F.col("in_corpus")) & (F.col("rn") == 1)).alias("is_new"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM count tables + vocabulary OOV rate — tokenizer/LM prep
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_lm_counts",
+    """
+    WITH bg AS (
+        SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+            AS bigram
+        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+    ), sp AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2
+        FROM bg
+    ), pc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM sp GROUP BY 1, 2
+    )
+    SELECT w1, w2, pair_count,
+           CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS left_contexts,
+           CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS right_contexts
+    FROM pc
+    """,
+)
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM count tables with continuation counts — the sufficient
+    statistics for Kneser-Ney smoothing (Kneser & Ney 1995; the KenLM
+    pipeline's first MapReduce pass): per bigram (w1, w2) its corpus count,
+    plus N1+(. w2) (distinct left contexts — the KN continuation count) and
+    N1+(w1 .) (distinct right contexts — the backoff normalizer).
+
+    Scale shape: one shuffle reduces raw bigrams to (w1, w2, count); the two
+    continuation counts are COUNT windows over the ALREADY-REDUCED pair
+    table (one row per distinct pair, so partition row count == distinct
+    context count) — the same one-exchange-fewer pattern as
+    doc_tfidf_topterms' df. All integer arithmetic: hash-gates exactly."""
+    d = load_spread(spark, sf_dir, "documents")
+    bg = d.select(F.explode(T.word_bigrams(F.col("text"))).alias("bigram"))
+    sp = bg.select(
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+    )
+    pc = sp.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("pair_count"))
+    return pc.select(
+        "w1",
+        "w2",
+        "pair_count",
+        F.count("*").over(Window.partitionBy("w2")).cast("bigint").alias(
+            "left_contexts"
+        ),
+        F.count("*").over(Window.partitionBy("w1")).cast("bigint").alias(
+            "right_contexts"
+        ),
+    )
+
+
+VOCAB_MIN_COUNT = 5
+
+
+@register(
+    "vocab_oov_rate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a corpus-derived
+    vocabulary (tokens with count >= VOCAB_MIN_COUNT): the tokenizer-prep
+    signal that
+    flags docs full of rare junk (OCR noise, codes, non-target languages)
+    BEFORE spending tokenizer training or BPE merges on them.
+
+    The vocabulary is a frequency-thresholded projection (one groupBy) and
+    the membership check is a broadcast-sized left join at real scale — the
+    vocab is bounded by the language, not the corpus (Heaps' law: even
+    100 TB of English stays in the tens of millions of types; a count>=5
+    threshold keeps it far smaller). oov_rate is one int/int division —
+    bit-exact cross-engine."""
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= VOCAB_MIN_COUNT)
+        .select("tok")
+    )
+    joined = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    oov = F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )

@@ -113,3 +113,44 @@ def test_char_diversity_matches_python_reference(spark, sf_dir):
         assert 0.0 <= r["simpson_diversity"] < 1.0
         checked += 1
     assert checked > 0
+
+
+def test_ngram_lm_counts_matches_python_reference(spark, sf_dir):
+    """KN sufficient statistics vs a pure-Python Counter replay."""
+    from datafusion_dedup_ai_spark.queries_extras import q_ngram_lm_counts
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    pair = Counter()
+    for doc in docs:
+        t = (doc["text"] or "").split(" ")
+        for a, b in zip(t, t[1:]):
+            pair[(a, b)] += 1
+    lefts = Counter(b for (_, b) in pair)
+    rights = Counter(a for (a, _) in pair)
+    got = q_ngram_lm_counts(spark, sf_dir).collect()
+    assert len(got) == len(pair)
+    for r in got:
+        key = (r["w1"], r["w2"])
+        assert r["pair_count"] == pair[key]
+        assert r["left_contexts"] == lefts[r["w2"]]
+        assert r["right_contexts"] == rights[r["w1"]]
+
+
+def test_vocab_oov_rate_matches_python_reference(spark, sf_dir):
+    from datafusion_dedup_ai_spark.queries_extras import (
+        VOCAB_MIN_COUNT,
+        q_vocab_oov_rate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    counts = Counter()
+    for doc in docs:
+        counts.update((doc["text"] or "").split(" "))
+    vocab = {t for t, c in counts.items() if c >= VOCAB_MIN_COUNT}
+    got = {r["doc_id"]: r for r in q_vocab_oov_rate(spark, sf_dir).collect()}
+    for doc in docs:
+        toks = (doc["text"] or "").split(" ")
+        oov = sum(1 for t in toks if t not in vocab)
+        r = got[doc["doc_id"]]
+        assert (r["n_tokens"], r["n_oov"]) == (len(toks), oov)
+        assert r["oov_rate"] == pytest.approx(oov / len(toks), abs=0)
