@@ -50,6 +50,8 @@ HEADLINE = [
     "simhash_fingerprints",
     "cosine_topk",
     "clean_corpus",
+    "chunk_dedup_stats",
+    "ngram_lm_counts",
 ]
 
 

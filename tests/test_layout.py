@@ -56,3 +56,44 @@ def test_range_clustered_write_has_prunable_file_ranges(spark, sf_dir, tmp_path)
     assert (
         spark.read.parquet(clustered).count() == orders.count()
     )
+
+
+def test_zorder_write_gives_multi_column_locality(spark, sf_dir, tmp_path):
+    """Z-order vs leading-column sort on (o_custkey, o_totalprice): under a
+    plain sort by o_custkey, every file spans ~the full o_totalprice domain;
+    under z-order BOTH columns' per-file footer ranges shrink, so a
+    selective predicate on either column prunes files. Content unchanged."""
+    zpath = str(tmp_path / "zorder")
+    lexpath = str(tmp_path / "lex")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 16
+    L.write_zorder_clustered(
+        orders, zpath, ["o_custkey", "o_totalprice"], n_files=n_files
+    )
+    L.write_range_clustered(orders, lexpath, ["o_custkey"], n_files=n_files)
+
+    def mean_span_fraction(path, column):
+        lo = orders.agg(F.min(column)).collect()[0][0]
+        hi = orders.agg(F.max(column)).collect()[0][0]
+        spans = [
+            (fhi - flo) / (hi - lo)
+            for (_f, flo, fhi) in L.file_column_ranges(path, column)
+            if flo is not None
+        ]
+        return sum(spans) / len(spans)
+
+    # leading column: z-order still clusters it (coarsely — 8 files split
+    # the 2-D plane, so each dim gets ~sqrt(8) bands, not 8)
+    assert mean_span_fraction(zpath, "o_custkey") < 0.7
+    # second column: lex sort leaves ~full-domain files; z-order shrinks them
+    lex_price = mean_span_fraction(lexpath, "o_totalprice")
+    z_price = mean_span_fraction(zpath, "o_totalprice")
+    assert lex_price > 0.8, f"lex baseline unexpectedly clustered: {lex_price}"
+    assert z_price < 0.6 * lex_price, (z_price, lex_price)
+
+    # content identical
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, spark.read.parquet(zpath).collect()))
+    assert a == b
