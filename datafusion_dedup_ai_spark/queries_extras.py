@@ -1715,3 +1715,63 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS word_count
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+    ), pairs AS (
+        SELECT unnest([s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))])
+                   AS pair,
+               word_count
+        FROM (SELECT string_split(tok, '') AS s, word_count FROM words)
+    )
+    SELECT string_split(pair, ' ')[1] AS sym_a,
+           string_split(pair, ' ')[2] AS sym_b,
+           CAST(SUM(word_count) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY 1, 2
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge statistics (Sennrich et al. 2016 §3): the
+    frequency of every adjacent symbol pair across the corpus, computed the
+    way a tokenizer trainer does — count each DISTINCT word once, weight its
+    pairs by the word's corpus frequency. argmax(pair_count) is literally
+    the first BPE merge; the table is the map-side statistic a distributed
+    BPE trainer reduces per iteration.
+
+    Scale shape: the word-frequency reduction (one shuffle) shrinks the
+    working set from corpus tokens to VOCABULARY entries (Heaps' law —
+    millions, not billions) BEFORE the char-pair explode, so the expensive
+    blow-up runs on the small side; one more shuffle aggregates pair
+    counts. All integer arithmetic — hash-gates exactly."""
+    d = load_spread(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("word_count"))
+    )
+    s = F.split("tok", "")
+    n = F.size(s)
+    pairs = words.select(
+        F.explode(
+            F.zip_with(
+                F.slice(s, 1, n - 1),
+                F.slice(s, 2, n - 1),
+                lambda a, b: F.struct(a.alias("sym_a"), b.alias("sym_b")),
+            )
+        ).alias("p"),
+        "word_count",
+    )
+    return (
+        pairs.select("p.sym_a", "p.sym_b", "word_count")
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("word_count").cast("bigint").alias("pair_count"))
+    )

@@ -154,3 +154,22 @@ def test_vocab_oov_rate_matches_python_reference(spark, sf_dir):
         r = got[doc["doc_id"]]
         assert (r["n_tokens"], r["n_oov"]) == (len(toks), oov)
         assert r["oov_rate"] == pytest.approx(oov / len(toks), abs=0)
+
+
+def test_bpe_pair_counts_matches_python_reference(spark, sf_dir):
+    """Replay the Sennrich first-merge statistic in pure Python: distinct
+    words weighted by corpus frequency, adjacent char pairs."""
+    from datafusion_dedup_ai_spark.queries_extras import q_bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    words = Counter()
+    for doc in docs:
+        words.update(t for t in (doc["text"] or "").split(" ") if t)
+    pairs = Counter()
+    for w, c in words.items():
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += c
+    got = q_bpe_pair_counts(spark, sf_dir).collect()
+    assert len(got) == len(pairs)
+    for r in got:
+        assert r["pair_count"] == pairs[(r["sym_a"], r["sym_b"])]
