@@ -484,3 +484,83 @@ def cluster_exact(
         )
         .drop("m_cluster_id", "m_confidence", "m_reason")
     )
+
+
+def cluster_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """C1 scale backend #2: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014). Returns (row_order, cluster_id) with cluster_id = min(row_order)
+    of the connected component — the same contract as
+    cluster_label_propagation.
+
+    Why a second backend: hash-min label propagation converges in
+    O(component diameter) rounds, which is fine for name-dedup blobs but
+    degenerates on CHAIN-shaped near-dup graphs (boilerplate documents A~B,
+    B~C, ... — diameter grows with the chain). Star contraction provably
+    converges in O(log n) rounds on ANY topology: each large-star round
+    hooks every strictly-larger neighbor to its neighborhood minimum, each
+    small-star round flattens the partial trees. Per round: two
+    groupBy-min shuffles + two distincts — all equi-key, no skew beyond
+    the component-min fan-in (same hot key LP has).
+
+    Convergence is checked per round (edge set fixed point) and
+    non-convergence within ``max_iters`` fails loudly rather than
+    returning a partial labeling (max_iters=25 covers graphs far beyond
+    2^25 vertices at the proven O(log n) rate)."""
+    verts = (
+        edges.select(F.col("row_order_a").alias("v"))
+        .union(edges.select(F.col("row_order_b")))
+        .distinct()
+    )
+    e = (
+        edges.select(
+            F.greatest("row_order_a", "row_order_b").alias("u"),
+            F.least("row_order_a", "row_order_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iters):
+        # large-star: center every node; strictly-larger neighbors hook to
+        # min(N(u) + {u})
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nm = sym.groupBy("u").agg(F.min("v").alias("nmin"))
+        ls = (
+            sym.join(nm, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("nmin"), F.col("u")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: center the larger endpoint; it and all its smaller
+        # neighbors hook to the smallest
+        nm2 = ls.groupBy("u").agg(F.min("v").alias("nmin"))
+        sm = ls.join(nm2, "u")
+        out = (
+            sm.select(F.col("v").alias("u"), F.col("nmin").alias("v"))
+            .union(sm.select("u", F.col("nmin").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if out.count() == e.count() and out.subtract(e).limit(1).count() == 0:
+            e = out
+            converged = True
+            break
+        e = out
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iters} rounds"
+        )
+    star = e.groupBy("u").agg(F.min("v").alias("m"))
+    return verts.join(star, verts["v"] == star["u"], "left").select(
+        verts["v"].alias("row_order"),
+        F.coalesce("m", verts["v"]).alias("cluster_id"),
+    )

@@ -89,3 +89,73 @@ def test_random_fuzzy_corpora(spark, seed):
     ]
     f, g = _run_both(spark, names)
     assert f == g
+
+
+def _uf_min_labels(edges):
+    """Union-find reference: {vertex: min(vertex in component)} over vertices
+    appearing in edges."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_star_contraction_matches_union_find(spark, seed):
+    """Random sparse graphs + disjoint chains (the diameter-heavy topology
+    star contraction exists for): labels must equal union-find's min-label
+    partition exactly, chains and isolated pairs included."""
+    from datafusion_dedup_ai_spark.operators.clustering import (
+        cluster_components_star,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(30, 80)
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(3, n // 2))
+    ]
+    # two disjoint chains in a high id range: diameter >> log(n)
+    base = n + 10
+    edges += [(base + i, base + i + 1) for i in range(17)]
+    base2 = n + 100
+    edges += [(base2 + i, base2 + i + 1) for i in range(9)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["row_order_a", "row_order_b"])
+    got = {
+        r["row_order"]: r["cluster_id"]
+        for r in cluster_components_star(df).collect()
+    }
+    assert got == _uf_min_labels(edges)
+
+
+def test_star_contraction_agrees_with_label_propagation(spark):
+    """The two scale backends implement the same contract — identical
+    labelings on the same edge set."""
+    from datafusion_dedup_ai_spark.operators.clustering import (
+        cluster_components_star,
+        cluster_label_propagation,
+    )
+
+    rng = random.Random(99)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(50)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["row_order_a", "row_order_b"])
+    star = {
+        r["row_order"]: r["cluster_id"]
+        for r in cluster_components_star(df).collect()
+    }
+    lp = {
+        r["row_order"]: r["cluster_id"]
+        for r in cluster_label_propagation(df).collect()
+    }
+    assert star == lp
