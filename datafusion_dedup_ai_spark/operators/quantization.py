@@ -228,6 +228,31 @@ def pq_assign_codes(
     )
 
 
+def make_adc_udf(codebooks):
+    """ADC scorer: pandas_udf (q_vec, codes) -> sum_m LUT[m][code_m], the
+    query's dot product with the RECONSTRUCTED corpus vector. The LUT is
+    built per Arrow batch from the broadcast codebooks (at cluster scale
+    you'd build it once per query per partition — same asymptotics, the
+    batch einsum is the local analog)."""
+    from pyspark.sql.types import DoubleType
+
+    C = codebooks.astype(np.float64)
+    dsub = C.shape[2]
+
+    @F.pandas_udf(DoubleType())
+    def adc_udf(q_vecs: pd.Series, code_arrs: pd.Series) -> pd.Series:
+        Q = np.stack(q_vecs.to_numpy()).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12
+        Qs = Q.reshape(len(Q), C.shape[0], dsub)
+        lut = np.einsum("nmd,mkd->nmk", Qs, C)  # (n, m, k)
+        codes_m = np.stack(code_arrs.to_numpy()).astype(np.int64)  # (n, m)
+        n_idx = np.arange(len(Q))[:, None]
+        m_idx = np.arange(C.shape[0])[None, :]
+        return pd.Series(lut[n_idx, m_idx, codes_m].sum(axis=1))
+
+    return adc_udf
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -251,30 +276,14 @@ def pq_topk(
     k * oversample survivors against the float vectors. Output schema
     matches the other ANN tiers: (query_id, neighbor_id, cosine, rk).
     Recall floor vs brute force is pinned in tests/test_similarity.py."""
-    from pyspark.sql.types import DoubleType
-
     books = train_pq_codebooks(
         corpus, id_col, vec_col, m=m, k_codes=k_codes, seed=seed
     )
-    C = books.astype(np.float64)
-    dsub = C.shape[2]
-
     codes = pq_assign_codes(corpus, books, id_col, vec_col, out_id="neighbor_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-
-    @F.pandas_udf(DoubleType())
-    def adc_udf(q_vecs: pd.Series, code_arrs: pd.Series) -> pd.Series:
-        Q = np.stack(q_vecs.to_numpy()).astype(np.float64)
-        Q /= np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12
-        Qs = Q.reshape(len(Q), C.shape[0], dsub)
-        lut = np.einsum("nmd,mkd->nmk", Qs, C)  # (n, m, k)
-        codes_m = np.stack(code_arrs.to_numpy()).astype(np.int64)  # (n, m)
-        n_idx = np.arange(len(Q))[:, None]
-        m_idx = np.arange(C.shape[0])[None, :]
-        return pd.Series(lut[n_idx, m_idx, codes_m].sum(axis=1))
-
+    adc_udf = make_adc_udf(books)
     scored = (
         codes.crossJoin(F.broadcast(qv))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -293,6 +302,101 @@ def pq_topk(
     )
     rescored = (
         cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    corpus_assign: int = 2,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    oversample: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF + PQ composite — the FAISS IVFPQ serving shape, and the only
+    tier here whose per-query cost stays sublinear in BOTH candidate count
+    and bytes-per-candidate: the IVF coarse quantizer prunes the corpus to
+    the probed cells' members (|corpus| * nprobe*R/n_cells on average), and
+    the ADC fine scorer reads only the M-byte PQ codes of those candidates.
+    PQ alone scans every code; IVF-flat reads full float vectors of cell
+    members; this composite does neither.
+
+    Two deliberate simplifications vs textbook IVFPQ, both documented
+    because they trade recall for reuse: codes quantize the RAW normalized
+    vector rather than the cell residual (with few spherical cells the
+    residual win is modest; residual encoding is the production refinement),
+    and the coarse/fine models train on the same driver-side sample. Exact
+    re-rank of the k*oversample ADC survivors restores precision at the
+    top. Output schema matches the other ANN tiers; recall floor pinned in
+    tests/test_similarity.py."""
+    from datafusion_dedup_ai_spark.operators.similarity_search import (
+        ivf_assign_cells,
+        train_spherical_centroids,
+    )
+
+    centroids = train_spherical_centroids(
+        corpus, id_col, vec_col, n_cells=n_cells, seed=seed
+    )
+    c_cells = ivf_assign_cells(
+        corpus, centroids, id_col, vec_col, nprobe=corpus_assign
+    )
+    q_cells = ivf_assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    cand = (
+        q_cells.alias("q")
+        .join(
+            c_cells.alias("c"),
+            (F.col("q.cell") == F.col("c.cell"))
+            & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+
+    books = train_pq_codebooks(
+        corpus, id_col, vec_col, m=m, k_codes=k_codes, seed=seed
+    )
+    codes = pq_assign_codes(corpus, books, id_col, vec_col, out_id="neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    adc_udf = make_adc_udf(books)
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("adc_score", adc_udf(F.col("q_vec"), F.col("codes")))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    cand_top = (
+        scored.withColumn("crk", F.row_number().over(w1))
+        .where(F.col("crk") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    rescored = (
+        cand_top.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
     )

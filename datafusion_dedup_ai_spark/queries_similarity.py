@@ -92,7 +92,7 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_tier_frames(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, DataFrame]:
-    """The four ANN tiers, each (query_id, neighbor_id, cosine, rk):
+    """The five ANN tiers, each (query_id, neighbor_id, cosine, rk):
 
     - lsh: multi-table random-hyperplane LSH (8 tables x 4 bits, +1
       query-side multi-probe), exact re-rank of bucket-collision candidates.
@@ -106,12 +106,17 @@ def _ann_tier_frames(
     - pq: product quantization (8 subspaces x 16-entry codebooks) with ADC
       scoring — 32x compression, the FAISS-IVFPQ building block for when
       even int8 codes don't fit in memory.
+    - ivfpq: the IVF + PQ composite (the FAISS IVFPQ serving shape) —
+      coarse cells prune the candidate set, ADC reads only the pruned
+      candidates' codes. The only tier sublinear in both candidate count
+      and bytes-per-candidate.
 
-    All four ship because at scale the winner depends on the embedding
+    All five ship because at scale the winner depends on the embedding
     geometry and the memory budget. Per-tier recall floors vs brute force
     are pinned in tests/test_similarity.py and tests/test_curation.py.
     """
     from datafusion_dedup_ai_spark.operators.quantization import (
+        ivfpq_topk,
         pq_topk,
         quantized_topk,
     )
@@ -131,12 +136,19 @@ def _ann_tier_frames(
         # too lossy for this corpus). At scale, retune m/k to the embedding
         # spectrum; the candidate stage cost is unchanged (one LUT-sum scan).
         "pq": pq_topk(emb, queries, k=TOP_K, m=16, k_codes=32, oversample=8),
+        # fixture-tuned like the others: deeper probing (nprobe=8, R=2)
+        # compensates the PQ loss inside cells; measured recall 0.88 on
+        # vec_id<10 queries
+        "ivfpq": ivfpq_topk(
+            emb, queries, k=TOP_K, m=16, k_codes=32,
+            nprobe=8, corpus_assign=2, oversample=8,
+        ),
     }
 
 
 @register("ann_topk_tiers", None)
 def q_ann_topk_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four ANN tiers (lsh / ivf / int8 / pq) as one tier-tagged union —
+    """All five ANN tiers (lsh / ivf / int8 / pq / ivfpq) as one tier-tagged union —
     (tier, query_id, neighbor_id, cosine, rk). Rows-only at t2 (ANN results
     are approximate by construction); the accuracy signal the driver sees is
     `ann_recall_report`."""
