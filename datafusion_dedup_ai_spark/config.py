@@ -88,11 +88,16 @@ class DedupConfig:
     enable_enrichment: bool = False
     acronym_overrides: dict[str, str] = field(default_factory=dict)
     max_block_size: int | None = None
-    # Blocks with more member rows than this route to the label-propagation
-    # mega-block fallback in clustering (identical partitions, order-
-    # independent upper-bound confidences) instead of one cogroup task.
-    # ``None`` keeps exact reference semantics for every block.
+    # Blocks with more member rows than this route to the connected-
+    # components mega-block fallback in clustering (identical partitions,
+    # order-independent upper-bound confidences) instead of one cogroup
+    # task. ``None`` keeps exact reference semantics for every block.
     mega_block_rows: int | None = None
+    # Component algorithm for that fallback: "lp" (hash-min label
+    # propagation, O(diameter) rounds) or "star" (large-star/small-star
+    # contraction, O(log^2 n) proven / O(log n) in practice — the choice
+    # for chain-shaped near-dup graphs). Identical partitions either way.
+    cc_backend: str = "lp"
 
     @property
     def acronym_map(self) -> dict[str, str]:

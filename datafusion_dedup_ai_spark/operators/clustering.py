@@ -193,6 +193,7 @@ def cluster_mega_blocks(
     matches: DataFrame,
     conf_identical: float,
     reason_identical: str,
+    backend: str = "lp",
 ) -> DataFrame:
     """Scale fallback for pathological blocks too large for one cogroup task
     (reference engine.py:194-200 keys by first-char/length-bucket/first-token,
@@ -239,7 +240,13 @@ def cluster_mega_blocks(
             F.col("rep_a").alias("row_order_a"), F.col("rep_b").alias("row_order_b")
         )
     )
-    labels = cluster_label_propagation(row_edges.union(match_edges))
+    if backend == "star":
+        cc = cluster_components_star
+    elif backend == "lp":
+        cc = cluster_label_propagation
+    else:
+        raise ValueError(f"unknown connected-components backend: {backend!r}")
+    labels = cc(row_edges.union(match_edges))
 
     # group-level confidence: strongest link the base group participates in
     touch = (
@@ -397,6 +404,7 @@ def cluster_exact(
     group_matches: DataFrame,
     link_identical: bool = True,
     max_block_rows: int | None = None,
+    cc_backend: str = "lp",
 ) -> DataFrame:
     """C1/C3/C4 via cogrouped per-block replay of the collapsed inputs.
 
@@ -404,10 +412,14 @@ def cluster_exact(
     matrix. Empty-base rows stay singletons with the C4 rule.
 
     ``max_block_rows`` routes blocks with more member rows than the cap to
-    the ``cluster_mega_blocks`` label-propagation fallback instead of a
-    single cogroup task: identical partitions, order-independent
-    upper-bound confidences (documented divergence). ``None`` (default)
-    keeps every block on the exact replay.
+    the ``cluster_mega_blocks`` fallback instead of a single cogroup task:
+    identical partitions, order-independent upper-bound confidences
+    (documented divergence). ``None`` (default) keeps every block on the
+    exact replay. ``cc_backend`` picks the fallback's component algorithm:
+    "lp" (hash-min label propagation, O(diameter) rounds — right for blob
+    components) or "star" (large-star/small-star contraction, right for
+    chain-heavy graphs); both return identical partitions (pinned in
+    tests/test_clustering_equiv.py).
     """
     from datafusion_dedup_ai_spark.config import (
         CONF_TOKEN_AND_HARD,
@@ -445,7 +457,8 @@ def cluster_exact(
             F.broadcast(mega_keys), "block_key", "left_anti"
         )
         mega_labeled = cluster_mega_blocks(
-            mega_members, mega_matches, CONF_TOKEN_AND_HARD, REASON_TOKEN_AND_HARD
+            mega_members, mega_matches, CONF_TOKEN_AND_HARD,
+            REASON_TOKEN_AND_HARD, backend=cc_backend,
         )
 
     def run(mem_pdf: pd.DataFrame, match_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -486,7 +499,7 @@ def cluster_exact(
     )
 
 
-def cluster_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+def cluster_components_star(edges: DataFrame, max_iters: int = 60) -> DataFrame:
     """C1 scale backend #2: alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
     2014). Returns (row_order, cluster_id) with cluster_id = min(row_order)
@@ -496,8 +509,8 @@ def cluster_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     Why a second backend: hash-min label propagation converges in
     O(component diameter) rounds, which is fine for name-dedup blobs but
     degenerates on CHAIN-shaped near-dup graphs (boilerplate documents A~B,
-    B~C, ... — diameter grows with the chain). Star contraction provably
-    converges in O(log n) rounds on ANY topology: each large-star round
+    B~C, ... — diameter grows with the chain). Star contraction converges
+    in O(log^2 n) rounds on ANY topology (O(log n) observed): each large-star round
     hooks every strictly-larger neighbor to its neighborhood minimum, each
     small-star round flattens the partial trees. Per round: two
     groupBy-min shuffles + two distincts — all equi-key, no skew beyond
@@ -505,8 +518,11 @@ def cluster_components_star(edges: DataFrame, max_iters: int = 25) -> DataFrame:
 
     Convergence is checked per round (edge set fixed point) and
     non-convergence within ``max_iters`` fails loudly rather than
-    returning a partial labeling (max_iters=25 covers graphs far beyond
-    2^25 vertices at the proven O(log n) rate)."""
+    returning a partial labeling. The PROVEN bound for the alternating
+    algorithm is O(log^2 n) rounds (Kiveris et al. Thm 2; the O(log n)
+    behavior is empirical), so the default is sized generously at 60 —
+    convergence stops the loop early, so the extra headroom costs nothing
+    on real graphs (the test chains converge in <10 rounds)."""
     verts = (
         edges.select(F.col("row_order_a").alias("v"))
         .union(edges.select(F.col("row_order_b")))

@@ -253,42 +253,18 @@ def make_adc_udf(codebooks):
     return adc_udf
 
 
-def pq_topk(
+def _adc_rerank(
+    scored: DataFrame,
     corpus: DataFrame,
     queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    m: int = PQ_M,
-    k_codes: int = PQ_K,
-    oversample: int = 4,
-    seed: int = 11,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    oversample: int,
 ) -> DataFrame:
-    """Approximate top-k via PQ + ADC, then exact re-rank — the same
-    two-stage shape as quantized_topk but over 32x-compressed codes.
-
-    Stage 1 scans only (id, 8 longs) per corpus row: the ADC score of a
-    corpus vector against a query is sum_m LUT[m][code_m], where the LUT is
-    the query's dot products with the codebook entries. Here the LUT is
-    built per Arrow batch from the broadcast codebooks (at cluster scale
-    you'd build it once per query per partition — same asymptotics, the
-    batch einsum is the local analog). Stage 2 exact-re-ranks the
-    k * oversample survivors against the float vectors. Output schema
-    matches the other ANN tiers: (query_id, neighbor_id, cosine, rk).
-    Recall floor vs brute force is pinned in tests/test_similarity.py."""
-    books = train_pq_codebooks(
-        corpus, id_col, vec_col, m=m, k_codes=k_codes, seed=seed
-    )
-    codes = pq_assign_codes(corpus, books, id_col, vec_col, out_id="neighbor_id")
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    adc_udf = make_adc_udf(books)
-    scored = (
-        codes.crossJoin(F.broadcast(qv))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_score", adc_udf(F.col("q_vec"), F.col("codes")))
-    )
+    """Shared tail of the PQ tiers: keep the top k*oversample candidates by
+    adc_score per query, then exact-re-rank them against the float vectors.
+    ``scored`` must carry (query_id, neighbor_id, adc_score)."""
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id").asc()
     )
@@ -296,6 +272,9 @@ def pq_topk(
         scored.withColumn("crk", F.row_number().over(w1))
         .where(F.col("crk") <= k * oversample)
         .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -315,6 +294,53 @@ def pq_topk(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    oversample: int = 4,
+    seed: int = 11,
+    codebooks=None,
+) -> DataFrame:
+    """Approximate top-k via PQ + ADC, then exact re-rank — the same
+    two-stage shape as quantized_topk but over 32x-compressed codes.
+
+    Stage 1 scans only (id, 8 longs) per corpus row: the ADC score of a
+    corpus vector against a query is sum_m LUT[m][code_m], where the LUT is
+    the query's dot products with the codebook entries. Here the LUT is
+    built per Arrow batch from the broadcast codebooks (at cluster scale
+    you'd build it once per query per partition — same asymptotics, the
+    batch einsum is the local analog). Stage 2 exact-re-ranks the
+    k * oversample survivors against the float vectors. Output schema
+    matches the other ANN tiers: (query_id, neighbor_id, cosine, rk).
+    Recall floor vs brute force is pinned in tests/test_similarity.py.
+    Pass precomputed ``codebooks`` (train_pq_codebooks) to reuse one model
+    across tiers — _ann_tier_frames does, so building the five-tier report
+    trains each driver-side model once."""
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(
+            corpus, id_col, vec_col, m=m, k_codes=k_codes, seed=seed
+        )
+    )
+    codes = pq_assign_codes(corpus, books, id_col, vec_col, out_id="neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    adc_udf = make_adc_udf(books)
+    scored = (
+        codes.crossJoin(F.broadcast(qv))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_score", adc_udf(F.col("q_vec"), F.col("codes")))
+    )
+    return _adc_rerank(scored, corpus, queries, id_col, vec_col, k, oversample)
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -328,6 +354,8 @@ def ivfpq_topk(
     k_codes: int = PQ_K,
     oversample: int = 8,
     seed: int = 11,
+    codebooks=None,
+    centroids=None,
 ) -> DataFrame:
     """IVF + PQ composite — the FAISS IVFPQ serving shape, and the only
     tier here whose per-query cost stays sublinear in BOTH candidate count
@@ -344,15 +372,19 @@ def ivfpq_topk(
     and the coarse/fine models train on the same driver-side sample. Exact
     re-rank of the k*oversample ADC survivors restores precision at the
     top. Output schema matches the other ANN tiers; recall floor pinned in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. Pass precomputed ``codebooks``/``centroids``
+    to reuse one model per process — _ann_tier_frames shares them with the
+    pq and ivf tiers so the five-tier report trains each driver-side model
+    once."""
     from datafusion_dedup_ai_spark.operators.similarity_search import (
         ivf_assign_cells,
         train_spherical_centroids,
     )
 
-    centroids = train_spherical_centroids(
-        corpus, id_col, vec_col, n_cells=n_cells, seed=seed
-    )
+    if centroids is None:
+        centroids = train_spherical_centroids(
+            corpus, id_col, vec_col, n_cells=n_cells, seed=seed
+        )
     c_cells = ivf_assign_cells(
         corpus, centroids, id_col, vec_col, nprobe=corpus_assign
     )
@@ -371,8 +403,12 @@ def ivfpq_topk(
         .distinct()
     )
 
-    books = train_pq_codebooks(
-        corpus, id_col, vec_col, m=m, k_codes=k_codes, seed=seed
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(
+            corpus, id_col, vec_col, m=m, k_codes=k_codes, seed=seed
+        )
     )
     codes = pq_assign_codes(corpus, books, id_col, vec_col, out_id="neighbor_id")
     qv = queries.select(
@@ -384,27 +420,4 @@ def ivfpq_topk(
         .join(F.broadcast(qv), "query_id")
         .withColumn("adc_score", adc_udf(F.col("q_vec"), F.col("codes")))
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("neighbor_id").asc()
-    )
-    cand_top = (
-        scored.withColumn("crk", F.row_number().over(w1))
-        .where(F.col("crk") <= k * oversample)
-        .select("query_id", "neighbor_id")
-    )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    rescored = (
-        cand_top.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rescored.withColumn("rk", F.row_number().over(w2).cast("bigint"))
-        .where(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    return _adc_rerank(scored, corpus, queries, id_col, vec_col, k, oversample)

@@ -419,6 +419,7 @@ def ivf_topk(
     nprobe: int = 4,
     corpus_assign: int = 1,
     seed: int = 7,
+    centroids=None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors live in their
     `corpus_assign` nearest-centroid cells; each query probes its `nprobe`
@@ -443,9 +444,10 @@ def ivf_topk(
     candidate rates look high only because n_cells=16 on 500 rows; at real
     scale n_cells ~ sqrt(N) holds the per-probe cell population near
     sqrt(N), and the same R=2 boundary insurance applies."""
-    centroids = train_spherical_centroids(
-        corpus, id_col, vec_col, n_cells=n_cells, seed=seed
-    )
+    if centroids is None:
+        centroids = train_spherical_centroids(
+            corpus, id_col, vec_col, n_cells=n_cells, seed=seed
+        )
     c_cells = ivf_assign_cells(
         corpus, centroids, id_col, vec_col, nprobe=corpus_assign
     )

@@ -70,6 +70,7 @@ def dedup_pipeline(
         matches,
         link_identical=link_identical,
         max_block_rows=config.mega_block_rows,
+        cc_backend=config.cc_backend,
     )
     # `elect_canonical` consumes its input twice (per-cluster aggregation +
     # the final member join); without a persist the cogrouped union-find —

@@ -118,15 +118,23 @@ def _ann_tier_frames(
     from datafusion_dedup_ai_spark.operators.quantization import (
         ivfpq_topk,
         pq_topk,
-        quantized_topk,
+        train_pq_codebooks,
     )
+    from datafusion_dedup_ai_spark.operators.quantization import quantized_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
+    # Train each driver-side model ONCE and share it across tiers (the ivf
+    # and ivfpq tiers use the same spherical centroids; pq and ivfpq the
+    # same codebooks) — building the five-tier report costs two sample
+    # collects, not five.
+    centroids = S.train_spherical_centroids(emb, n_cells=16, seed=7)
+    books = train_pq_codebooks(emb, m=16, k_codes=32, seed=11)
     return {
         "lsh": S.lsh_topk(emb, queries, k=TOP_K),
         "ivf": S.ivf_topk(
-            emb, queries, k=TOP_K, n_cells=16, nprobe=4, corpus_assign=2
+            emb, queries, k=TOP_K, n_cells=16, nprobe=4, corpus_assign=2,
+            centroids=centroids,
         ),
         "int8": quantized_topk(emb, queries, k=TOP_K, oversample=4),
         # fixture-tuned (same convention as the LSH tier): m=16 4-dim
@@ -135,13 +143,17 @@ def _ann_tier_frames(
         # oversample=8 (m=8/k=16 default: 32x compression, recall 0.48 —
         # too lossy for this corpus). At scale, retune m/k to the embedding
         # spectrum; the candidate stage cost is unchanged (one LUT-sum scan).
-        "pq": pq_topk(emb, queries, k=TOP_K, m=16, k_codes=32, oversample=8),
+        "pq": pq_topk(
+            emb, queries, k=TOP_K, m=16, k_codes=32, oversample=8,
+            codebooks=books,
+        ),
         # fixture-tuned like the others: deeper probing (nprobe=8, R=2)
-        # compensates the PQ loss inside cells; measured recall 0.88 on
-        # vec_id<10 queries
+        # compensates the PQ loss inside cells; measured recall 1.00 on the
+        # registered 5-query set, 0.88 on the wider vec_id<10 test set
         "ivfpq": ivfpq_topk(
             emb, queries, k=TOP_K, m=16, k_codes=32,
             nprobe=8, corpus_assign=2, oversample=8,
+            codebooks=books, centroids=centroids,
         ),
     }
 

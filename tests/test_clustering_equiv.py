@@ -159,3 +159,28 @@ def test_star_contraction_agrees_with_label_propagation(spark):
         for r in cluster_label_propagation(df).collect()
     }
     assert star == lp
+
+
+def test_mega_block_star_backend_matches_exact(spark):
+    """cc_backend='star' routes the mega-block fallback through star
+    contraction; the partition must still equal the exact replay's, and an
+    unknown backend fails loudly."""
+    names = [f"AAACORP {i % 7}" for i in range(120)] + ["Zebra Inc"] * 3
+    df = spark.createDataFrame(list(enumerate(names)), ["idx", "name"])
+    cfg = DedupConfig()
+    prep = prepare_names(df, "name", cfg, order_col="idx")
+    matches = group_pair_matches(prep, cfg)
+    exact = cluster_exact(prep, matches)
+    star = cluster_exact(prep, matches, max_block_rows=50, cc_backend="star")
+
+    def part(df_):
+        return {
+            r["row_order"]: r["cluster_id"]
+            for r in df_.select("row_order", "cluster_id").collect()
+        }
+
+    assert part(exact) == part(star)
+    with pytest.raises(ValueError, match="backend"):
+        cluster_exact(
+            prep, matches, max_block_rows=50, cc_backend="nope"
+        ).collect()
