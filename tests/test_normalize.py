@@ -244,3 +244,33 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
     for k in exact:
         for ev, av in zip(exact[k], approx[k]):
             assert abs(ev - av) <= 1.0, f"{k}: exact {ev} vs approx {av}"
+
+
+def test_unicode_parity_randomized_batch(spark):
+    """Broad randomized parity sweep: 300 seeded names over a mixed alphabet
+    (Latin + precomposed accents + Cyrillic + CJK + digits + the preserved
+    punctuation + suffix/country tokens), asserted in ONE Spark batch
+    against the Python `re` reference — catches \\w/\\s/\\b regime drift the
+    curated fixtures might miss. Alphabet is NFC-only by construction (the
+    documented Mn-mark divergence is out of scope)."""
+    import random as _random
+
+    rng = _random.Random(20260814)
+    atoms = (
+        list("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789")
+        + list("ÀÉÜüéößàçñÅøæŁódź")
+        + list("ПАОГазпромЖЩ")
+        + list("株式会社トヨタ漢")
+        + list("&/-.,!?#@'\"()[]{}%$^*+=~`|;:<>")
+        + [" ", "  ", "\t"]
+        + ["GmbH", "Ltd", "S.A.", "Inc", "Corp", "Co", "KG", "A/S",
+           "GERMANY", "INDIA", "Sp Z O O", "LLC", "PLC"]
+    )
+    names = [
+        "".join(rng.choice(atoms) for _ in range(rng.randint(0, 12)))
+        for _ in range(300)
+    ]
+    got_norm = spark_eval(spark, names, normalize_name)
+    assert got_norm == [py_normalize_unicode(n) for n in names]
+    got_base = spark_eval(spark, names, base_name)
+    assert got_base == [py_base_unicode(n) for n in names]
