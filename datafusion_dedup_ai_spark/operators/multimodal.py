@@ -169,3 +169,96 @@ def sample_frames(media: DataFrame) -> DataFrame:
         .withColumn("byte_offset", (F.col("frame_idx") * stride).cast("bigint"))
         .select("doc_id", "n_frames", "frame_idx", "byte_offset")
     )
+
+
+def perceptual_signature(media: DataFrame) -> DataFrame:
+    """64-bit aHash-style perceptual signature over binary payloads:
+    (doc_id, media_type, n_bytes, psig). Payload -> 64 byte-blocks ->
+    per-block mean -> bit i set iff block mean > median of the 64 means —
+    the classic average-hash recipe, applied to raw bytes so the plumbing
+    (binary column in, 64-bit signature out) is exactly what a real
+    image/audio pHash plugs into. Small payload perturbations move a few
+    block means across the median -> small Hamming distance, which is what
+    ``media_near_dup_pairs`` exploits via the same pigeonhole banding as
+    SimHash. Arrow-batched mapInPandas; one map pass, no shuffle."""
+    import pyspark.sql.types as SqlT
+
+    schema = SqlT.StructType(
+        [
+            SqlT.StructField("doc_id", SqlT.LongType()),
+            SqlT.StructField("media_type", SqlT.StringType()),
+            SqlT.StructField("n_bytes", SqlT.LongType()),
+            SqlT.StructField("psig", SqlT.LongType()),
+        ]
+    )
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = len(arr)
+                if n < 64:  # deterministic zero-pad for tiny payloads
+                    arr = np.pad(arr, (0, 64 - n))
+                means = np.array(
+                    [b.mean() for b in np.array_split(arr.astype(np.float64), 64)]
+                )
+                bits = means > np.median(means)
+                v = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        v |= 1 << i
+                if v >= 1 << 63:  # wrap to signed int64 (Spark LongType)
+                    v -= 1 << 64
+                out.append((int(doc_id), mt, n, v))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_type", "n_bytes", "psig"]
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        sig, schema=schema
+    )
+
+
+def plant_perturbed_media(
+    media: DataFrame,
+    n_planted: int = 10,
+    n_flips: int = 3,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Deterministically add near-duplicate payloads: for the ``n_planted``
+    smallest doc_ids, append a copy under doc_id + ``id_offset`` with
+    ``n_flips`` bytes XOR-perturbed at fixed positions. Same convention as
+    the PII planting in queries_curation: the synthetic corpus has no
+    natural near-dup payloads, so the detection path is exercised on rows
+    that actually match instead of vacuously returning empty."""
+    import pyspark.sql.types as SqlT
+
+    base = media.where(F.col("doc_id") < n_planted)
+    schema = SqlT.StructType(
+        [
+            SqlT.StructField("doc_id", SqlT.LongType()),
+            SqlT.StructField("media_type", SqlT.StringType()),
+            SqlT.StructField("payload", SqlT.BinaryType()),
+        ]
+    )
+
+    def perturb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = bytearray(payload)
+                for i in range(n_flips):
+                    pos = (i * 97 + 13) % max(len(arr), 1)
+                    arr[pos] ^= 0xFF
+                out.append((int(doc_id) + id_offset, mt, bytes(arr)))
+            yield pd.DataFrame(out, columns=["doc_id", "media_type", "payload"])
+
+    planted = base.select("doc_id", "media_type", "payload").mapInPandas(
+        perturb, schema=schema
+    )
+    return media.select("doc_id", "media_type", "payload").unionByName(planted)

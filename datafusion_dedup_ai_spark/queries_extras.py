@@ -1775,3 +1775,34 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sym_a", "sym_b")
         .agg(F.sum("word_count").cast("bigint").alias("pair_count"))
     )
+
+
+@register("media_near_dup_pairs", None)
+def q_media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate binary payloads by perceptual signature: 64-bit
+    aHash-style signature per payload (operators/multimodal.py::
+    perceptual_signature — blockwise byte means vs their median, the same
+    recipe a real image pHash uses), then the SAME pigeonhole Hamming
+    banding as SimHash (chunk-equality equi-join + bit_count verify — no
+    quadratic scan). Output (id_a, id_b, hamming) at Hamming <= 6.
+
+    Rows-only by nature (DuckDB 1.0.0 cannot replay blockwise byte-mean
+    arithmetic over BLOBs); the signature arithmetic and a
+    planted-perturbation recall pin live in tests/test_multimodal.py.
+    This is the multimodal twin of simhash_near_pairs: the binary column
+    scan, the Arrow featurizer seam, and the banded join are exactly the
+    production image-dedup shape with the decode stub swapped for a real
+    pHash."""
+    from datafusion_dedup_ai_spark.operators import multimodal as M
+    from datafusion_dedup_ai_spark.operators.dedup import simhash_near_pairs
+
+    media = M.load_media(spark, sf_dir)
+    # The md5-derived payloads have no natural near-dups, so plant 10
+    # byte-perturbed copies first (deterministic, same convention as the
+    # PII planting) — the banded join then finds real matches instead of
+    # vacuously returning empty.
+    with_planted = M.plant_perturbed_media(media)
+    sigs = M.perceptual_signature(with_planted).select("doc_id", "psig")
+    return simhash_near_pairs(
+        sigs, id_col="doc_id", sim_col="psig", max_hamming=6
+    )

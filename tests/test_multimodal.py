@@ -135,3 +135,41 @@ def test_enricher_shape(spark):
     assert rows[2]["industry"] == "FINANCE"
     # enrichment is per-canonical: members of one cluster share values
     assert rows[0]["website"] == rows[1]["website"]
+
+
+def test_perceptual_signature_matches_python_reference(spark, sf_dir):
+    """Replay the aHash recipe (64 block means vs their median) in pure
+    Python/numpy on every payload and require bit-exact signatures."""
+    import numpy as np
+
+    media = M.load_media(spark, sf_dir)
+    rows = media.select("doc_id", "payload").collect()
+    got = {
+        r["doc_id"]: r["psig"]
+        for r in M.perceptual_signature(media).collect()
+    }
+    for r in rows:
+        arr = np.frombuffer(r["payload"], dtype=np.uint8)
+        if len(arr) < 64:
+            arr = np.pad(arr, (0, 64 - len(arr)))
+        means = np.array(
+            [b.mean() for b in np.array_split(arr.astype(np.float64), 64)]
+        )
+        bits = means > np.median(means)
+        v = sum(1 << i for i, b in enumerate(bits) if b)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        assert got[r["doc_id"]] == v, r["doc_id"]
+
+
+def test_media_near_dup_finds_planted_perturbations(spark, sf_dir):
+    """Every planted byte-perturbed copy must pair with its original at
+    small Hamming distance; no pair may link two ORIGINAL payloads (the
+    md5-derived fixture has no natural near-dups)."""
+    from datafusion_dedup_ai_spark.queries_extras import q_media_near_dup_pairs
+
+    pairs = q_media_near_dup_pairs(spark, sf_dir).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(i, i + 1_000_000) for i in range(10)} <= planted
+    for a, b in planted:
+        assert b >= 1_000_000, f"false positive between originals: {(a, b)}"
