@@ -90,15 +90,17 @@ def q_text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_label_propagation,
     )
 
+    return _text_dedup_clusters_impl(spark, sf_dir, cluster_label_propagation)
+
+
+def _text_dedup_clusters_impl(spark, sf_dir, cc) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents")
     sh = d.select("doc_id", T.distinct_shingles(F.col("text")).alias("shingles"))
     pairs = D.minhash_near_dup_pairs(sh, threshold=NEAR_DUP_JACCARD)
     edges = pairs.select(
         F.col("id_a").alias("row_order_a"), F.col("id_b").alias("row_order_b")
     )
-    labels = cluster_label_propagation(edges).select(
-        F.col("row_order").alias("doc_id"), "cluster_id"
-    )
+    labels = cc(edges).select(F.col("row_order").alias("doc_id"), "cluster_id")
     full = d.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
     )
@@ -111,6 +113,23 @@ def q_text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("rep_id")).alias("is_representative"),
     )
+
+
+@register("text_dedup_clusters_star", _text_dedup_clusters_oracle)
+def q_text_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fuzzy-dedup composite routed through the large-star/
+    small-star component backend (operators/clustering.py::
+    cluster_components_star) instead of label propagation — and gated by
+    the SAME DuckDB oracle as `text_dedup_clusters`: both backends define
+    cluster_id = min(doc_id) per component, so a hash-green row here is an
+    end-to-end cross-engine proof that star contraction labels the real
+    near-dup graph identically (the random-graph equivalence pins in
+    tests/test_clustering_equiv.py are the property-level counterpart)."""
+    from datafusion_dedup_ai_spark.operators.clustering import (
+        cluster_components_star,
+    )
+
+    return _text_dedup_clusters_impl(spark, sf_dir, cluster_components_star)
 
 
 # Target corpus mixture by source, normalized over the weighted sources;
