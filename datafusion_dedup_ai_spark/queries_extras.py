@@ -1825,3 +1825,98 @@ def q_media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(
         sigs, id_col="doc_id", sim_col="psig", max_hamming=6
     )
+
+
+def _langid_confusion_oracle() -> str:
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH preds AS ({get_oracle("doc_language_id")}),
+    cm AS (
+        SELECT claimed_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM preds GROUP BY 1, 2
+    ), tot AS (
+        SELECT claimed_lang, CAST(SUM(n_docs) AS BIGINT) AS n_claimed
+        FROM cm GROUP BY 1
+    )
+    SELECT cm.claimed_lang, cm.pred_lang, cm.n_docs, tot.n_claimed,
+           CAST(cm.n_docs AS DOUBLE) / tot.n_claimed AS fraction
+    FROM cm JOIN tot USING (claimed_lang)
+    """
+
+
+@register("langid_confusion_matrix", _langid_confusion_oracle)
+def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-grading report for the language-ID heuristic: the confusion
+    matrix between the corpus's claimed `lang` column and the n-gram
+    marker prediction — (claimed, predicted, count, claimed-total,
+    fraction). A production filter pipeline watches exactly this table to
+    decide whether its language gate is trustworthy per source. Composes
+    the registered doc_language_id plan; two small groupBys over its
+    output; fraction is one int/int division — hash-gates exactly."""
+    from datafusion_dedup_ai_spark.queries_text import q_doc_language_id
+
+    preds = q_doc_language_id(spark, sf_dir)
+    cm = preds.groupBy("claimed_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    tot = cm.groupBy("claimed_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_claimed")
+    )
+    return cm.join(tot, "claimed_lang").select(
+        "claimed_lang",
+        "pred_lang",
+        "n_docs",
+        "n_claimed",
+        (F.col("n_docs").cast("double") / F.col("n_claimed")).alias("fraction"),
+    )
+
+
+@register("near_dup_tier_agreement", None)
+def q_near_dup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tier diagnostic: pairwise agreement between the three text
+    near-dup pair generators — exact n-gram Jaccard (ground truth), the
+    MinHash-LSH tier, and the SimHash tier — as (tier_a, tier_b, n_a, n_b,
+    n_both, jaccard). The table a pipeline owner reads to pick a tier (and
+    thresholds) for a corpus: how much of exact does each sketch recover,
+    and how much do the sketches overlap with each other? Rows-only by
+    nature (composes two approximate tiers); every underlying tier is
+    itself oracle-gated or recall-pinned separately."""
+    from datafusion_dedup_ai_spark.queries_dedup_ext import (
+        q_minhash_near_dup_pairs,
+        q_simhash_near_pairs,
+    )
+    from datafusion_dedup_ai_spark.queries_text import q_ngram_jaccard_pairs
+
+    tiers = {
+        "exact_jaccard": q_ngram_jaccard_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+        "minhash_lsh": q_minhash_near_dup_pairs(spark, sf_dir).select(
+            "id_a", "id_b"
+        ),
+        "simhash": q_simhash_near_pairs(spark, sf_dir).select("id_a", "id_b"),
+    }
+    names = list(tiers)
+    out = None
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            both = tiers[a].intersect(tiers[b])
+            row = (
+                tiers[a].agg(F.count("*").cast("bigint").alias("n_a"))
+                .crossJoin(tiers[b].agg(F.count("*").cast("bigint").alias("n_b")))
+                .crossJoin(both.agg(F.count("*").cast("bigint").alias("n_both")))
+                .select(
+                    F.lit(a).alias("tier_a"),
+                    F.lit(b).alias("tier_b"),
+                    "n_a",
+                    "n_b",
+                    "n_both",
+                    (
+                        F.col("n_both").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                    ).alias("jaccard"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out

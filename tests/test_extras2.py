@@ -173,3 +173,20 @@ def test_bpe_pair_counts_matches_python_reference(spark, sf_dir):
     assert len(got) == len(pairs)
     for r in got:
         assert r["pair_count"] == pairs[(r["sym_a"], r["sym_b"])]
+
+
+def test_near_dup_tier_agreement_invariants(spark, sf_dir):
+    """Structural pins for the cross-tier diagnostic: one row per tier
+    pair, intersection bounded by both sides, jaccard consistent."""
+    from datafusion_dedup_ai_spark.queries_extras import (
+        q_near_dup_tier_agreement,
+    )
+
+    rows = q_near_dup_tier_agreement(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        union = r["n_a"] + r["n_b"] - r["n_both"]
+        assert r["jaccard"] == pytest.approx(
+            r["n_both"] / union if union else 0.0, abs=0
+        )
