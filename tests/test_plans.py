@@ -160,3 +160,32 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prefilter_broadcasts_bitset(spark, sf_dir):
+    """The packed Bloom bitset must arrive at the probe as broadcast state
+    (that is the operator's entire scale claim: 24 KiB regardless of corpus
+    size), and no step may degenerate into a cartesian pass."""
+    plan = _plan(spark, sf_dir, "bloom_incremental_new_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "bit_or" in plan  # the packed-word aggregation survived planning
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
+    """The frequency-thresholded vocabulary is language-bounded, so the
+    membership join must be a broadcast, not a shuffle of the token
+    explode."""
+    plan = _plan(spark, sf_dir, "vocab_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_no_cartesian_and_single_text_scan_shape(spark, sf_dir):
+    """Chunk dedup is explode -> one keep-first window -> one per-doc
+    aggregation; any nested-loop join here means a regression."""
+    plan = _plan(spark, sf_dir, "chunk_dedup_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
