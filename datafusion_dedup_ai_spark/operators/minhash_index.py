@@ -203,3 +203,25 @@ def incremental_near_dup_matches_indexed(
         .where(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "n_common", "n_union", "jaccard")
     )
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the index's data files into size-targeted ones, preserving
+    content and the parameter sidecar. Returns the output file count.
+
+    Why it exists: every accepted streaming micro-batch appends one (or
+    more) small parquet files — after a day of per-crawl ingest the index
+    is thousands of KB-sized files, and every match pays a footer read and
+    a task per file (the classic small-files decay; see sources/layout.py).
+    Crash-safe the same way the build is: the rewrite lands in a temp dir
+    next to the index and two renames swap it live — a crash before the
+    swap leaves the live index untouched; between the renames the old data
+    survives under ``data.old`` (sources/layout.py::compact_in_place holds
+    the swap logic)."""
+    from datafusion_dedup_ai_spark.sources.layout import compact_in_place
+
+    return compact_in_place(spark, _data_path(path), target_file_bytes)

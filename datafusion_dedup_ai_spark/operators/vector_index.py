@@ -199,3 +199,18 @@ def incremental_semantic_matches_indexed(
         .where(F.col("cosine") >= threshold)
         .select("batch_id", "corpus_id", "cosine")
     )
+
+
+def compact_vector_index(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the vector index's data files into size-targeted ones —
+    content, codes, and the parameter sidecar unchanged. Same operational
+    motive and crash-safe temp-and-swap as compact_minhash_index (the
+    streaming semantic ingest appends one small file per accepted
+    micro-batch); sources/layout.py::compact_in_place holds the swap."""
+    from datafusion_dedup_ai_spark.sources.layout import compact_in_place
+
+    return compact_in_place(spark, _data_path(path), target_file_bytes)

@@ -169,3 +169,33 @@ def write_zorder_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_in_place(
+    spark: SparkSession,
+    data_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a parquet directory IN PLACE with a crash-safe temp-and-swap:
+    the rewrite lands in ``<dir>.compact``, then two renames swap it live.
+    A crash before the swap leaves the live data untouched; between the
+    renames, the old data survives under ``<dir>.old``. Returns the output
+    file count. This is what the persisted-index compactors
+    (minhash_index/vector_index) delegate to after streaming appends decay
+    into thousands of small files."""
+    import shutil
+
+    tmp = data_dir + ".compact"
+    old = data_dir + ".old"
+    files = parquet_files(data_dir)
+    total = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(data_dir).coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(old)
+    return len(parquet_files(data_dir))

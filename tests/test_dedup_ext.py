@@ -551,3 +551,54 @@ def test_greedy_min_id_dropped_matches_sequential_property(spark, edges):
     assert got == dropped
     for v in got:
         assert neighbors[v] & kept, f"dropped {v} has no kept neighbor"
+
+
+def test_index_compaction_preserves_content_and_cuts_files(
+    spark, shingled, tmp_path
+):
+    """Simulate streaming decay (many tiny appends), compact, and require
+    byte-identical index content, a reduced file count, an intact parameter
+    sidecar, and identical match results through the compacted index."""
+    import os
+
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+
+    corpus_sh = shingled.where(F.expr("doc_id % 10 < 8"))
+    batch_sh = shingled.where(F.expr("doc_id % 10 >= 8"))
+    path = str(tmp_path / "idx")
+    parts = [corpus_sh.where(F.expr(f"doc_id % 4 = {i}")) for i in range(4)]
+    MI.build_minhash_index(parts[0].repartition(8), path)
+    for p in parts[1:]:
+        MI.append_minhash_index(p.repartition(8), path)
+
+    def files():
+        d = MI._data_path(path)
+        return [
+            f for r, _d, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        ]
+
+    def content():
+        return {
+            (r["doc_id"], tuple(r["sig"]), tuple(sorted(r["shingles"])))
+            for r in MI.read_minhash_index(spark, path).collect()
+        }
+
+    before_files = len(files())
+    before = content()
+    pre_match = {
+        tuple(r)
+        for r in MI.incremental_near_dup_matches_indexed(
+            spark, path, batch_sh
+        ).collect()
+    }
+    n_out = MI.compact_minhash_index(spark, path)
+    assert n_out == len(files()) < before_files
+    assert content() == before
+    post_match = {
+        tuple(r)
+        for r in MI.incremental_near_dup_matches_indexed(
+            spark, path, batch_sh
+        ).collect()
+    }
+    assert post_match == pre_match
+    MI._check_meta(path, 64, 16, 42)  # sidecar intact

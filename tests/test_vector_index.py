@@ -132,3 +132,34 @@ def test_match_plan_computes_batch_codes_only(spark, emb, tmp_path):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_vector_index_compaction_preserves_matches(spark, emb, tmp_path):
+    """Append-decayed index -> compact -> identical match results, fewer
+    files, sidecar intact."""
+    import os
+
+    path = str(tmp_path / "vindex_c")
+    corpus = emb.where(F.expr(CORPUS))
+    batch = emb.where(F.expr(BATCH))
+    parts = [corpus.where(F.expr(f"vec_id % 4 = {i}")) for i in range(4)]
+    VI.build_vector_index(parts[0].repartition(8), path)
+    for p in parts[1:]:
+        VI.append_vector_index(p.repartition(8), path)
+
+    def n_files():
+        d = VI._data_path(path)
+        return sum(
+            1 for _r, _d, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    before_files = n_files()
+    pre = _match_set(
+        VI.incremental_semantic_matches_indexed(spark, path, batch, threshold=0.35)
+    )
+    n_out = VI.compact_vector_index(spark, path)
+    assert n_out == n_files() < before_files
+    post = _match_set(
+        VI.incremental_semantic_matches_indexed(spark, path, batch, threshold=0.35)
+    )
+    assert post == pre
