@@ -75,6 +75,7 @@ def start_near_dup_ingest(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     available_now: bool = True,
+    compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Always-on NEAR-duplicate screening: the streaming form of the
     persisted-MinHash-index pipeline (operators/minhash_index.py).
@@ -115,6 +116,14 @@ def start_near_dup_ingest(
 
     Per-batch caches are explicitly released (the sink runs forever; a
     persist per micro-batch would pin executor storage without bound).
+
+    ``compact_max_files``: every append adds at least one small parquet
+    file, so a long-running sink decays into thousands of files. When set,
+    the sink compacts the index in place (compact_minhash_index) whenever
+    its file count exceeds the threshold. A crash mid-swap is covered by
+    the reconcile step: the brief data-dir-missing window reads as
+    index_exists()==False and the next batch rebuilds from the corpus (the
+    authority), so the contract is unchanged.
     """
     from datafusion_dedup_ai_spark.functions import text as T
     from datafusion_dedup_ai_spark.operators import minhash_index as MI
@@ -192,6 +201,13 @@ def start_near_dup_ingest(
                 MI.append_minhash_index(survivors_sh, index_dir, id_col=id_col)
             else:
                 MI.build_minhash_index(survivors_sh, index_dir, id_col=id_col)
+            if compact_max_files is not None:
+                from datafusion_dedup_ai_spark.sources.layout import (
+                    parquet_files,
+                )
+
+                if len(parquet_files(MI._data_path(index_dir))) > compact_max_files:
+                    MI.compact_minhash_index(spark, index_dir)
         finally:
             sh.unpersist()
             if survivors_sh is not None:
@@ -262,6 +278,7 @@ def start_semantic_ingest(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     available_now: bool = True,
+    compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Always-on SEMANTIC near-duplicate screening over an embedding stream:
     the streaming form of the persisted-vector-index pipeline
@@ -412,6 +429,16 @@ def start_semantic_ingest(
                 VI.build_vector_index(
                     indexable, index_dir, id_col=id_col, vec_col=vec_col
                 )
+            # Same small-files maintenance as the text sink: compact the
+            # index in place once appends exceed the file threshold; a
+            # crash mid-swap self-heals via the reconcile step.
+            if compact_max_files is not None:
+                from datafusion_dedup_ai_spark.sources.layout import (
+                    parquet_files,
+                )
+
+                if len(parquet_files(VI._data_path(index_dir))) > compact_max_files:
+                    VI.compact_vector_index(spark, index_dir)
         finally:
             batch.unpersist()
             if survivors is not None:

@@ -670,3 +670,39 @@ def test_streaming_semantic_ingest_zero_vectors(spark, tmp_path):
     q2.awaitTermination(300)
     corpus2 = {r["vec_id"] for r in spark.read.parquet(corpus_dir).collect()}
     assert corpus2 == {1, 3}, corpus2
+
+
+def test_streaming_ingest_compaction_hook(spark, sf_dir, tmp_path):
+    """With compact_max_files set low, the sink compacts the index during
+    the run: final file count at most the threshold+1 band, and the index
+    content still matches a rebuild from the written corpus."""
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+    from datafusion_dedup_ai_spark.sources.layout import parquet_files
+    from datafusion_dedup_ai_spark.streaming import ingest as I
+
+    stream = I.replay_documents_as_stream(
+        spark, sf_dir, str(tmp_path / "stage"), n_chunks=4
+    )
+    q = I.start_near_dup_ingest(
+        stream,
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        compact_max_files=2,
+    )
+    q.awaitTermination(300)
+    n_files = len(parquet_files(MI._data_path(str(tmp_path / "index"))))
+    # the LAST batch's append may land after the final compaction, so allow
+    # threshold + a small band — without the hook, 4 batches x 8-partition
+    # appends produce dozens of files
+    assert n_files <= 6, n_files
+    idx_ids = {
+        r["doc_id"]
+        for r in MI.read_minhash_index(spark, str(tmp_path / "index")).collect()
+    }
+    corpus_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert idx_ids == corpus_ids
