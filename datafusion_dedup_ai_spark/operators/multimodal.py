@@ -230,13 +230,18 @@ def plant_perturbed_media(
 ) -> DataFrame:
     """Deterministically add near-duplicate payloads: for the ``n_planted``
     smallest doc_ids, append a copy under doc_id + ``id_offset`` with
-    ``n_flips`` bytes XOR-perturbed at fixed positions. Same convention as
+    ``n_flips`` bytes XOR-perturbed at fixed positions. ``id_offset`` must
+    exceed max(doc_id) — asserted, so a >10^6-doc corpus fails loudly
+    instead of colliding planted ids with real ones. Same convention as
     the PII planting in queries_curation: the synthetic corpus has no
     natural near-dup payloads, so the detection path is exercised on rows
     that actually match instead of vacuously returning empty."""
     import pyspark.sql.types as SqlT
 
-    base = media.where(F.col("doc_id") < n_planted)
+    # the ACTUAL n smallest ids (not "ids < n" — a shard whose ids don't
+    # start at 0 would otherwise plant nothing and the query silently
+    # reverts to the vacuous-empty result this helper exists to prevent)
+    base = media.orderBy("doc_id").limit(n_planted)
     schema = SqlT.StructType(
         [
             SqlT.StructField("doc_id", SqlT.LongType()),
@@ -252,12 +257,19 @@ def plant_perturbed_media(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
                 arr = bytearray(payload)
-                for i in range(n_flips):
-                    pos = (i * 97 + 13) % max(len(arr), 1)
-                    arr[pos] ^= 0xFF
+                if arr:  # empty payloads stay empty (still an exact dup)
+                    for i in range(n_flips):
+                        pos = (i * 97 + 13) % len(arr)
+                        arr[pos] ^= 0xFF
                 out.append((int(doc_id) + id_offset, mt, bytes(arr)))
             yield pd.DataFrame(out, columns=["doc_id", "media_type", "payload"])
 
+    max_id = media.agg(F.max("doc_id")).collect()[0][0] or 0
+    if max_id >= id_offset:
+        raise ValueError(
+            f"id_offset {id_offset} must exceed max doc_id {max_id} — "
+            "planted ids would collide with real documents"
+        )
     planted = base.select("doc_id", "media_type", "payload").mapInPandas(
         perturb, schema=schema
     )

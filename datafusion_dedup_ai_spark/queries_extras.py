@@ -1897,26 +1897,50 @@ def q_near_dup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "simhash": q_simhash_near_pairs(spark, sf_dir).select("id_a", "id_b"),
     }
+    # One pass over everything: tag + union the tier pair sets, reduce to a
+    # per-pair tier membership set, then fold ALL nine counts into a single
+    # one-row aggregation and explode it into the three report rows — each
+    # tier plan executes exactly once (the naive per-pair agg/intersect
+    # shape re-ran the expensive exact-Jaccard plan four times).
     names = list(tiers)
-    out = None
+    tagged = None
+    for t, df in tiers.items():
+        part = df.withColumn("tier", F.lit(t)).dropDuplicates(
+            ["tier", "id_a", "id_b"]
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    marks = tagged.groupBy("id_a", "id_b").agg(
+        F.collect_set("tier").alias("ts")
+    )
+    has = lambda t: F.array_contains("ts", t).cast("long")  # noqa: E731
+    aggs = []
+    for t in names:
+        aggs.append(F.sum(has(t)).cast("bigint").alias(f"n_{t}"))
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
-            both = tiers[a].intersect(tiers[b])
-            row = (
-                tiers[a].agg(F.count("*").cast("bigint").alias("n_a"))
-                .crossJoin(tiers[b].agg(F.count("*").cast("bigint").alias("n_b")))
-                .crossJoin(both.agg(F.count("*").cast("bigint").alias("n_both")))
-                .select(
+            aggs.append(
+                F.sum(has(a) * has(b)).cast("bigint").alias(f"nb_{a}_{b}")
+            )
+    one = marks.agg(*aggs)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            rows.append(
+                F.struct(
                     F.lit(a).alias("tier_a"),
                     F.lit(b).alias("tier_b"),
-                    "n_a",
-                    "n_b",
-                    "n_both",
-                    (
-                        F.col("n_both").cast("double")
-                        / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
-                    ).alias("jaccard"),
+                    F.col(f"n_{a}").alias("n_a"),
+                    F.col(f"n_{b}").alias("n_b"),
+                    F.col(f"nb_{a}_{b}").alias("n_both"),
                 )
             )
-            out = row if out is None else out.unionByName(row)
-    return out
+    exploded = one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    # ANSI mode throws on 0/0 — an empty-corpus diagnostic must report 0.0
+    # agreement, not crash
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(
+        F.col("n_both").cast("double") / union
+    )
+    return exploded.select(
+        "tier_a", "tier_b", "n_a", "n_b", "n_both", jac.alias("jaccard")
+    )

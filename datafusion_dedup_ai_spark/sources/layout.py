@@ -187,12 +187,7 @@ def compact_in_place(
 
     tmp = data_dir + ".compact"
     old = data_dir + ".old"
-    files = parquet_files(data_dir)
-    total = sum(os.path.getsize(f) for f in files)
-    n_files = max(1, math.ceil(total / target_file_bytes))
-    spark.read.parquet(data_dir).coalesce(n_files).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    compact_parquet(spark, data_dir, tmp, target_file_bytes)
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(data_dir, old)
