@@ -1944,3 +1944,94 @@ def q_near_dup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.select(
         "tier_a", "tier_b", "n_a", "n_b", "n_both", jac.alias("jaccard")
     )
+
+
+def _ensemble_dedup_oracle() -> str:
+    """Composes the three already-hash-gated component oracles: the
+    keep-first exact rule, the recursive-CTE text fuzzy clusters, and the
+    hyperplane-fixture semantic clusters — each nested as its own CTE
+    (DuckDB allows WITH RECURSIVE inside a CTE body)."""
+    from datafusion_dedup_ai_spark.queries_similarity import (
+        _embedding_dedup_clusters_oracle,
+    )
+
+    return f"""
+    WITH tdc AS ({_text_dedup_clusters_oracle()}),
+    edc AS ({_embedding_dedup_clusters_oracle()}),
+    ex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT d.doc_id,
+           (ex.rn > 1) AS exact_dup,
+           (NOT tdc.is_representative) AS text_near_dup,
+           (edc.vec_id <> edc.cluster_id) AS semantic_dup,
+           (ex.rn = 1 AND tdc.is_representative
+            AND edc.vec_id = edc.cluster_id) AS keep,
+           CASE WHEN ex.rn > 1 THEN 'exact'
+                WHEN NOT tdc.is_representative THEN 'text_near_dup'
+                WHEN edc.vec_id <> edc.cluster_id THEN 'semantic'
+                ELSE 'kept' END AS drop_reason
+    FROM documents d
+    JOIN ex ON ex.doc_id = d.doc_id
+    JOIN tdc ON tdc.doc_id = d.doc_id
+    JOIN edc ON edc.vec_id = d.doc_id
+    """
+
+
+@register("ensemble_dedup_decisions", _ensemble_dedup_oracle)
+def q_ensemble_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final keep/drop table a multi-pass dedup pipeline actually emits
+    (the Dolma/FineWeb shape: several dedup passes, one decision column
+    with provenance): per document, whether the EXACT pass (content-hash
+    keep-first), the TEXT near-dup pass (MinHash-LSH clusters, min-id
+    representative), or the SEMANTIC pass (embedding LSH clusters) would
+    drop it, the combined ``keep``, and the first-tripped ``drop_reason``.
+
+    Every component is itself hash-gated (exact_dedup_documents,
+    text_dedup_clusters, embedding_dedup_clusters), and the composite is
+    TOO: the oracle nests the recursive-CTE and fixture-replay oracles as
+    CTEs, so the whole ensemble is verified end-to-end cross-engine. The
+    doc_id == vec_id alignment of the two tables is the testdata contract
+    (TESTDATA.md). Scale shape: three already-scale-safe passes joined on
+    their id — no new shuffles beyond the components' own."""
+    from datafusion_dedup_ai_spark.queries_similarity import (
+        q_embedding_dedup_clusters,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        (
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            )
+            > 1
+        ).alias("exact_dup"),
+    )
+    tdc = q_text_dedup_clusters(spark, sf_dir).select(
+        "doc_id", (~F.col("is_representative")).alias("text_near_dup")
+    )
+    edc = q_embedding_dedup_clusters(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("vec_id") != F.col("cluster_id")).alias("semantic_dup"),
+    )
+    out = ex.join(tdc, "doc_id").join(edc, "doc_id")
+    keep = (
+        ~F.col("exact_dup") & ~F.col("text_near_dup") & ~F.col("semantic_dup")
+    )
+    reason = (
+        F.when(F.col("exact_dup"), F.lit("exact"))
+        .when(F.col("text_near_dup"), F.lit("text_near_dup"))
+        .when(F.col("semantic_dup"), F.lit("semantic"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        "doc_id",
+        "exact_dup",
+        "text_near_dup",
+        "semantic_dup",
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
