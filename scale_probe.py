@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Empirical scale-up probe: measure the document-pipeline operators at
+1x (sf0.1, 5k docs) vs a 10x corpus (50k docs) built by replicating the
+driver's sf0.1 documents with perturbed copies, and report the observed
+scaling exponent per query.
+
+Why it exists: SCALE.md argues each operator's shuffle/candidate volume is
+linear-ish in corpus size; this script MEASURES it. A query whose wall time
+grows ~O(n) prints exponent ~1; a hidden quadratic prints ~2 and fails the
+probe. The 10x corpus derives from the driver testdata (each copy i appends
+a marker token and shifts doc_id by i * n), so near-dup structure grows
+realistically: every original gains 9 planted near-duplicates.
+
+Usage: python scale_probe.py  (writes /tmp/spark_graft_scale10, prints one
+JSON line; results are recorded in SCALE.md "Measured scale-up").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+PROBES = [
+    "doc_token_stats",          # scan-bound map
+    "exact_dedup_documents",    # one hash shuffle
+    "doc_tfidf_topterms",       # two shuffles + window
+    "minhash_near_dup_pairs",   # banded LSH join
+    "chunk_dedup_stats",        # explode + keep-first window
+    "ngram_lm_counts",          # explode + window counts
+]
+MAX_EXPONENT = 1.35  # fail the probe if wall time grows super-linearly
+
+
+def build_scaled(spark, src_sf: str, dst: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(src_sf, "documents.parquet"))
+    n = docs.count()
+    out = None
+    for i in range(factor):
+        copy = docs.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            (
+                F.col("text")
+                if i == 0
+                else F.concat(F.col("text"), F.lit(f" copymarker{i}"))
+            ).alias("text"),
+            "lang",
+            "source",
+            (F.length(F.col("text")) + (0 if i == 0 else len(f" copymarker{i}")))
+            .cast("bigint")
+            .alias("n_chars"),
+        )
+        out = copy if out is None else out.unionByName(copy)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "documents.parquet")
+    )
+
+
+def time_query(qs, name, spark, sf_dir) -> float:
+    t0 = time.time()
+    qs[name](spark, sf_dir).count()
+    return time.time() - t0
+
+
+def main() -> None:
+    import math
+
+    import __spark_entry__ as entry_mod
+    from datafusion_dedup_ai_spark.session import build_session
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = "/tmp/spark_graft_scale10"
+    factor = 10
+    spark = build_session(app_name="scale-probe")
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    build_scaled(spark, src, dst, factor)
+
+    qs = entry_mod.queries()
+    report = {}
+    ok = True
+    for name in PROBES:
+        time_query(qs, name, spark, src)  # warm shapes/codegen
+        t1 = min(time_query(qs, name, spark, src) for _ in range(2))
+        t10 = time_query(qs, name, spark, dst)
+        exponent = math.log(max(t10, 1e-6) / max(t1, 1e-6)) / math.log(factor)
+        report[name] = {
+            "t_1x_s": round(t1, 3),
+            "t_10x_s": round(t10, 3),
+            "exponent": round(exponent, 3),
+        }
+        ok = ok and exponent <= MAX_EXPONENT
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_10x",
+                "factor": factor,
+                "max_exponent": MAX_EXPONENT,
+                "all_linearish": ok,
+                "queries": report,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
