@@ -1068,7 +1068,48 @@ def q_source_upsampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("kmv_distinct_sketch", None)
+def _kmv_oracle() -> str:
+    """Bit-exact SQL replay of the KMV sketch: the hash is the 60-bit
+    md5-hex-prefix integer (DuckDB's '0x'-cast parses it identically to
+    Python's int(hexdigest[:15], 16)), the state is the 64 smallest
+    distinct hashes, and the estimator arithmetic repeats the Spark
+    expression operation-for-operation so the doubles match bitwise."""
+    space = float(1 << 60)
+    return f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+    ), units AS (
+        SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS term
+        FROM toks
+    ), hs AS (
+        SELECT DISTINCT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+        FROM units
+    ), merged AS (
+        SELECT h FROM hs ORDER BY h LIMIT 64
+    ), state AS (
+        SELECT COUNT(*) AS n_state, MAX(h) AS kth_hash FROM merged
+    ), ex AS (
+        SELECT COUNT(DISTINCT term) AS exact_distinct FROM units
+    )
+    SELECT CAST(64 AS BIGINT) AS k,
+           CAST(n_state AS BIGINT) AS n_state,
+           -- CAST to DOUBLE before the +1.0: DuckDB promotes BIGINT + 1.0
+           -- to exact DECIMAL(21,1), which rounds the division differently
+           -- from Spark's double-by-double (measured 1-ulp drift)
+           (CAST(kth_hash AS DOUBLE) + 1.0) / {space!r} AS kth_frac,
+           CASE WHEN n_state < 64 THEN CAST(n_state AS DOUBLE)
+                ELSE 63.0 / ((CAST(kth_hash AS DOUBLE) + 1.0) / {space!r})
+                END AS est_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           abs(CASE WHEN n_state < 64 THEN CAST(n_state AS DOUBLE)
+                    ELSE 63.0 / ((CAST(kth_hash AS DOUBLE) + 1.0) / {space!r})
+                    END
+               - exact_distinct) / exact_distinct AS rel_error
+    FROM state CROSS JOIN ex
+    """
+
+
+@register("kmv_distinct_sketch", _kmv_oracle)
 def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-token estimate (Bar-Yossef et al. 2002):
     keep the K smallest md5-hash fractions over the word-bigram stream (916
@@ -1078,8 +1119,10 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     single row — (k, kth_frac, est_distinct, exact_distinct, rel_error) —
     so the driver sees the error directly; the mergeability law (top-K of
     partial top-Ks == global top-K) and the error bound are pinned in
-    tests/test_sketches.py. Rows-only: the estimate is approximate by
-    nature. Complements approx_count_distinct (HLL) by exposing the sketch
+    tests/test_sketches.py. Hash-gated since round 5 (late): approximate
+    as an ESTIMATE but fully deterministic as a COMPUTATION — the md5-based
+    hash, k-min state, and estimator arithmetic replay bit-exactly in SQL.
+    Complements approx_count_distinct (HLL) by exposing the sketch
     STATE (the K hashes are also a uniform sample of the distinct values —
     reusable for distinct-value sampling, which HLL cannot do)."""
     from datafusion_dedup_ai_spark.operators.sketches import kmv_distinct_report
@@ -1872,16 +1915,66 @@ def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("near_dup_tier_agreement", None)
+def _tier_agreement_oracle() -> str:
+    """Composes the three tier oracles (exact n-gram Jaccard SQL, the
+    MinHash fixture replay, the SimHash fixture replay) as nested CTEs and
+    folds the nine counts exactly like the Spark side — fully hash-gated
+    because every tier is itself deterministic given the materialized hash
+    fixtures."""
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH exact0 AS ({get_oracle("ngram_jaccard_pairs")}),
+    mh0 AS ({get_oracle("minhash_near_dup_pairs")}),
+    sh0 AS ({get_oracle("simhash_near_pairs")}),
+    tagged AS (
+        SELECT DISTINCT 'exact_jaccard' AS tier, doc_a AS id_a, doc_b AS id_b
+        FROM exact0
+        UNION ALL
+        SELECT DISTINCT 'minhash_lsh', id_a, id_b FROM mh0
+        UNION ALL
+        SELECT DISTINCT 'simhash', id_a, id_b FROM sh0
+    ), marks AS (
+        SELECT id_a, id_b,
+               MAX(CASE WHEN tier = 'exact_jaccard' THEN 1 ELSE 0 END) AS m_e,
+               MAX(CASE WHEN tier = 'minhash_lsh' THEN 1 ELSE 0 END) AS m_m,
+               MAX(CASE WHEN tier = 'simhash' THEN 1 ELSE 0 END) AS m_s
+        FROM tagged GROUP BY id_a, id_b
+    ), one AS (
+        SELECT CAST(SUM(m_e) AS BIGINT) AS n_e,
+               CAST(SUM(m_m) AS BIGINT) AS n_m,
+               CAST(SUM(m_s) AS BIGINT) AS n_s,
+               CAST(SUM(m_e * m_m) AS BIGINT) AS nb_em,
+               CAST(SUM(m_e * m_s) AS BIGINT) AS nb_es,
+               CAST(SUM(m_m * m_s) AS BIGINT) AS nb_ms
+        FROM marks
+    )
+    SELECT tier_a, tier_b, n_a, n_b, n_both,
+           CASE WHEN n_a + n_b - n_both = 0 THEN 0.0
+                ELSE CAST(n_both AS DOUBLE) / (n_a + n_b - n_both)
+                END AS jaccard
+    FROM (
+        SELECT 'exact_jaccard' AS tier_a, 'minhash_lsh' AS tier_b,
+               n_e AS n_a, n_m AS n_b, nb_em AS n_both FROM one
+        UNION ALL
+        SELECT 'exact_jaccard', 'simhash', n_e, n_s, nb_es FROM one
+        UNION ALL
+        SELECT 'minhash_lsh', 'simhash', n_m, n_s, nb_ms FROM one
+    )
+    """
+
+
+@register("near_dup_tier_agreement", _tier_agreement_oracle)
 def q_near_dup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tier diagnostic: pairwise agreement between the three text
     near-dup pair generators — exact n-gram Jaccard (ground truth), the
     MinHash-LSH tier, and the SimHash tier — as (tier_a, tier_b, n_a, n_b,
     n_both, jaccard). The table a pipeline owner reads to pick a tier (and
     thresholds) for a corpus: how much of exact does each sketch recover,
-    and how much do the sketches overlap with each other? Rows-only by
-    nature (composes two approximate tiers); every underlying tier is
-    itself oracle-gated or recall-pinned separately."""
+    and how much do the sketches overlap with each other? Hash-gated since
+    round 5 (late): the sketch tiers are approximate as ESTIMATORS but
+    deterministic as computations, so the oracle replays all three from
+    their own (already-gated) oracles and folds the same nine counts."""
     from datafusion_dedup_ai_spark.queries_dedup_ext import (
         q_minhash_near_dup_pairs,
         q_simhash_near_pairs,
