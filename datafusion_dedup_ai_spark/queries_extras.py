@@ -2128,3 +2128,55 @@ def q_ensemble_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+_NIBBLES = "0123456789ABCDEF"
+
+
+def _media_nibble_oracle() -> str:
+    from datafusion_dedup_ai_spark.queries_multimodal import _media_glob
+
+    bins = ",\n           ".join(
+        f"CAST(length(hi) - length(translate(hi, '{c}', '')) AS BIGINT)"
+        f" AS b_{i}"
+        for i, c in enumerate(_NIBBLES)
+    )
+    return f"""
+    WITH h AS (
+        SELECT doc_id, media_type,
+               CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+               regexp_replace(hex(payload), '(.)(.)', '\\1', 'g') AS hi
+        FROM '{_media_glob()}'
+    )
+    SELECT doc_id, media_type, n_bytes,
+           {bins}
+    FROM h
+    """
+
+
+@register("media_nibble_histograms", _media_nibble_oracle)
+def q_media_nibble_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated byte-distribution histogram over the BINARY payloads —
+    per document, the count of each high-nibble value (16 bins), computed
+    with NO Python at all: hex(payload) -> keep the first char of every
+    pair (regexp_replace '(.)(.)' -> '$1') -> per-bin translate-count. The
+    cross-engine twin of media_feature_histograms' Arrow-seam version
+    (whose entropy column is libm-bound and therefore rows-only): this one
+    proves the binary-column arithmetic end-to-end against DuckDB, byte
+    for byte. A pure string-expression map — no shuffle, no UDF."""
+    from datafusion_dedup_ai_spark.operators import multimodal as M
+
+    media = M.load_media(spark, sf_dir)
+    hi = F.regexp_replace(F.hex(F.col("payload")), "(.)(.)", "$1")
+    cols = [
+        "doc_id",
+        "media_type",
+        F.length(F.col("payload")).cast("bigint").alias("n_bytes"),
+    ]
+    for i, c in enumerate(_NIBBLES):
+        cols.append(
+            (
+                F.length(hi) - F.length(F.translate(hi, c, ""))
+            ).cast("bigint").alias(f"b_{i}")
+        )
+    return media.select(*cols)

@@ -173,3 +173,29 @@ def test_media_near_dup_finds_planted_perturbations(spark, sf_dir):
     assert {(i, i + 1_000_000) for i in range(10)} <= planted
     for a, b in planted:
         assert b >= 1_000_000, f"false positive between originals: {(a, b)}"
+
+
+def test_nibble_histograms_match_arrow_featurizer(spark, sf_dir):
+    """The no-UDF hex-string histogram and the Arrow-seam numpy histogram
+    compute the same 16 bins — the SQL path and the Python path must agree
+    bin for bin on every payload."""
+    import json
+
+    from datafusion_dedup_ai_spark.queries_extras import (
+        q_media_nibble_histograms,
+    )
+    from datafusion_dedup_ai_spark.queries_multimodal import (
+        q_media_feature_histograms,
+    )
+
+    sql_side = {
+        r["doc_id"]: [r[f"b_{i}"] for i in range(16)]
+        for r in q_media_nibble_histograms(spark, sf_dir).collect()
+    }
+    py_side = {
+        r["doc_id"]: json.loads(r["byte_histogram_json"])
+        for r in q_media_feature_histograms(spark, sf_dir).collect()
+    }
+    assert set(sql_side) == set(py_side)
+    for doc_id, bins in sql_side.items():
+        assert bins == py_side[doc_id], doc_id
