@@ -2583,3 +2583,170 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * F.max("n_tokens")).cast("double")
         ).alias("pack_efficiency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling + per-source datasheet
+# ---------------------------------------------------------------------------
+
+_BALANCE_QUOTA = 20
+
+
+def _cluster_balanced_oracle() -> str:
+    return f"""
+    WITH cells AS (
+        SELECT vec_id, cell FROM '{{glob}}'
+    ), sized AS (
+        SELECT vec_id, cell,
+               CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT)
+                   AS cell_size,
+               md5(CAST(vec_id AS VARCHAR)) AS k
+        FROM cells
+    ), ranked AS (
+        SELECT vec_id, cell, cell_size,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cell ORDER BY k, vec_id) AS BIGINT)
+                   AS pick_rank
+        FROM sized
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, cell_size, pick_rank
+    FROM ranked WHERE pick_rank <= {_BALANCE_QUOTA}
+    """.format(glob="{glob}")
+
+
+def _cluster_balanced_oracle_resolved() -> str:
+    return _cluster_balanced_oracle().replace("{glob}", _semantic_cells_glob())
+
+
+@register("cluster_balanced_sample", _cluster_balanced_oracle_resolved)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling (the DataComp/DCLM-style topic
+    rebalancing pass): assign every embedding to its spherical-k-means
+    cell (the SAME deterministic assignment semantic_dedup uses, pinned
+    against the materialized fixture by the hash gate), then keep at most
+    QUOTA members per cell in md5 order — over-represented topics are
+    clipped, rare topics survive whole. Output: the sampled members with
+    their cell and cell_size (the before/after evidence).
+
+    Scale shape: the per-cell rank is the SAME window-collapse trap as
+    length bucketing (16 cells over a billion vectors = 16 tasks), so the
+    Spark side ranks with global_rank(partition_cols=[cell]) —
+    bucket-parallel within each cell; the oracle IS the serial window, so
+    the hash gate proves the parallel rank's equality. The quota head is
+    deterministic (md5 order), reproducible under retries."""
+    from datafusion_dedup_ai_spark.operators.ordering import global_rank
+    from datafusion_dedup_ai_spark.operators.semantic_dedup import (
+        assign_semantic_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = assign_semantic_cells(emb).select("vec_id", "cell")
+    sized = cells.withColumn(
+        "cell_size",
+        F.count("*").over(Window.partitionBy("cell")).cast("bigint"),
+    )
+    ranked = global_rank(
+        sized,
+        key=F.md5(F.col("vec_id").cast("string")),
+        tiebreak=F.col("vec_id"),
+        partition_cols=["cell"],
+        out="pick_rank",
+    )
+    return (
+        ranked.where(F.col("pick_rank") <= _BALANCE_QUOTA)
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "cell_size",
+            F.col("pick_rank").cast("bigint").alias("pick_rank"),
+        )
+    )
+
+
+def _source_datasheet_oracle() -> str:
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH lang AS ({get_oracle("doc_language_id")}),
+    qual AS ({get_oracle("doc_quality_scores")}),
+    base AS (
+        SELECT d.doc_id, d.source,
+               COUNT(*) OVER (PARTITION BY md5(d.text)) > 1 AS is_exact_dup
+        FROM documents d
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pred_en,
+           CAST(SUM(CASE WHEN b.is_exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup_docs,
+           CAST(SUM(CAST(FLOOR(q.quality
+                   * CAST({_FP_SCALE} AS DOUBLE)) AS BIGINT)) AS BIGINT)
+               AS quality_fp_sum,
+           CAST(SUM(q.n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           CAST(SUM(CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*) AS frac_pred_en,
+           CAST(SUM(CASE WHEN b.is_exact_dup THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS exact_dup_rate,
+           (CAST(SUM(CAST(FLOOR(q.quality
+                   * CAST({_FP_SCALE} AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+               / COUNT(*)) / CAST({_FP_SCALE} AS DOUBLE) AS mean_quality
+    FROM base b
+    JOIN lang l ON b.doc_id = l.doc_id
+    JOIN qual q ON b.doc_id = q.doc_id
+    GROUP BY b.source
+    """
+
+
+@register("source_datasheet", _source_datasheet_oracle)
+def q_source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card ("datasheets for datasets", Gebru et al.
+    2018): one row per source with the numbers a data curator reads
+    before choosing mixture weights — doc/token volume, predicted-
+    language composition, exact-duplicate rate, and mean heuristic
+    quality. Composes the REGISTERED language-ID and quality plans (their
+    oracles nest as CTEs, so the whole card is hash-gated end-to-end).
+
+    mean_quality rides the 2^40 fixed-point gate (pack header): per-doc
+    quality doubles are floored to BIGINT so the per-source sum is
+    order-independent; the mean is two fixed-order final divisions. The
+    exact-dup flag is a COUNT window over md5(text) — one shuffle; the
+    three plans join on doc_id and reduce to |sources| rows."""
+    from datafusion_dedup_ai_spark.queries_text import (
+        q_doc_language_id,
+        q_doc_quality_scores,
+    )
+
+    d = load_spread(spark, sf_dir, "documents")
+    lang = q_doc_language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    qual = q_doc_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        (
+            F.count("*").over(Window.partitionBy(F.md5("text"))) > 1
+        ).alias("is_exact_dup"),
+    )
+    j = base.join(lang, "doc_id").join(qual, "doc_id")
+    q_fp = F.floor(
+        F.col("quality") * F.lit(float(_FP_SCALE))
+    ).cast("bigint")
+    en = F.when(F.col("pred_lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    dup = F.when(F.col("is_exact_dup"), F.lit(1)).otherwise(F.lit(0))
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(en).cast("bigint").alias("n_pred_en"),
+        F.sum(dup).cast("bigint").alias("n_exact_dup_docs"),
+        F.sum(q_fp).cast("bigint").alias("quality_fp_sum"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("mean_tokens"),
+        (F.sum(en).cast("double") / F.count("*")).alias("frac_pred_en"),
+        (F.sum(dup).cast("double") / F.count("*")).alias("exact_dup_rate"),
+        (
+            (F.sum(q_fp).cast("double") / F.count("*"))
+            / F.lit(float(_FP_SCALE))
+        ).alias("mean_quality"),
+    )

@@ -352,3 +352,44 @@ def test_global_rank_partition_cols_matches_serial_window(spark):
     )
     joined = fast.join(serial.select("id", "want"), "id")
     assert joined.where(F.col("pos") != F.col("want")).count() == 0
+
+
+def test_cluster_balanced_sample_quota(spark, sf_dir):
+    """Per cell: at most QUOTA sampled; cells at-or-under quota are kept
+    whole; pick ranks are dense from 1."""
+    from datafusion_dedup_ai_spark.queries_extras import (
+        _BALANCE_QUOTA,
+        q_cluster_balanced_sample,
+    )
+
+    rows = q_cluster_balanced_sample(spark, sf_dir).collect()
+    assert rows
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        assert len(rs) <= _BALANCE_QUOTA
+        size = rs[0]["cell_size"]
+        assert len(rs) == min(_BALANCE_QUOTA, size)
+        assert sorted(r["pick_rank"] for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+
+
+def test_source_datasheet_totals(spark, sf_dir):
+    """The datasheet's per-source sums must reconcile with the corpus:
+    n_docs sums to the table count, total_tokens to the corpus token
+    count, and every ratio stays in [0, 1]."""
+    from datafusion_dedup_ai_spark.queries_extras import q_source_datasheet
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    rows = q_source_datasheet(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    want_tokens = sum(len((d["text"] or "").split(" ")) for d in docs)
+    assert sum(r["total_tokens"] for r in rows) == want_tokens
+    for r in rows:
+        assert 0.0 <= r["frac_pred_en"] <= 1.0
+        assert 0.0 <= r["exact_dup_rate"] <= 1.0
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert r["n_pred_en"] <= r["n_docs"]
+        assert abs(r["mean_tokens"] - r["total_tokens"] / r["n_docs"]) < 1e-9
