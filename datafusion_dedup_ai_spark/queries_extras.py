@@ -2750,3 +2750,180 @@ def q_source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(_FP_SCALE))
         ).alias("mean_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics pack over `events`: ordered funnel + cohort retention —
+# the sequence/temporal operator class (distinct from windowed aggs and
+# sessionization, both already registered).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def _event_funnel_oracle() -> str:
+    return """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), u AS (
+        SELECT DISTINCT user_id FROM ev
+    ), s1 AS (
+        SELECT user_id, MIN(ts_us) AS t1 FROM ev
+        WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+        SELECT ev.user_id, MIN(ts_us) AS t2 FROM ev JOIN s1 USING (user_id)
+        WHERE event_type = 'view' AND ts_us > t1 GROUP BY 1
+    ), s3 AS (
+        SELECT ev.user_id, MIN(ts_us) AS t3 FROM ev JOIN s2 USING (user_id)
+        WHERE event_type = 'click' AND ts_us > t2 GROUP BY 1
+    ), s4 AS (
+        SELECT ev.user_id, MIN(ts_us) AS t4 FROM ev JOIN s3 USING (user_id)
+        WHERE event_type = 'purchase' AND ts_us > t3 GROUP BY 1
+    )
+    SELECT u.user_id,
+           t1 AS t_signup_us, t2 AS t_view_us,
+           t3 AS t_click_us, t4 AS t_purchase_us,
+           CAST(CASE WHEN t4 IS NOT NULL THEN 4
+                     WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage_reached
+    FROM u
+    LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+    """
+
+
+@register("event_funnel", _event_funnel_oracle)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> view -> click -> purchase):
+    per user, the FIRST timestamp of each stage that occurs strictly
+    AFTER the previous stage was first reached — the standard product-
+    analytics funnel semantics (a purchase before the first post-view
+    click does not count). Output: the four stage timestamps (epoch
+    micros, nullable) and the furthest stage reached.
+
+    Implemented as staged MIN-aggregations — stage k+1 filters events
+    against stage k's time and re-reduces. Every aggregation and join
+    keys on user_id, so at scale the whole funnel is ONE shuffle's
+    partitioning reused across stages (co-partitioned joins); no window,
+    no per-user event sorting, no collect_list of event histories (the
+    naive funnel implementation that OOMs on power users). All integer
+    timestamp arithmetic — hash-gates exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    u = ev.select("user_id").distinct()
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s2, "user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    s4 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s3, "user_id")
+        .where(F.col("ts_us") > F.col("t3"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t4"))
+    )
+    out = (
+        u.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .join(s4, "user_id", "left")
+    )
+    stage = (
+        F.when(F.col("t4").isNotNull(), F.lit(4))
+        .when(F.col("t3").isNotNull(), F.lit(3))
+        .when(F.col("t2").isNotNull(), F.lit(2))
+        .when(F.col("t1").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return out.select(
+        "user_id",
+        F.col("t1").alias("t_signup_us"),
+        F.col("t2").alias("t_view_us"),
+        F.col("t3").alias("t_click_us"),
+        F.col("t4").alias("t_purchase_us"),
+        stage.cast("bigint").alias("stage_reached"),
+    )
+
+
+def _retention_oracle() -> str:
+    return """
+    WITH ev AS (
+        SELECT user_id, date_trunc('day', ts) AS d FROM events
+    ), cohorts AS (
+        SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY 1
+    ), active AS (
+        SELECT DISTINCT user_id, d FROM ev
+    ), j AS (
+        SELECT c.cohort, date_diff('day', c.cohort, a.d) AS day_offset
+        FROM active a JOIN cohorts c USING (user_id)
+    ), cs AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM cohorts GROUP BY 1
+    ), act AS (
+        SELECT cohort, CAST(day_offset AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM j GROUP BY 1, 2
+    )
+    SELECT epoch_us(act.cohort) AS cohort_day_us, act.day_offset,
+           act.n_active, cs.cohort_size,
+           CAST(act.n_active AS DOUBLE) / cs.cohort_size AS retention_rate
+    FROM act JOIN cs USING (cohort)
+    """
+
+
+@register("user_retention_cohorts", _retention_oracle)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day
+    (their cohort), then for each day-offset the count and fraction of
+    the cohort active that day — the table behind every retention curve
+    dashboard. day_offset 0 is the cohort day itself (retention 1.0 by
+    construction, a built-in sanity row).
+
+    Scale shape: first-day reduction and the distinct (user, day)
+    activity set both shuffle on user_id (one partitioning, reused by
+    the cohort join); the final reduce is on (cohort, offset) — tiny.
+    No windows. Integer counts + one final division — hash-gates
+    exactly; days cross the compare as epoch micros."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    active = ev.distinct()
+    j = active.join(cohorts, "user_id").select(
+        "cohort", F.datediff(F.col("d"), F.col("cohort")).alias("day_offset")
+    )
+    cs = cohorts.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    act = j.groupBy("cohort", "day_offset").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )
+    return act.join(cs, "cohort").select(
+        F.unix_micros(F.col("cohort")).alias("cohort_day_us"),
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention_rate"
+        ),
+    )

@@ -393,3 +393,65 @@ def test_source_datasheet_totals(spark, sf_dir):
         assert 0.0 <= r["mean_quality"] <= 1.0
         assert r["n_pred_en"] <= r["n_docs"]
         assert abs(r["mean_tokens"] - r["total_tokens"] / r["n_docs"]) < 1e-9
+
+
+def test_event_funnel_matches_python_reference(spark, sf_dir):
+    """Replay the ordered-funnel semantics per user in plain Python over
+    the raw events and compare stage timestamps exactly."""
+    from datafusion_dedup_ai_spark.queries_extras import q_event_funnel
+
+    from datetime import datetime, timedelta
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    epoch = datetime(1970, 1, 1)
+    per_user: dict[int, list] = {}
+    for r in ev:
+        # exact integer micros, timezone-independent (session is UTC-pinned)
+        us = (r["ts"].replace(tzinfo=None) - epoch) // timedelta(
+            microseconds=1
+        )
+        per_user.setdefault(r["user_id"], []).append((us, r["event_type"]))
+
+    got = {r["user_id"]: r for r in q_event_funnel(spark, sf_dir).collect()}
+    assert set(got) == set(per_user)
+    for uid, evs in per_user.items():
+        stages = []
+        prev = None
+        for stage_type in ("signup", "view", "click", "purchase"):
+            cand = [
+                us
+                for us, t in evs
+                if t == stage_type and (prev is None or us > prev)
+            ]
+            cur = min(cand) if cand else None
+            stages.append(cur)
+            if cur is None:
+                break
+            prev = cur
+        while len(stages) < 4:
+            stages.append(None)
+        r = got[uid]
+        assert [
+            r["t_signup_us"],
+            r["t_view_us"],
+            r["t_click_us"],
+            r["t_purchase_us"],
+        ] == stages, uid
+        assert r["stage_reached"] == sum(1 for s in stages if s is not None)
+
+
+def test_retention_cohort_invariants(spark, sf_dir):
+    from datafusion_dedup_ai_spark.queries_extras import (
+        q_user_retention_cohorts,
+    )
+
+    rows = q_user_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    day0 = [r for r in rows if r["day_offset"] == 0]
+    assert day0 and all(r["retention_rate"] == 1.0 for r in day0)
+    # every cohort has a day-0 row and its n_active == cohort_size there
+    cohorts = {r["cohort_day_us"] for r in rows}
+    assert {r["cohort_day_us"] for r in day0} == cohorts
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert 1 <= r["n_active"] <= r["cohort_size"]
