@@ -52,6 +52,9 @@ HEADLINE = [
     "clean_corpus",
     "chunk_dedup_stats",
     "ngram_lm_counts",
+    "bm25_retrieval_topk",
+    "kn_doc_scores",
+    "event_funnel",
 ]
 
 

@@ -2927,3 +2927,258 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph / sequence / robust-stats operator classes: near-dup graph audit
+# (triangle counting), Markov transition matrix, MAD outlier detection.
+# ---------------------------------------------------------------------------
+
+
+def _dup_graph_metrics_oracle() -> str:
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH pairs AS ({get_oracle("ngram_jaccard_pairs")}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), tri_nodes AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ), tcount AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM tri_nodes GROUP BY 1
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1
+    )
+    SELECT deg.node AS doc_id, deg.degree,
+           CAST(COALESCE(tcount.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN CAST(2 * COALESCE(tcount.n_triangles, 0) AS DOUBLE)
+                     / (deg.degree * (deg.degree - 1))
+                ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
+    FROM deg LEFT JOIN tcount ON deg.node = tcount.node
+    """
+
+
+@register("dup_graph_metrics", _dup_graph_metrics_oracle)
+def q_dup_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate graph audit: per document in the exact-Jaccard pair
+    graph, its degree, the number of triangles through it, and the local
+    clustering coefficient — the diagnostic that distinguishes chain-
+    shaped near-dup families (transitive drift: A~B~C but A!~C, coeff 0)
+    from clique-shaped ones (template spam, coeff 1). Dedup keep/drop
+    policies behave very differently on the two shapes, so a production
+    pipeline audits exactly this before choosing cluster-collapse rules.
+
+    Exact triangle counting by oriented edge join (edges are already
+    a<b-oriented): wedges e1(a,b)+e2(b,c) close iff e3(a,c) exists —
+    every triangle counted once as its sorted triple, then credited to
+    its three corners. At corpus scale the standard low-degree-first
+    orientation bounds the wedge join; here edges are the (sparse)
+    near-dup pairs, orders of magnitude below corpus cardinality.
+    Composes the registered ngram_jaccard_pairs plan (oracle nests its
+    SQL); integer counts + one guarded division — hash-gates exactly."""
+    from datafusion_dedup_ai_spark.queries_text import q_ngram_jaccard_pairs
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri_nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    tcount = tri_nodes.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    out = deg.join(tcount, "node", "left")
+    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    coeff = F.when(
+        F.col("degree") >= 2,
+        (F.lit(2) * n_tri).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        n_tri.alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )
+
+
+def _transition_matrix_oracle() -> str:
+    return """
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ), pc AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT *, CAST(SUM(n_transitions) OVER (PARTITION BY src) AS BIGINT)
+                   AS n_from_src
+        FROM pc
+    )
+    SELECT src, dst, n_transitions, n_from_src,
+           CAST(n_transitions AS DOUBLE) / n_from_src AS prob
+    FROM tot
+    """
+
+
+@register("event_transition_matrix", _transition_matrix_oracle)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each ordered (src, dst) event-type pair, how often dst
+    immediately follows src in the same user's timeline, with the
+    row-normalized transition probability. The behavioral-model
+    complement of event_funnel (which tracks one prescribed path; this
+    measures ALL empirical paths).
+
+    One LEAD window per user partition (ties broken by event_id —
+    deterministic), one reduce to the |types|^2 matrix, then the row
+    total via a SUM window over the already-reduced matrix (the
+    one-exchange-fewer pattern). prob is one int/int division —
+    hash-gates exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    pc = (
+        seq.where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    tot = pc.withColumn(
+        "n_from_src",
+        F.sum("n_transitions").over(Window.partitionBy("src")).cast("bigint"),
+    )
+    return tot.select(
+        "src",
+        "dst",
+        "n_transitions",
+        "n_from_src",
+        (F.col("n_transitions").cast("double") / F.col("n_from_src")).alias(
+            "prob"
+        ),
+    )
+
+
+def _mad_outliers_oracle() -> str:
+    return """
+    WITH v AS (
+        SELECT event_id, event_type, value FROM events
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ), med AS (
+        SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2
+    ), d AS (
+        SELECT v.event_id, v.event_type, v.value, med.med,
+               abs(v.value - med.med) AS dev
+        FROM v JOIN med USING (event_type)
+    ), r2 AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d
+    ), mad AS (
+        SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, d.dev, mad.mad,
+           d.dev > CAST(3.0 AS DOUBLE) * mad.mad AS is_outlier
+    FROM d JOIN mad USING (event_type)
+    """
+
+
+@register("value_outliers_mad", _mad_outliers_oracle)
+def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on event values: per event type, the
+    median and the Median Absolute Deviation (the robust scale estimator
+    a data-quality gate uses where mean/stddev would be dragged by the
+    outliers it hunts), flagging values deviating > 3 * MAD. Medians are
+    the LOWER median (rank (n+1)//2 under (value, event_id) order) — a
+    picked order statistic, not an average, so the gate needs no float
+    summation at all; dev and the 3*MAD comparison are single
+    correctly-rounded ops on identical operands.
+
+    Scale note: the per-type rank windows partition by event_type — few
+    huge groups. At corpus scale swap the rank for the bucket-parallel
+    order-statistic machinery (operators/ordering.py::global_rank needs a
+    hex key, so: approx_percentile to bracket the median bucket, then an
+    exact rank inside the bracket), or accept approx_percentile as the
+    registered quantity_quantiles_approx tier does; flagged here rather
+    than silently absorbed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    r = ev.select(
+        "*",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    med = r.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    d = ev.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    w_rank2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    r2 = d.select(
+        "event_type",
+        "dev",
+        F.row_number().over(w_rank2).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    mad = r2.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    return d.join(mad, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "dev",
+        "mad",
+        (F.col("dev") > F.lit(3.0) * F.col("mad")).alias("is_outlier"),
+    )

@@ -455,3 +455,82 @@ def test_retention_cohort_invariants(spark, sf_dir):
     for r in rows:
         assert r["day_offset"] >= 0
         assert 1 <= r["n_active"] <= r["cohort_size"]
+
+
+def test_dup_graph_triangles_match_python_reference(spark, sf_dir):
+    from itertools import combinations
+
+    from datafusion_dedup_ai_spark.queries_extras import q_dup_graph_metrics
+    from datafusion_dedup_ai_spark.queries_text import q_ngram_jaccard_pairs
+
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = Counter()
+    for node, nbrs in adj.items():
+        for u, v in combinations(sorted(nbrs), 2):
+            if (min(u, v), max(u, v)) in edges:
+                tri[node] += 1
+    got = q_dup_graph_metrics(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in got} == set(adj)
+    for r in got:
+        assert r["degree"] == len(adj[r["doc_id"]])
+        assert r["n_triangles"] == tri[r["doc_id"]]
+        d, t = r["degree"], r["n_triangles"]
+        want = (2.0 * t) / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(r["clustering_coeff"] - want) < 1e-12
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    from datafusion_dedup_ai_spark.queries_extras import (
+        q_event_transition_matrix,
+    )
+
+    rows = q_event_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, rs in by_src.items():
+        total = rs[0]["n_from_src"]
+        assert sum(r["n_transitions"] for r in rs) == total
+        assert abs(sum(r["prob"] for r in rs) - 1.0) < 1e-9
+    # total transitions = total events - one per user (no successor)
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+
+
+def test_mad_outliers_match_python_reference(spark, sf_dir):
+    from datafusion_dedup_ai_spark.queries_extras import q_value_outliers_mad
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["value"], r["event_id"])
+        )
+    meds, mads = {}, {}
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        med = vals[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(v - med), eid) for v, eid in vals)
+        meds[t] = med
+        mads[t] = devs[(n + 1) // 2 - 1][0]
+    got = q_value_outliers_mad(spark, sf_dir).collect()
+    assert len(got) == len(ev)
+    n_outliers = 0
+    for r in got:
+        assert r["med"] == meds[r["event_type"]]
+        assert r["mad"] == mads[r["event_type"]]
+        assert r["is_outlier"] == (r["dev"] > 3.0 * r["mad"])
+        n_outliers += bool(r["is_outlier"])
+    # MAD flags a minority, never everything
+    assert 0 <= n_outliers < len(got) / 2
