@@ -2310,7 +2310,21 @@ def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tk.groupBy("doc_id", "tok").agg(
         F.count("*").cast("bigint").alias("tfreq")
     )
-    tfd = tf.withColumn(
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in RETRIEVAL_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    # Push the query-term restriction BELOW the df computation: dfreq for a
+    # term is its doc count over the whole corpus, which the tf rows of
+    # that term alone determine — so semi-joining tf to the (tiny,
+    # broadcast) query vocabulary first shrinks the per-term COUNT window
+    # from corpus-vocabulary size to |query terms| with identical values.
+    tf_q = tf.join(
+        F.broadcast(qdf.select("term").distinct()),
+        tf["tok"] == F.col("term"),
+        "leftsemi",
+    )
+    tfd = tf_q.withColumn(
         "dfreq", F.count("*").over(Window.partitionBy("tok")).cast("bigint")
     )
     dl = tk.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dlen"))
@@ -2337,10 +2351,6 @@ def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfd.join(dl, "doc_id")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", "tok", w_fp.alias("w_fp"))
-    )
-    qdf = spark.createDataFrame(
-        [(qid, t) for qid, terms in RETRIEVAL_QUERIES for t in terms],
-        "query_id int, term string",
     )
     m = (
         w.join(F.broadcast(qdf), w["tok"] == qdf["term"])
@@ -3181,4 +3191,138 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dev",
         "mad",
         (F.col("dev") > F.lit(3.0) * F.col("mad")).alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (MinHash-tier) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_CONTAM_J = 0.5
+
+
+def _fuzzy_contamination_oracle() -> str:
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+    from datafusion_dedup_ai_spark.queries_curation import BENCHMARK_MOD
+    from datafusion_dedup_ai_spark.queries_dedup_ext import (
+        _band_cands_with,
+        _JACCARD_T,
+        _minhash_mins_with,
+    )
+
+    g = HF.shingle_hashes_glob()
+    return f"""
+    WITH {_minhash_mins_with(g)},
+    {_band_cands_with(g)},
+    cand AS (
+        SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS bench_id
+        FROM bandkeys t JOIN bandkeys e
+          ON t.band = e.band AND t.bkey = e.bkey
+        WHERE t.doc_id % {BENCHMARK_MOD} <> 0
+          AND e.doc_id % {BENCHMARK_MOD} = 0
+    ),
+    common AS (
+        SELECT c.train_id, c.bench_id, COUNT(*) AS n_common
+        FROM cand c
+        JOIN '{g}' fa ON fa.doc_id = c.train_id
+        JOIN '{g}' fb ON fb.doc_id = c.bench_id AND fb.shingle = fa.shingle
+        GROUP BY c.train_id, c.bench_id
+    ),
+    verified AS (
+        SELECT cm.train_id,
+               CAST(cm.n_common AS DOUBLE)
+                   / (sa.n + sb.n - cm.n_common) AS jaccard
+        FROM common cm
+        JOIN sizes sa ON sa.doc_id = cm.train_id
+        JOIN sizes sb ON sb.doc_id = cm.bench_id
+        WHERE CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common)
+              >= {_JACCARD_T}
+    ),
+    per_doc AS (
+        SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+               MAX(jaccard) AS max_jaccard
+        FROM verified GROUP BY train_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bench_matches, 0) AS BIGINT)
+               AS n_bench_matches,
+           p.max_jaccard,
+           COALESCE(p.max_jaccard >= {_CONTAM_J}, FALSE) AS contaminated
+    FROM documents d
+    LEFT JOIN per_doc p ON d.doc_id = p.train_id
+    WHERE d.doc_id % {BENCHMARK_MOD} <> 0
+    """
+
+
+@register("fuzzy_benchmark_contamination", _fuzzy_contamination_oracle)
+def q_fuzzy_benchmark_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy eval-set decontamination — the NEAR-duplicate tier of
+    benchmark_contamination (which counts exact shingle overlap): every
+    training doc is LSH-probed against the benchmark docs' MinHash bands,
+    candidates exact-Jaccard-verified, and docs whose best benchmark
+    match reaches the contamination threshold are flagged. This is the
+    GPT-3/Pile-style fuzzy decontamination pass: paraphrased or lightly
+    edited eval leakage that exact matching misses.
+
+    Scale shape: the benchmark side is tiny — its band table broadcasts,
+    so the corpus-side cost is one signature pass + a broadcast probe
+    (same topology as the incremental index match). Hash-gated via the
+    xxhash64 shingle fixture: the oracle replays signatures, banding,
+    cross-set candidates, and verification in SQL; the same residual
+    2^-64 band-bucket collision caveat as minhash_near_dup_pairs."""
+    from datafusion_dedup_ai_spark.operators import dedup as D
+    from datafusion_dedup_ai_spark.queries_curation import BENCHMARK_MOD
+    from datafusion_dedup_ai_spark.queries_dedup_ext import (
+        _JACCARD_T,
+        _shingled_docs,
+    )
+    from pyspark import StorageLevel
+
+    shingled = _shingled_docs(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = D.minhash_signatures(shingled)
+    buckets = D.band_buckets(sigs)
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    bench_b = buckets.where(is_bench)
+    train_b = buckets.where(~is_bench)
+    cand = (
+        train_b.alias("t")
+        .join(
+            F.broadcast(bench_b.alias("e")),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.bucket") == F.col("e.bucket")),
+        )
+        .select(
+            F.col("t.doc_id").alias("id_a"),
+            F.col("e.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = D.verify_jaccard(
+        cand, shingled, threshold=_JACCARD_T
+    )
+    per_doc = verified.groupBy(F.col("id_a").alias("train_id")).agg(
+        F.count("*").cast("bigint").alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    train_docs = (
+        load_spread(spark, sf_dir, "documents")
+        .where(~is_bench)
+        .select("doc_id")
+    )
+    out = train_docs.join(
+        per_doc, train_docs["doc_id"] == per_doc["train_id"], "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_bench_matches"), F.lit(0))
+        .cast("bigint")
+        .alias("n_bench_matches"),
+        "max_jaccard",
+        F.coalesce(F.col("max_jaccard") >= _CONTAM_J, F.lit(False)).alias(
+            "contaminated"
+        ),
     )

@@ -534,3 +534,43 @@ def test_mad_outliers_match_python_reference(spark, sf_dir):
         n_outliers += bool(r["is_outlier"])
     # MAD flags a minority, never everything
     assert 0 <= n_outliers < len(got) / 2
+
+
+def test_fuzzy_contamination_vs_bruteforce(spark, sf_dir):
+    """Precision is exact (candidates are Jaccard-verified): every flagged
+    doc must truly have a benchmark neighbor at >= the contamination
+    threshold. Recall floor: near-identical leaks (exact J >= 0.9 — the
+    LSH catch probability there is ~1) must all be caught."""
+    from datafusion_dedup_ai_spark.queries_curation import BENCHMARK_MOD
+    from datafusion_dedup_ai_spark.queries_extras import (
+        _CONTAM_J,
+        q_fuzzy_benchmark_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    sh = {}
+    for doc in docs:
+        t = (doc["text"] or "").split(" ")
+        sh[doc["doc_id"]] = {f"{a} {b}" for a, b in zip(t, t[1:])}
+    bench = {i for i in sh if i % BENCHMARK_MOD == 0}
+    train = set(sh) - bench
+
+    def jac(a, b):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        return inter / union if union else 0.0
+
+    best = {t: max((jac(t, b) for b in bench), default=0.0) for t in train}
+    got = {
+        r["doc_id"]: r
+        for r in q_fuzzy_benchmark_contamination(spark, sf_dir).collect()
+    }
+    assert set(got) == train
+    for doc_id, r in got.items():
+        if r["contaminated"]:
+            assert best[doc_id] >= _CONTAM_J, doc_id
+        if r["max_jaccard"] is not None:
+            assert r["max_jaccard"] <= best[doc_id] + 1e-12
+    for doc_id, b in best.items():
+        if b >= 0.9:
+            assert got[doc_id]["contaminated"], (doc_id, b)
