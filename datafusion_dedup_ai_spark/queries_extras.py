@@ -3326,3 +3326,145 @@ def q_fuzzy_benchmark_contamination(
             "contaminated"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal curation decisions — text + binary signals combined
+# ---------------------------------------------------------------------------
+
+_MEDIA_MIN_QUALITY = 0.5
+_MEDIA_MIN_BYTES = 128
+# The synthetic payloads have no natural exact duplicates (they derive from
+# distinct texts), so — same convention as the PII and perceptual-dup
+# planting — every doc_id % MOD == 1 payload is re-ingested verbatim under
+# doc_id + OFFSET, deterministically on BOTH engines, so the keep-first
+# content-hash rule demonstrably fires.
+_MEDIA_PLANT_OFFSET = 1_000_000
+_MEDIA_PLANT_MOD = 100
+
+
+def _multimodal_curation_oracle() -> str:
+    from datafusion_dedup_ai_spark.queries_multimodal import _media_glob
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH qual0 AS ({get_oracle("doc_quality_scores")}),
+    m0 AS (
+        SELECT doc_id, media_type,
+               CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+               md5(hex(payload)) AS payload_md5
+        FROM '{_media_glob()}'
+    ), m AS (
+        SELECT * FROM m0
+        UNION ALL
+        SELECT doc_id + {_MEDIA_PLANT_OFFSET}, media_type, n_bytes,
+               payload_md5
+        FROM m0 WHERE doc_id % {_MEDIA_PLANT_MOD} = 1
+    ), qual AS (
+        SELECT doc_id, quality FROM qual0
+        UNION ALL
+        SELECT doc_id + {_MEDIA_PLANT_OFFSET}, quality
+        FROM qual0 WHERE doc_id % {_MEDIA_PLANT_MOD} = 1
+    ), flagged AS (
+        SELECT m.doc_id, m.media_type, m.n_bytes, q.quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY m.payload_md5 ORDER BY m.doc_id) > 1
+                   AS dup_payload,
+               q.quality < CAST({_MEDIA_MIN_QUALITY} AS DOUBLE)
+                   AS low_text_quality,
+               m.n_bytes < {_MEDIA_MIN_BYTES} AS tiny_payload
+        FROM m JOIN qual q USING (doc_id)
+    )
+    SELECT doc_id, media_type, n_bytes, quality,
+           dup_payload, low_text_quality, tiny_payload,
+           NOT (dup_payload OR low_text_quality OR tiny_payload) AS keep,
+           CASE WHEN dup_payload THEN 'dup_payload'
+                WHEN low_text_quality THEN 'low_text_quality'
+                WHEN tiny_payload THEN 'tiny_payload'
+                ELSE 'kept' END AS drop_reason
+    FROM flagged
+    """
+
+
+@register("multimodal_curation_decisions", _multimodal_curation_oracle)
+def q_multimodal_curation_decisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Joint text+binary curation for multimodal training pairs — the
+    decision table a caption/image pipeline runs before writing training
+    shards: drop exact-duplicate payloads (keep-first by content hash,
+    the image twin of exact text dedup), drop pairs whose TEXT side fails
+    the quality gate (a good image with junk caption is junk training
+    signal), drop truncated/stub payloads. One row per media doc with
+    every flag, the verdict, and the first-match drop reason — same
+    provenance convention as ensemble_dedup_decisions.
+
+    Composes the registered doc_quality_scores plan over the TEXT side
+    with the true-BINARY payload fixture on the media side (md5(hex(
+    payload)) — the DuckDB-1.0-compatible BLOB hash from
+    media_payload_stats). The fixture has no natural exact-dup payloads,
+    so deterministic verbatim copies are planted on both engines
+    (_MEDIA_PLANT_*) and the keep-first rule's firing is itself part of
+    the hash gate. Scale shape: content-hash dedup is one window over
+    md5 (one shuffle); the text-media join keys on doc_id. All flags are
+    integer/boolean; quality is the already-gated double — hash-gates
+    exactly."""
+    from datafusion_dedup_ai_spark.operators import multimodal as M
+    from datafusion_dedup_ai_spark.queries_text import q_doc_quality_scores
+
+    media = M.load_media(spark, sf_dir)
+    qual0 = q_doc_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    m0 = media.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
+    )
+    planted = F.col("doc_id") % _MEDIA_PLANT_MOD == 1
+    shifted = (F.col("doc_id") + _MEDIA_PLANT_OFFSET).alias("doc_id")
+    m = m0.unionByName(
+        m0.where(planted).select(
+            shifted, "media_type", "n_bytes", "payload_md5"
+        )
+    )
+    qual = qual0.unionByName(
+        qual0.where(planted).select(shifted, "quality")
+    )
+    flagged = m.join(qual, "doc_id").select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "quality",
+        (
+            F.row_number().over(
+                Window.partitionBy("payload_md5").orderBy("doc_id")
+            )
+            > 1
+        ).alias("dup_payload"),
+        (F.col("quality") < F.lit(_MEDIA_MIN_QUALITY)).alias(
+            "low_text_quality"
+        ),
+        (F.col("n_bytes") < _MEDIA_MIN_BYTES).alias("tiny_payload"),
+    )
+    keep = ~(
+        F.col("dup_payload")
+        | F.col("low_text_quality")
+        | F.col("tiny_payload")
+    )
+    reason = (
+        F.when(F.col("dup_payload"), F.lit("dup_payload"))
+        .when(F.col("low_text_quality"), F.lit("low_text_quality"))
+        .when(F.col("tiny_payload"), F.lit("tiny_payload"))
+        .otherwise(F.lit("kept"))
+    )
+    return flagged.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "quality",
+        "dup_payload",
+        "low_text_quality",
+        "tiny_payload",
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )

@@ -574,3 +574,33 @@ def test_fuzzy_contamination_vs_bruteforce(spark, sf_dir):
     for doc_id, b in best.items():
         if b >= 0.9:
             assert got[doc_id]["contaminated"], (doc_id, b)
+
+
+def test_multimodal_curation_rules(spark, sf_dir):
+    """Every planted verbatim payload copy must be dropped as dup_payload
+    (keep-first by doc_id: the original survives); flags must reconcile
+    with the verdict and the first-match reason priority."""
+    from datafusion_dedup_ai_spark.queries_extras import (
+        _MEDIA_PLANT_MOD,
+        _MEDIA_PLANT_OFFSET,
+        q_multimodal_curation_decisions,
+    )
+
+    rows = q_multimodal_curation_decisions(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    planted = [r for r in rows if r["doc_id"] >= _MEDIA_PLANT_OFFSET]
+    assert planted
+    for r in planted:
+        src = by_id[r["doc_id"] - _MEDIA_PLANT_OFFSET]
+        assert src["doc_id"] % _MEDIA_PLANT_MOD == 1
+        assert r["dup_payload"] and r["drop_reason"] == "dup_payload"
+        assert not src["dup_payload"]  # keep-first: original survives
+    for r in rows:
+        flags = [
+            ("dup_payload", r["dup_payload"]),
+            ("low_text_quality", r["low_text_quality"]),
+            ("tiny_payload", r["tiny_payload"]),
+        ]
+        assert r["keep"] == (not any(v for _, v in flags))
+        want = next((n for n, v in flags if v), "kept")
+        assert r["drop_reason"] == want

@@ -189,3 +189,45 @@ def test_chunk_dedup_no_cartesian_and_single_text_scan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_bm25_broadcasts_query_workload(spark, sf_dir):
+    """The retrieval workload must join in as a broadcast on BOTH uses
+    (the semi-join vocabulary restriction and the scoring join) — a
+    shuffled query join would put the fixed 24-row workload on the
+    corpus shuffle path. No cartesian products anywhere."""
+    plan = _plan(spark, sf_dir, "bm25_retrieval_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_contamination_broadcasts_benchmark_bands(spark, sf_dir):
+    """The benchmark side of the cross-set LSH probe is eval-suite-sized;
+    it must broadcast so the corpus side stays a map-side probe."""
+    plan = _plan(spark, sf_dir, "fuzzy_benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partitioned_global_rank_queries_avoid_group_windows(spark, sf_dir):
+    """length_bucket_batches and cluster_balanced_sample rank inside a
+    handful of giant groups; the plan must show window partitioning by
+    (group, md5-prefix bucket) — i.e. every window sort key list includes
+    the _bucket column — and never a window partitioned by the bare group
+    column alone (the 16-tasks-for-a-billion-rows collapse)."""
+    import re
+
+    for name in ("length_bucket_batches", "cluster_balanced_sample"):
+        plan = _plan(spark, sf_dir, name)
+        windows = [
+            l for l in plan.splitlines() if re.search(r"\bWindow\b", l)
+        ]
+        assert windows, name
+        # the data-sized window is the row_number rank; the offset window
+        # (sum over the kilobyte metadata table) may partition by the bare
+        # group column — that one is fine.
+        rank_windows = [w for w in windows if "row_number()" in w]
+        assert rank_windows, name
+        for w in rank_windows:
+            assert "_bucket" in w, (name, w)
