@@ -3468,3 +3468,74 @@ def q_multimodal_curation_decisions(
         keep.alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-gated LSH ANN top-k (cross-engine verification of the approximate
+# tier itself)
+# ---------------------------------------------------------------------------
+
+
+def _ann_lsh_gated_oracle() -> str:
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+    from datafusion_dedup_ai_spark.queries_similarity import (
+        N_QUERIES,
+        TOP_K,
+        _sql_cosine,
+    )
+
+    g = HF.lsh_buckets_glob()
+    return f"""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+        SELECT vec_id, "table", bucket FROM '{g}'
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM b q JOIN b cb
+          ON q."table" = cb."table" AND q.bucket = cb.bucket
+         AND cb.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_sql_cosine('qv.v', 'cv.v')} AS cosine
+        FROM cand
+        JOIN c qv ON qv.vec_id = cand.query_id
+        JOIN c cv ON cv.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rk
+        FROM scored)
+    WHERE rk <= {TOP_K}
+    """
+
+
+@register("ann_lsh_topk_gated", _ann_lsh_gated_oracle)
+def q_ann_lsh_topk_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH ANN tier under a FULL cross-engine hash gate:
+    bucket probe (16 tables x 4 sign bits, the materialized code
+    fixture), candidate union, exact-cosine re-rank, top-k — every step
+    after the numpy hyperplane matmul replayed in SQL. ann_topk_tiers
+    stays the production form (query-side multi-probe needs the
+    projection margins, which live only in the Arrow batch — its recall
+    is self-graded by ann_recall_report); THIS entry runs base probes so
+    the whole pipeline, including which candidates the buckets admit, is
+    verified value-for-value against DuckDB. The cosine arithmetic is the
+    same expression pair already gated by cosine_topk."""
+    from datafusion_dedup_ai_spark.operators import similarity_search as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.lsh_topk(
+        emb,
+        queries,
+        k=5,
+        n_tables=16,
+        n_bits=4,
+        dim=64,
+        seed=7,
+        extra_probes=0,
+    )

@@ -604,3 +604,29 @@ def test_multimodal_curation_rules(spark, sf_dir):
         assert r["keep"] == (not any(v for _, v in flags))
         want = next((n for n, v in flags if v), "kept")
         assert r["drop_reason"] == want
+
+
+def test_ann_lsh_gated_recall_and_bucket_provenance(spark, sf_dir):
+    """The gated LSH tier must (a) only return candidates that truly share
+    a bucket with the query (provenance) and (b) keep recall vs brute
+    force above the base-probe floor."""
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+    from datafusion_dedup_ai_spark.queries_extras import q_ann_lsh_topk_gated
+    from datafusion_dedup_ai_spark.queries_similarity import q_cosine_topk
+
+    got = q_ann_lsh_topk_gated(spark, sf_dir).collect()
+    assert got
+    buckets = {}
+    bdf = spark.read.parquet(
+        HF.materialize_lsh_buckets(spark, sf_dir)
+    ).collect()
+    for r in bdf:
+        buckets.setdefault(r["vec_id"], set()).add((r["table"], r["bucket"]))
+    for r in got:
+        assert buckets[r["query_id"]] & buckets[r["neighbor_id"]], r
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    assert len(approx & exact) / len(exact) >= 0.5
