@@ -3539,3 +3539,151 @@ def q_ann_lsh_topk_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=7,
         extra_probes=0,
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword scores — the distributed-iterative class (Pregel shape),
+# hash-gated through integer fixed-point arithmetic
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 10
+_TR_SCALE = 1 << 30  # rank 1.0
+
+
+def _textrank_oracle() -> str:
+    edges = """
+    bg AS (
+        SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2
+        FROM (
+            SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+                AS b
+            FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        )
+    ), pc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg WHERE w1 <> w2 GROUP BY 1, 2
+    ), edges AS (
+        SELECT u, v, CAST(SUM(c) AS BIGINT) AS w FROM (
+            SELECT w1 AS u, w2 AS v, c FROM pc
+            UNION ALL
+            SELECT w2 AS u, w1 AS v, c FROM pc
+        ) GROUP BY u, v
+    ), nodes AS (
+        SELECT u AS word, CAST(SUM(w) AS BIGINT) AS w_total,
+               CAST(COUNT(*) AS BIGINT) AS n_neighbors
+        FROM edges GROUP BY u
+    ), r0 AS (
+        SELECT word, CAST({scale} AS BIGINT) AS r FROM nodes
+    )""".format(scale=_TR_SCALE)
+    iters = ""
+    for i in range(1, _TR_ITERS + 1):
+        iters += """,
+    r{i} AS (
+        SELECT n.word,
+               CAST((3 * CAST({scale} AS BIGINT)) // 20
+                    + (17 * COALESCE(s.contrib, 0)) // 20 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS word,
+                   SUM((p.r * e.w) // nu.w_total) AS contrib
+            FROM edges e
+            JOIN r{prev} p ON p.word = e.u
+            JOIN nodes nu ON nu.word = e.u
+            GROUP BY e.v
+        ) s ON s.word = n.word
+    )""".format(i=i, prev=i - 1, scale=_TR_SCALE)
+    return f"""
+    WITH {edges}{iters}
+    SELECT n.word, n.n_neighbors, n.w_total,
+           CAST(r.r AS BIGINT) AS rank_fp,
+           CAST(r.r AS DOUBLE) / CAST({_TR_SCALE} AS DOUBLE) AS textrank
+    FROM nodes n JOIN r{_TR_ITERS} r ON r.word = n.word
+    """
+
+
+@register("textrank_keywords", _textrank_oracle)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau, EMNLP 2004): weighted
+    PageRank over the word co-occurrence graph (symmetrized bigram
+    counts, self-loops dropped), damping 0.85, 10 synchronous
+    iterations — the distributed-ITERATIVE operator class (the Pregel
+    shape: per-iteration join of ranks against the edge list + reduce),
+    which no other registered query exercises.
+
+    Determinism: ranks live in 2^30 fixed point and every update is pure
+    integer arithmetic — contribution floor((r_u * w_uv) / W_u), then
+    floor-weighted damping (3*S)//20 + (17*sum)//20 — so the
+    per-iteration aggregation is order-independent and all 10 iterations
+    replay bit-exactly in SQL (unrolled CTE chain). One final division
+    reports the float rank.
+
+    Scale shape: each iteration is one shuffle join of the rank table
+    against the edge list keyed on source word + one reduce on target —
+    the canonical iterative-graph plan. The vocabulary-pair edge list is
+    Heaps-law-bounded; at production scale persist each iteration's rank
+    table and checkpoint every few rounds to cut lineage (noted, trivial
+    here)."""
+    d = load_spread(spark, sf_dir, "documents")
+    bg = d.select(
+        F.explode(T.word_bigrams(F.col("text"))).alias("b")
+    ).select(
+        F.split("b", " ").getItem(0).alias("w1"),
+        F.split("b", " ").getItem(1).alias("w2"),
+    )
+    pc = (
+        bg.where(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    edges = (
+        pc.select(F.col("w1").alias("u"), F.col("w2").alias("v"), "c")
+        .unionByName(
+            pc.select(F.col("w2").alias("u"), F.col("w1").alias("v"), "c")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("c").cast("bigint").alias("w"))
+    )
+    nodes = edges.groupBy(F.col("u").alias("word")).agg(
+        F.sum("w").cast("bigint").alias("w_total"),
+        F.count("*").cast("bigint").alias("n_neighbors"),
+    )
+    # edge list with source total attached once (reused every iteration)
+    e = edges.join(
+        nodes.select(F.col("word").alias("u"), "w_total"), "u"
+    ).persist()
+    ranks = nodes.select("word", F.lit(_TR_SCALE).cast("bigint").alias("r"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("word", "u"), "u")
+            # `div` is EXACT BIGINT division — double `/` + cast would
+            # round the quotient before truncating and diverge from the
+            # oracle's `//` on ~1-ulp boundaries.
+            .select(
+                F.col("v").alias("word"),
+                F.expr("(r * w) div w_total").alias("part"),
+            )
+            .groupBy("word")
+            .agg(F.sum("part").alias("contrib"))
+        )
+        ranks = (
+            nodes.select("word")
+            .join(contrib, "word", "left")
+            .select(
+                "word",
+                (
+                    F.lit((3 * _TR_SCALE) // 20)
+                    + F.expr("(17 * coalesce(contrib, 0L)) div 20")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    out = nodes.join(ranks, "word").select(
+        "word",
+        "n_neighbors",
+        "w_total",
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / F.lit(float(_TR_SCALE))).alias(
+            "textrank"
+        ),
+    )
+    return out

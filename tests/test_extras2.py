@@ -630,3 +630,47 @@ def test_ann_lsh_gated_recall_and_bucket_provenance(spark, sf_dir):
     }
     approx = {(r["query_id"], r["neighbor_id"]) for r in got}
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_textrank_matches_python_replay(spark, sf_dir):
+    """Replay the exact integer fixed-point TextRank iteration in pure
+    Python and require bit-equality after all 10 rounds — the strongest
+    pin on the iterative arithmetic (any off-by-one in the floor-division
+    placement diverges within an iteration or two)."""
+    from datafusion_dedup_ai_spark.queries_extras import (
+        _TR_ITERS,
+        _TR_SCALE,
+        q_textrank_keywords,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    pc = Counter()
+    for doc in docs:
+        t = (doc["text"] or "").split(" ")
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                pc[(a, b)] += 1
+    edges = Counter()
+    for (a, b), c in pc.items():
+        edges[(a, b)] += c
+        edges[(b, a)] += c
+    w_total = Counter()
+    for (u, _), w in edges.items():
+        w_total[u] += w
+    ranks = {u: _TR_SCALE for u in w_total}
+    for _ in range(_TR_ITERS):
+        contrib = Counter()
+        for (u, v), w in edges.items():
+            contrib[v] += (ranks[u] * w) // w_total[u]
+        ranks = {
+            u: (3 * _TR_SCALE) // 20 + (17 * contrib[u]) // 20
+            for u in w_total
+        }
+    got = q_textrank_keywords(spark, sf_dir).collect()
+    assert len(got) == len(ranks)
+    for r in got:
+        assert r["rank_fp"] == ranks[r["word"]], r["word"]
+        assert r["w_total"] == w_total[r["word"]]
+    # hubs (stopword-ish high-degree words) must outrank the tail
+    by_rank = sorted(got, key=lambda r: -r["rank_fp"])
+    assert by_rank[0]["n_neighbors"] >= by_rank[-1]["n_neighbors"]
