@@ -3687,3 +3687,191 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch + positional inverted index
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024
+_CMS_SALTS = ("cms0", "cms1", "cms2")
+_CMS_PROBE_TOPN = 20
+
+
+def _cms_hash_sql(salt: str, term: str) -> str:
+    """First 8 md5 hex digits -> BIGINT -> mod w: < 2^32, exact in BIGINT,
+    identical in both engines (same md5 string, same base-16 parse)."""
+    return (
+        f"CAST(conv(substr(md5(concat('{salt}', {term})), 1, 8), 16, 10)"
+        f" AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_oracle() -> str:
+    # DuckDB lacks conv(); from_hex equivalent: parse base-16 via
+    # CAST(concat('0x', ...) AS BIGINT) is unsupported in 1.0 — use
+    # list_reduce-free arithmetic: 8 hex chars -> strtol via
+    # bit-shifting position lookup is clumsy; DuckDB DOES have
+    # from_hex? No — but it has ('x' prefix)? Simplest portable form:
+    # sum over the 8 chars of digit * 16^i using strpos on a hex alphabet.
+    def duck_hex(salt: str) -> str:
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef', substr(h_{salt}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        return f"CAST(({terms}) AS BIGINT) % {_CMS_W}"
+
+    pre = ", ".join(
+        f"substr(md5(concat('{s}', tok)), 1, 8) AS h_{s}" for s in _CMS_SALTS
+    )
+    mins = ", ".join(
+        f"MIN(est_{s}) AS est_{s}" for s in _CMS_SALTS
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tc AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM toks WHERE tok <> '' GROUP BY tok
+    ), hashed AS (
+        SELECT tok, true_count, {pre} FROM tc
+    ), slots AS (
+        SELECT tok, true_count,
+               {', '.join(duck_hex(s) + f' AS slot_{s}' for s in _CMS_SALTS)}
+        FROM hashed
+    ), counters AS (
+        {' UNION ALL '.join(
+            f"SELECT '{s}' AS row_id, slot_{s} AS slot, "
+            f"CAST(SUM(true_count) AS BIGINT) AS counter "
+            f"FROM slots GROUP BY slot_{s}" for s in _CMS_SALTS
+        )}
+    ), probes AS (
+        SELECT tok, true_count,
+               {', '.join(f'slot_{s}' for s in _CMS_SALTS)},
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY true_count DESC, tok ASC) AS BIGINT) AS rn
+        FROM slots
+    ), est AS (
+        SELECT p.tok, p.true_count,
+               LEAST({', '.join(
+                   f"(SELECT counter FROM counters c WHERE c.row_id = '{s}'"
+                   f" AND c.slot = p.slot_{s})" for s in _CMS_SALTS
+               )}) AS est_count
+        FROM probes p WHERE p.rn <= {_CMS_PROBE_TOPN}
+    )
+    SELECT tok AS term, true_count, CAST(est_count AS BIGINT) AS est_count,
+           CAST(est_count - true_count AS BIGINT) AS overestimate
+    FROM est
+    """
+
+
+@register("cms_term_frequencies", _cms_oracle)
+def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream — the mergeable fixed-memory frequency sketch a
+    streaming ingest keeps where exact per-term counts no longer fit:
+    3 salted-md5 hash rows x {w} counters, each counter the sum of
+    colliding terms' counts (map-side combinable: the sketch of a union
+    is the elementwise sum of sketches). The top-{n} true terms are then
+    point-queried (min over the 3 rows) and reported against their true
+    counts — est >= true ALWAYS (one-sided error, the CMS theorem), with
+    overestimate bounded by collision mass ~ 2N/w in expectation.
+
+    Everything is integer arithmetic on md5-derived slots — no xxhash64,
+    so the sketch hash-gates with NO materialized fixture (the oracle
+    re-parses the same 8 hex digits positionally; DuckDB 1.0 has no
+    conv())."""
+    d = load_spread(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+    )
+    slots = tc.select(
+        "tok",
+        "true_count",
+        *[
+            F.expr(_cms_hash_sql(s, "tok")).alias(f"slot_{s}")
+            for s in _CMS_SALTS
+        ],
+    )
+    est_cols = []
+    probe = slots.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.orderBy(F.col("true_count").desc(), F.col("tok").asc()))
+        .cast("bigint"),
+    ).where(F.col("rn") <= _CMS_PROBE_TOPN)
+    for s in _CMS_SALTS:
+        counters = (
+            slots.groupBy(f"slot_{s}")
+            .agg(F.sum("true_count").cast("bigint").alias(f"est_{s}"))
+        )
+        probe = probe.join(F.broadcast(counters), f"slot_{s}")
+        est_cols.append(F.col(f"est_{s}"))
+    return probe.select(
+        F.col("tok").alias("term"),
+        "true_count",
+        F.least(*est_cols).cast("bigint").alias("est_count"),
+        (F.least(*est_cols) - F.col("true_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+    )
+
+
+@register(
+    "positional_index",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest(range(0, len(t))) AS p, t FROM toks
+    ), terms AS (
+        SELECT doc_id, t[p + 1] AS term, p FROM pos WHERE t[p + 1] <> ''
+    ), postings AS (
+        SELECT term, doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               to_json(list(p ORDER BY p))::VARCHAR AS positions
+        FROM terms GROUP BY term, doc_id
+    )
+    SELECT term, doc_id, n_occurrences, positions,
+           CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS doc_freq
+    FROM postings
+    """,
+)
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index construction — the search-engine build
+    step BM25 retrieval consumes: per (term, doc) posting with occurrence
+    count, the sorted position list (JSON at the contract surface —
+    nested columns break the driver hash), and the term's document
+    frequency. Posting lists are the input to phrase/proximity queries;
+    the ExactSubstr span machinery reuses the same positional explode.
+
+    Scale shape: one positional explode (bounded by corpus token count),
+    one reduce to (term, doc), then doc_freq as a COUNT window over the
+    ALREADY-REDUCED posting table (the one-exchange-fewer pattern). The
+    JSON list is array_sort-deterministic on both engines."""
+    d = load_spread(spark, sf_dir, "documents")
+    terms = (
+        d.select(
+            "doc_id",
+            F.posexplode(T.tokens(F.col("text"))).alias("p", "term"),
+        )
+        .where(F.col("term") != "")
+    )
+    postings = terms.groupBy("term", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.to_json(F.sort_array(F.collect_list("p"))).alias("positions"),
+    )
+    return postings.select(
+        "term",
+        "doc_id",
+        "n_occurrences",
+        "positions",
+        F.count("*")
+        .over(Window.partitionBy("term"))
+        .cast("bigint")
+        .alias("doc_freq"),
+    )

@@ -674,3 +674,41 @@ def test_textrank_matches_python_replay(spark, sf_dir):
     # hubs (stopword-ish high-degree words) must outrank the tail
     by_rank = sorted(got, key=lambda r: -r["rank_fp"])
     assert by_rank[0]["n_neighbors"] >= by_rank[-1]["n_neighbors"]
+
+
+def test_cms_one_sided_error(spark, sf_dir):
+    """The CMS theorem: point estimates NEVER undercount, and with w=1024
+    slots against a ~31-type vocabulary collisions are rare — most top
+    terms estimate exactly."""
+    from datafusion_dedup_ai_spark.queries_extras import (
+        q_cms_term_frequencies,
+    )
+
+    rows = q_cms_term_frequencies(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_count"] >= r["true_count"]
+        assert r["overestimate"] == r["est_count"] - r["true_count"]
+    exact = sum(1 for r in rows if r["overestimate"] == 0)
+    assert exact >= len(rows) * 0.8
+
+
+def test_positional_index_matches_python_reference(spark, sf_dir):
+    import json
+
+    from datafusion_dedup_ai_spark.queries_extras import q_positional_index
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    want: dict[tuple, list] = {}
+    for doc in docs:
+        for p, tok in enumerate((doc["text"] or "").split(" ")):
+            if tok:
+                want.setdefault((tok, doc["doc_id"]), []).append(p)
+    dfreq = Counter(term for term, _ in want)
+    got = q_positional_index(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        key = (r["term"], r["doc_id"])
+        assert json.loads(r["positions"]) == want[key]
+        assert r["n_occurrences"] == len(want[key])
+        assert r["doc_freq"] == dfreq[r["term"]]
