@@ -3875,3 +3875,68 @@ def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("doc_freq"),
     )
+
+
+@register(
+    "hourly_value_ohlc",
+    """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+        FROM events
+    ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, h
+                   ORDER BY ts, event_id) AS rn_open,
+               ROW_NUMBER() OVER (PARTITION BY event_type, h
+                   ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM b
+    )
+    SELECT event_type, epoch_us(h) AS hour_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (event type, hour) — the time-series downsampling
+    shape every metrics/finance pipeline runs: open = first value in the
+    bucket, close = last (both tie-broken by event_id — deterministic
+    under concurrent timestamps), high/low = max/min. First/last are
+    picked order statistics via two ROW_NUMBERs over the SAME partition
+    key (one Exchange+Sort serves both windows and the final group-by) —
+    no float summation, so every column is an exactly-picked or
+    exactly-compared double; hash-gates bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_open = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("event_type", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "*",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return r.groupBy("event_type", "h").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+    ).select(
+        "event_type",
+        F.unix_micros(F.col("h")).alias("hour_us"),
+        "n_events",
+        "open",
+        "high",
+        "low",
+        "close",
+    )

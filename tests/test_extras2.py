@@ -712,3 +712,30 @@ def test_positional_index_matches_python_reference(spark, sf_dir):
         assert json.loads(r["positions"]) == want[key]
         assert r["n_occurrences"] == len(want[key])
         assert r["doc_freq"] == dfreq[r["term"]]
+
+
+def test_ohlc_matches_python_reference(spark, sf_dir):
+    from datetime import datetime, timedelta
+
+    from datafusion_dedup_ai_spark.queries_extras import q_hourly_value_ohlc
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    epoch = datetime(1970, 1, 1)
+    buckets: dict[tuple, list] = {}
+    for r in ev:
+        ts = r["ts"].replace(tzinfo=None)
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        h_us = (h - epoch) // timedelta(microseconds=1)
+        buckets.setdefault((r["event_type"], h_us), []).append(
+            ((ts - epoch) // timedelta(microseconds=1), r["event_id"], r["value"])
+        )
+    got = q_hourly_value_ohlc(spark, sf_dir).collect()
+    assert len(got) == len(buckets)
+    for r in got:
+        rows = sorted(buckets[(r["event_type"], r["hour_us"])])
+        vals = [v for _, _, v in rows]
+        assert r["n_events"] == len(rows)
+        assert r["open"] == rows[0][2]
+        assert r["close"] == rows[-1][2]
+        assert r["high"] == max(vals)
+        assert r["low"] == min(vals)
