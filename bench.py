@@ -55,6 +55,8 @@ HEADLINE = [
     "bm25_retrieval_topk",
     "kn_doc_scores",
     "event_funnel",
+    "textrank_keywords",
+    "fuzzy_benchmark_contamination",
 ]
 
 

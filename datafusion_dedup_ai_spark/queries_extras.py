@@ -3653,7 +3653,10 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("word", F.lit(_TR_SCALE).cast("bigint").alias("r"))
     for _ in range(_TR_ITERS):
         contrib = (
-            e.join(ranks.withColumnRenamed("word", "u"), "u")
+            # ranks are vocabulary-sized (Heaps-bounded) — broadcast them
+            # so each iteration costs ONE shuffle (the contribution
+            # reduce), not a join shuffle plus a reduce.
+            e.join(F.broadcast(ranks.withColumnRenamed("word", "u")), "u")
             # `div` is EXACT BIGINT division — double `/` + cast would
             # round the quotient before truncating and diverge from the
             # oracle's `//` on ~1-ulp boundaries.
@@ -3666,7 +3669,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             nodes.select("word")
-            .join(contrib, "word", "left")
+            .join(F.broadcast(contrib), "word", "left")
             .select(
                 "word",
                 (
