@@ -1839,7 +1839,110 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_near_dup_pairs", None)
+def _media_near_dup_oracle() -> str:
+    """SQL replay of the ENTIRE perceptual-near-dup pipeline — planting,
+    per-byte hex parse, np.array_split block boundaries, block means,
+    even-count median, sign-wrapped 64-bit signature, pigeonhole banding
+    (masks inlined as Python-side signed literals — DuckDB BIGINT shifts
+    overflow where numpy wraps), bit_count verify. Every arithmetic step
+    is exact: byte sums are integers (any summation order exact in
+    float64), the mean is one division, the median is (a+b)/2 of picked
+    order statistics."""
+    from datafusion_dedup_ai_spark.operators.dedup import _signed64
+    from datafusion_dedup_ai_spark.queries_multimodal import _media_glob
+
+    max_hamming = 6
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    masks = []
+    for c in range(n_chunks):
+        shift = c * width
+        w = width if c < n_chunks - 1 else 64 - shift
+        masks.append((c, _signed64(((1 << w) - 1) << shift)))
+    mask_vals = ", ".join(f"({c}, CAST({m} AS BIGINT))" for c, m in masks)
+    # bit value of block i in the signed-wrapped signature
+    bitval = (
+        f"CASE WHEN blk = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+        f"ELSE CAST(1 AS BIGINT) << blk END"
+    )
+    return f"""
+    WITH m0 AS (
+        SELECT doc_id, payload FROM '{_media_glob()}'
+    ), plant_src AS (
+        SELECT doc_id, payload FROM m0 ORDER BY doc_id LIMIT 10
+    ), m AS (
+        SELECT doc_id, payload, FALSE AS perturbed FROM m0
+        UNION ALL
+        SELECT doc_id + 1000000, payload, TRUE FROM plant_src
+    ), bytes0 AS (
+        SELECT doc_id, perturbed,
+               CAST(octet_length(payload) AS BIGINT) AS n,
+               hex(payload) AS h,
+               unnest(range(0, greatest(octet_length(payload), 64))) AS idx
+        FROM m
+    ), v0 AS (
+        SELECT doc_id, perturbed, n, idx,
+               CASE WHEN idx < n THEN
+                   (strpos('0123456789ABCDEF', substr(h, CAST(2*idx+1 AS INT), 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF', substr(h, CAST(2*idx+2 AS INT), 1)) - 1)
+               ELSE 0 END AS val
+        FROM bytes0
+    ), v AS (
+        SELECT doc_id, n, idx,
+               CASE WHEN perturbed AND n > 0 AND
+                   (CASE WHEN 13 % n = idx THEN 1 ELSE 0 END
+                    + CASE WHEN 110 % n = idx THEN 1 ELSE 0 END
+                    + CASE WHEN 207 % n = idx THEN 1 ELSE 0 END) % 2 = 1
+               THEN xor(val, 255) ELSE val END AS val,
+               greatest(n, 64) AS np
+        FROM v0
+    ), blocked AS (
+        SELECT doc_id, val,
+               CASE WHEN idx < (np % 64) * (np // 64 + 1)
+                    THEN idx // (np // 64 + 1)
+                    ELSE (np % 64)
+                         + (idx - (np % 64) * (np // 64 + 1)) // (np // 64)
+               END AS blk
+        FROM v
+    ), means AS (
+        SELECT doc_id, blk,
+               CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean
+        FROM blocked GROUP BY doc_id, blk
+    ), med AS (
+        SELECT doc_id,
+               (MAX(CASE WHEN rn = 32 THEN mean END)
+                + MAX(CASE WHEN rn = 33 THEN mean END))
+               / CAST(2 AS DOUBLE) AS median
+        FROM (
+            SELECT doc_id, mean,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY mean) AS rn
+            FROM means)
+        GROUP BY doc_id
+    ), sigs AS (
+        SELECT means.doc_id,
+               CAST(SUM(CASE WHEN mean > median THEN {bitval}
+                             ELSE 0 END) AS BIGINT) AS psig
+        FROM means JOIN med ON means.doc_id = med.doc_id
+        GROUP BY means.doc_id
+    ), chunks(chunk, mask) AS (VALUES {mask_vals}),
+    buckets AS (
+        SELECT s.doc_id, s.psig, c.chunk, s.psig & c.mask AS val
+        FROM sigs s CROSS JOIN chunks c
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.psig AS sig_a, b.psig AS sig_b
+        FROM buckets a JOIN buckets b
+          ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@register("media_near_dup_pairs", _media_near_dup_oracle)
 def q_media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate binary payloads by perceptual signature: 64-bit
     aHash-style signature per payload (operators/multimodal.py::
@@ -1848,13 +1951,13 @@ def q_media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding as SimHash (chunk-equality equi-join + bit_count verify — no
     quadratic scan). Output (id_a, id_b, hamming) at Hamming <= 6.
 
-    Rows-only by nature (DuckDB 1.0.0 cannot replay blockwise byte-mean
-    arithmetic over BLOBs); the signature arithmetic and a
-    planted-perturbation recall pin live in tests/test_multimodal.py.
-    This is the multimodal twin of simhash_near_pairs: the binary column
-    scan, the Arrow featurizer seam, and the banded join are exactly the
-    production image-dedup shape with the decode stub swapped for a real
-    pHash."""
+    HASH-GATED since the third round-5 session: the oracle replays the
+    whole pipeline — including the deterministic planting and the
+    np.array_split block boundaries — from the binary fixture via
+    per-byte hex parsing (see _media_near_dup_oracle); block-mean sums
+    are integer-exact in any order, so the Arrow featurizer and the SQL
+    replay agree bit-for-bit. The planted-perturbation recall pin stays
+    in tests/test_multimodal.py."""
     from datafusion_dedup_ai_spark.operators import multimodal as M
     from datafusion_dedup_ai_spark.operators.dedup import simhash_near_pairs
 
@@ -3646,7 +3749,11 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("bigint").alias("w_total"),
         F.count("*").cast("bigint").alias("n_neighbors"),
     )
-    # edge list with source total attached once (reused every iteration)
+    # Edge list with source total attached once — consumed by all 10
+    # iteration joins inside the single final action, so the cache is hit
+    # 9 times per run. Vocabulary-PAIR-bounded (Heaps' law), not corpus-
+    # bounded, so the session-lifetime pin is kilobytes-to-megabytes (the
+    # documented exception class; bench.py clears cache between runs).
     e = edges.join(
         nodes.select(F.col("word").alias("u"), "w_total"), "u"
     ).persist()

@@ -29,6 +29,11 @@ PROBES = [
     "minhash_near_dup_pairs",   # banded LSH join
     "chunk_dedup_stats",        # explode + keep-first window
     "ngram_lm_counts",          # explode + window counts
+    "bm25_retrieval_topk",      # broadcast query probe + score reduce
+    "kn_doc_scores",            # bigram join against the LM pair table
+    "length_bucket_batches",    # partitioned bucket-parallel global rank
+    "textrank_keywords",        # 10 iterative broadcast-join rounds
+    "positional_index",         # positional explode + posting reduce
 ]
 MAX_EXPONENT = 1.35  # fail the probe if wall time grows super-linearly
 
