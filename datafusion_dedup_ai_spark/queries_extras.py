@@ -4050,3 +4050,204 @@ def q_hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         "close",
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation detection + A/B experiment analysis
+# ---------------------------------------------------------------------------
+
+_COLLOC_DELTA = 5
+_COLLOC_MIN_COUNT = 10
+
+
+@register(
+    "collocation_scores",
+    f"""
+    WITH lm AS (
+        SELECT w1, w2, pair_count FROM (
+            SELECT string_split(b, ' ')[1] AS w1,
+                   string_split(b, ' ')[2] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS pair_count
+            FROM (
+                SELECT unnest([t[i] || ' ' || t[i+1]
+                               FOR i IN range(1, len(t))]) AS b
+                FROM (SELECT string_split(text, ' ') AS t FROM documents)
+            ) GROUP BY 1, 2
+        )
+    ), uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY tok
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+    )
+    SELECT lm.w1, lm.w2, lm.pair_count,
+           u1.c AS count_w1, u2.c AS count_w2,
+           CAST(lm.pair_count - {_COLLOC_DELTA} AS DOUBLE)
+               * CAST(n AS DOUBLE) / (CAST(u1.c AS DOUBLE) * u2.c)
+               AS phrase_score
+    FROM lm
+    JOIN uni u1 ON u1.tok = lm.w1
+    JOIN uni u2 ON u2.tok = lm.w2
+    CROSS JOIN tot
+    WHERE lm.pair_count >= {_COLLOC_MIN_COUNT}
+    """,
+)
+def q_collocation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase/collocation detection scores (the word2vec phrase pass,
+    Mikolov et al. 2013 §4): score(w1 w2) = (c12 - delta) * N /
+    (c1 * c2) — the discounted PMI ODDS form, deliberately without the
+    log wrap (log is libm, 1-ulp cross-engine; the odds form ranks
+    identically and hash-gates — same policy as rational idf). Pairs
+    above a score threshold become merge candidates ("New York" ->
+    "New_York") in tokenizer prep.
+
+    One bigram reduce + a broadcast-sized unigram join + a 1-row total:
+    integers until the final fixed-shape double expression."""
+    d = load_spread(spark, sf_dir, "documents")
+    lm = (
+        d.select(F.explode(T.word_bigrams(F.col("text"))).alias("b"))
+        .select(
+            F.split("b", " ").getItem(0).alias("w1"),
+            F.split("b", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("pair_count"))
+        .where(F.col("pair_count") >= _COLLOC_MIN_COUNT)
+    )
+    uni = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("count_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("count_w2"))
+    j = (
+        lm.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    score = (
+        (F.col("pair_count") - F.lit(_COLLOC_DELTA)).cast("double")
+        * F.col("n").cast("double")
+        / (F.col("count_w1").cast("double") * F.col("count_w2"))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "pair_count",
+        "count_w1",
+        "count_w2",
+        score.alias("phrase_score"),
+    )
+
+
+@register(
+    "ab_test_report",
+    """
+    WITH assign AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant
+        FROM (SELECT DISTINCT user_id FROM events)
+    ), conv AS (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id HAVING COUNT(*) >= 14
+    ), per_variant AS (
+        SELECT a.variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_converted
+        FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+        GROUP BY a.variant
+    ), wide AS (
+        SELECT
+            MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+            MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+            MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+            MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+        FROM per_variant
+    )
+    SELECT n0 AS n_control, c0 AS conv_control,
+           n1 AS n_treatment, c1 AS conv_treatment,
+           CAST(c0 AS DOUBLE) / n0 AS rate_control,
+           CAST(c1 AS DOUBLE) / n1 AS rate_treatment,
+           CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS lift,
+           CASE WHEN sqrt(
+                   (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (CAST(1 AS DOUBLE)
+                      - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)
+               ) = CAST(0 AS DOUBLE) THEN NULL
+               ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / sqrt(
+                   (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (CAST(1 AS DOUBLE)
+                      - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)
+               ) END AS z_score
+    FROM wide
+    """,
+)
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion test for an A/B experiment: users split by
+    id parity, conversion = made >= 1 purchase; reports per-variant
+    conversion rates, lift, and the pooled two-proportion z-score — the
+    experimentation-analytics readout. sqrt IS hash-gateable (IEEE 754
+    requires correctly-rounded sqrt, unlike libm's ln/exp), so the whole
+    statistic crosses engines bit-exactly given the fixed expression
+    tree. One distinct + one semi-ish join + a 2-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 2).cast("bigint").alias("variant")
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purch"))
+        .where(F.col("n_purch") >= 14)
+        .select("user_id", F.lit(1).alias("converted"))
+    )
+    per_variant = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+    )
+    wide = per_variant.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias(
+            "c0"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias(
+            "c1"
+        ),
+    )
+
+    def dbl(c):
+        return c.cast("double")
+
+    rate0 = dbl(F.col("c0")) / F.col("n0")
+    rate1 = dbl(F.col("c1")) / F.col("n1")
+    pooled = dbl(F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    z = F.when(se == F.lit(0.0), F.lit(None)).otherwise((rate1 - rate0) / se)
+    return wide.select(
+        F.col("n0").alias("n_control"),
+        F.col("c0").alias("conv_control"),
+        F.col("n1").alias("n_treatment"),
+        F.col("c1").alias("conv_treatment"),
+        rate0.alias("rate_control"),
+        rate1.alias("rate_treatment"),
+        (rate1 - rate0).alias("lift"),
+        z.alias("z_score"),
+    )

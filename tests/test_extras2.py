@@ -739,3 +739,52 @@ def test_ohlc_matches_python_reference(spark, sf_dir):
         assert r["close"] == rows[-1][2]
         assert r["high"] == max(vals)
         assert r["low"] == min(vals)
+
+
+def test_collocation_scores_match_python_reference(spark, sf_dir):
+    from datafusion_dedup_ai_spark.queries_extras import (
+        _COLLOC_DELTA,
+        _COLLOC_MIN_COUNT,
+        q_collocation_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    uni, bi = Counter(), Counter()
+    for doc in docs:
+        t = [x for x in (doc["text"] or "").split(" ")]
+        uni.update(x for x in t if x)
+        bi.update(zip(t, t[1:]))
+    n = sum(uni.values())
+    got = q_collocation_scores(spark, sf_dir).collect()
+    want = {k: v for k, v in bi.items() if v >= _COLLOC_MIN_COUNT}
+    assert len(got) == len(want)
+    for r in got:
+        key = (r["w1"], r["w2"])
+        assert r["pair_count"] == want[key]
+        ref = (want[key] - _COLLOC_DELTA) * n / (uni[r["w1"]] * uni[r["w2"]])
+        assert r["phrase_score"] == pytest.approx(ref, rel=1e-12)
+
+
+def test_ab_test_report_matches_python_reference(spark, sf_dir):
+    import math
+
+    from datafusion_dedup_ai_spark.queries_extras import q_ab_test_report
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    users = {r["user_id"] for r in ev}
+    purch = Counter(r["user_id"] for r in ev if r["event_type"] == "purchase")
+    conv = {u for u in users if purch[u] >= 14}
+    n0 = sum(1 for u in users if u % 2 == 0)
+    n1 = len(users) - n0
+    c0 = sum(1 for u in conv if u % 2 == 0)
+    c1 = len(conv) - c0
+    [r] = q_ab_test_report(spark, sf_dir).collect()
+    assert (r["n_control"], r["conv_control"]) == (n0, c0)
+    assert (r["n_treatment"], r["conv_treatment"]) == (n1, c1)
+    # the split must be non-degenerate or the z-score is vacuous
+    assert 0 < c0 + c1 < n0 + n1
+    p = (c0 + c1) / (n0 + n1)
+    se = math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+    assert r["z_score"] == pytest.approx(
+        (c1 / n1 - c0 / n0) / se, rel=1e-12
+    )
