@@ -3908,12 +3908,14 @@ def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     est_cols = []
-    probe = slots.withColumn(
-        "rn",
-        F.row_number()
-        .over(Window.orderBy(F.col("true_count").desc(), F.col("tok").asc()))
-        .cast("bigint"),
-    ).where(F.col("rn") <= _CMS_PROBE_TOPN)
+    # top-N probes via orderBy().limit() -> TakeOrderedAndProject
+    # (distributed per-partition heaps + driver merge), NOT a global
+    # ROW_NUMBER window — the single-task collapse at vocabulary scale.
+    # The total order (count desc, term asc) makes the selected SET
+    # identical to the oracle's ROW_NUMBER spec.
+    probe = slots.orderBy(
+        F.col("true_count").desc(), F.col("tok").asc()
+    ).limit(_CMS_PROBE_TOPN)
     for s in _CMS_SALTS:
         counters = (
             slots.groupBy(f"slot_{s}")
