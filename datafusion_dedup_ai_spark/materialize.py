@@ -57,6 +57,28 @@ def clusters_snapshot_path(sf_dir: str) -> str:
 _written: set[str] = set()
 
 
+def atomic_parquet_overwrite(df, path: str) -> None:
+    """Overwrite a fixture parquet directory WITHOUT a visible
+    empty/partial window. Spark's ``mode("overwrite")`` deletes the
+    destination before writing, so a CONCURRENT process re-materializing
+    the same deterministic fixture leaves any reader (a DuckDB oracle
+    glob mid-scan) a seconds-wide window of missing files — observed as
+    a spurious IO error in a parallel audit run. Write to a tmp sibling,
+    swap via two renames (microsecond window; a POSIX reader holding the
+    old files open keeps reading them), then reap the old tree."""
+    import shutil
+    import uuid
+
+    nonce = uuid.uuid4().hex[:8]
+    tmp = f"{path}.tmp-{nonce}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{nonce}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def materialize_clusters(spark, sf_dir: str) -> str:
     """Run the dedup pipeline at ``sf_dir`` and snapshot the full cluster
     report to parquet (idempotent per process). Returns the snapshot path."""
@@ -64,7 +86,7 @@ def materialize_clusters(spark, sf_dir: str) -> str:
     if path not in _written:
         from datafusion_dedup_ai_spark.queries_dedup import q_dedup_clusters
 
-        q_dedup_clusters(spark, sf_dir).write.mode("overwrite").parquet(path)
+        atomic_parquet_overwrite(q_dedup_clusters(spark, sf_dir), path)
         _written.add(path)
     return path
 

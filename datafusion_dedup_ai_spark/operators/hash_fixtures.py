@@ -72,7 +72,11 @@ def materialize_shingle_hashes(spark: SparkSession, sf_dir: str) -> str:
                 F.xxhash64("shingle").bitwiseAND(F.lit(_MASK32)).alias("x"),
             )
         )
-        rows.write.mode("overwrite").parquet(path)
+        from datafusion_dedup_ai_spark.materialize import (
+            atomic_parquet_overwrite,
+        )
+
+        atomic_parquet_overwrite(rows, path)
         _written.add(path)
     return path
 
@@ -90,7 +94,11 @@ def materialize_token_hashes(spark: SparkSession, sf_dir: str) -> str:
             .groupBy("doc_id", F.xxhash64("t").alias("h"))
             .agg(F.count("*").alias("cnt"))
         )
-        rows.write.mode("overwrite").parquet(path)
+        from datafusion_dedup_ai_spark.materialize import (
+            atomic_parquet_overwrite,
+        )
+
+        atomic_parquet_overwrite(rows, path)
         _written.add(path)
     return path
 
@@ -150,9 +158,13 @@ def materialize_lsh_buckets(spark: SparkSession, sf_dir: str) -> str:
         from datafusion_dedup_ai_spark.sources.readers import load_table
 
         emb = load_table(spark, sf_dir, "embeddings")
-        S.lsh_bucketize(emb, n_tables=16, n_bits=4, seed=7).write.mode(
-            "overwrite"
-        ).parquet(path)
+        from datafusion_dedup_ai_spark.materialize import (
+            atomic_parquet_overwrite,
+        )
+
+        atomic_parquet_overwrite(
+            S.lsh_bucketize(emb, n_tables=16, n_bits=4, seed=7), path
+        )
         _written.add(path)
     return path
 

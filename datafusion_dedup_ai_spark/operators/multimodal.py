@@ -91,9 +91,13 @@ def materialize_media(spark: SparkSession, sf_dir: str) -> str:
     if path not in _written:
         from datafusion_dedup_ai_spark.sources.readers import load_table
 
-        media_table(load_table(spark, sf_dir, "documents")).write.mode(
-            "overwrite"
-        ).parquet(path)
+        from datafusion_dedup_ai_spark.materialize import (
+            atomic_parquet_overwrite,
+        )
+
+        atomic_parquet_overwrite(
+            media_table(load_table(spark, sf_dir, "documents")), path
+        )
         _written.add(path)
     return path
 

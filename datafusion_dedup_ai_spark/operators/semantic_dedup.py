@@ -149,6 +149,10 @@ def materialize_semantic_cells(spark: SparkSession, sf_dir: str) -> str:
         from datafusion_dedup_ai_spark.sources.readers import load_table
 
         emb = load_table(spark, sf_dir, "embeddings")
-        assign_semantic_cells(emb).write.mode("overwrite").parquet(path)
+        from datafusion_dedup_ai_spark.materialize import (
+            atomic_parquet_overwrite,
+        )
+
+        atomic_parquet_overwrite(assign_semantic_cells(emb), path)
         _written.add(path)
     return path
