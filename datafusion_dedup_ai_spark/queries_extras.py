@@ -3760,10 +3760,13 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("word", F.lit(_TR_SCALE).cast("bigint").alias("r"))
     for _ in range(_TR_ITERS):
         contrib = (
-            # ranks are vocabulary-sized (Heaps-bounded) — broadcast them
-            # so each iteration costs ONE shuffle (the contribution
-            # reduce), not a join shuffle plus a reduce.
-            e.join(F.broadcast(ranks.withColumnRenamed("word", "u")), "u")
+            # Plain shuffle joins, NOT per-iteration broadcasts: a
+            # broadcast of the freshly-computed rank table forces a
+            # driver-side materialization barrier EVERY round, serializing
+            # the iteration pipeline — measured 7.5s vs 4.5s at sf0.1 for
+            # the 10 rounds (and at billion-edge scale the rank table is
+            # the thing you shuffle-partition anyway).
+            e.join(ranks.withColumnRenamed("word", "u"), "u")
             # `div` is EXACT BIGINT division — double `/` + cast would
             # round the quotient before truncating and diverge from the
             # oracle's `//` on ~1-ulp boundaries.
@@ -3776,7 +3779,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             nodes.select("word")
-            .join(F.broadcast(contrib), "word", "left")
+            .join(contrib, "word", "left")
             .select(
                 "word",
                 (
