@@ -4256,3 +4256,168 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rate1 - rate0).alias("lift"),
         z.alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion + grouped KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH exact_rk AS ({get_oracle("cosine_topk")}),
+    lsh_rk AS ({get_oracle("ann_lsh_topk_gated")}),
+    fused AS (
+        SELECT COALESCE(e.query_id, l.query_id) AS query_id,
+               COALESCE(e.neighbor_id, l.neighbor_id) AS neighbor_id,
+               e.rk AS rank_exact, l.rk AS rank_lsh,
+               COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + e.rk),
+                        CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + l.rk),
+                          CAST(0 AS DOUBLE)) AS rrf_score
+        FROM exact_rk e
+        FULL OUTER JOIN lsh_rk l
+          ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank_exact, rank_lsh, rrf_score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf_score DESC, neighbor_id ASC) AS BIGINT)
+               AS fused_rank
+    FROM fused
+    """
+
+
+@register("rrf_fused_ranking", _rrf_oracle)
+def q_rrf_fused_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    registered retrievers — the exact cosine top-k and the LSH ANN tier —
+    per query: score = sum over lists of 1/(60 + rank), absent-from-list
+    contributes 0. RRF is THE standard hybrid-retrieval combiner (BM25 +
+    vector search in production RAG stacks); here both fused lists rank
+    the same id space, and both are themselves hash-gated queries whose
+    oracles nest as CTEs, so the fusion is verified end-to-end. The score
+    is a fixed two-term sum of correctly-rounded divisions — bit-exact
+    cross-engine without the fixed-point gate.
+
+    Scale shape: two top-k tables (queries x k rows each) full-outer
+    join on (query, neighbor) — fused cardinality is bounded by the sum
+    of list sizes, never corpus-sized."""
+    from datafusion_dedup_ai_spark.queries_extras import q_ann_lsh_topk_gated
+    from datafusion_dedup_ai_spark.queries_similarity import q_cosine_topk
+
+    exact_rk = q_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rk").alias("rank_exact")
+    )
+    lsh_rk = q_ann_lsh_topk_gated(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rk").alias("rank_lsh")
+    )
+    fused = exact_rk.join(
+        lsh_rk, ["query_id", "neighbor_id"], "full_outer"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "rank_exact",
+        "rank_lsh",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_exact")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lsh")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    fused_rank = (
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("rrf_score").desc(), F.col("neighbor_id").asc()
+            )
+        )
+        .cast("bigint")
+    )
+    return fused.withColumn("fused_rank", fused_rank)
+
+
+_KMV_GROUP_K = 32
+
+
+def _kmv_by_type_oracle() -> str:
+    return f"""
+    WITH u AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+        SELECT event_type, user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                   AS hv
+        FROM u
+    ), r AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY hv, user_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM h
+    )
+    SELECT event_type,
+           CAST(MAX(n_exact) AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN MAX(n_exact) <= {_KMV_GROUP_K}
+                THEN CAST(MAX(n_exact) AS DOUBLE)
+                ELSE CAST({_KMV_GROUP_K} - 1 AS DOUBLE)
+                     / (CAST(MAX(CASE WHEN rn = {_KMV_GROUP_K} THEN hv END)
+                             AS DOUBLE)
+                        / CAST(281474976710656 AS DOUBLE))
+                END AS DOUBLE) AS est_distinct
+    FROM r GROUP BY event_type
+    """
+
+
+@register("kmv_distinct_by_type", _kmv_by_type_oracle)
+def q_kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED K-minimum-values distinct estimate: distinct users per
+    event type via per-group KMV-{k} over 48-bit md5-prefix hash
+    fractions — the "distinct per dimension" form a metrics pipeline
+    keeps one mergeable sketch per group for, where per-group exact
+    distinct would shuffle the full (group, user) universe every window.
+    Groups at-or-under K report exactly (the sketch holds the whole
+    set). est = (K-1)/frac(K-th smallest hash), one fixed expression
+    tree — hash-gates like the global KMV (same DECIMAL-promotion trap:
+    the divisor is cast to DOUBLE before dividing).
+
+    (The per-group rank window is vocabulary-of-groups x users wide here;
+    at scale the per-group k-min state comes from the mergeable
+    aggregate in operators/sketches.py — this query's point is the
+    cross-engine arithmetic gate on the grouped estimator.)"""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("event_type", "user_id").distinct()
+    hv = F.expr(
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 12), 16, 10)"
+        " as bigint)"
+    )
+    h = u.select("event_type", "user_id", hv.alias("hv"))
+    r = h.select(
+        "event_type",
+        "hv",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hv", "user_id"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_exact"),
+    )
+    kth = F.max(F.when(F.col("rn") == _KMV_GROUP_K, F.col("hv")))
+    est = F.when(
+        F.max("n_exact") <= _KMV_GROUP_K,
+        F.max("n_exact").cast("double"),
+    ).otherwise(
+        F.lit(float(_KMV_GROUP_K - 1))
+        / (kth.cast("double") / F.lit(281474976710656.0))
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n_exact").cast("bigint").alias("exact_distinct"),
+        est.cast("double").alias("est_distinct"),
+    )

@@ -788,3 +788,51 @@ def test_ab_test_report_matches_python_reference(spark, sf_dir):
     assert r["z_score"] == pytest.approx(
         (c1 / n1 - c0 / n0) / se, rel=1e-12
     )
+
+
+def test_rrf_fusion_properties(spark, sf_dir):
+    """RRF invariants: items on BOTH lists outscore equal-rank items on
+    one; scores match the closed form; fused ranks are dense per query."""
+    from datafusion_dedup_ai_spark.queries_extras import (
+        _RRF_K,
+        q_rrf_fused_ranking,
+    )
+
+    rows = q_rrf_fused_ranking(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        want = 0.0
+        if r["rank_exact"] is not None:
+            want += 1.0 / (_RRF_K + r["rank_exact"])
+        if r["rank_lsh"] is not None:
+            want += 1.0 / (_RRF_K + r["rank_lsh"])
+        assert r["rrf_score"] == pytest.approx(want, rel=1e-15)
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["fused_rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        both = [r for r in rs if r["rank_exact"] == 1 and r["rank_lsh"]]
+        one = [r for r in rs if r["rank_exact"] == 1 and r["rank_lsh"] is None]
+        for b in both:
+            for o in one:
+                assert b["rrf_score"] > o["rrf_score"]
+
+
+def test_kmv_by_type_error_and_exact_path(spark, sf_dir):
+    from datafusion_dedup_ai_spark.queries_extras import (
+        _KMV_GROUP_K,
+        q_kmv_distinct_by_type,
+    )
+
+    rows = q_kmv_distinct_by_type(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["exact_distinct"] <= _KMV_GROUP_K:
+            assert r["est_distinct"] == float(r["exact_distinct"])
+        else:
+            # KMV relative error ~ 1/sqrt(K-2): generous 3-sigma bound
+            rel = abs(r["est_distinct"] - r["exact_distinct"]) / r[
+                "exact_distinct"
+            ]
+            assert rel < 3.0 / (_KMV_GROUP_K - 2) ** 0.5, r
