@@ -4421,3 +4421,140 @@ def q_kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_exact").cast("bigint").alias("exact_distinct"),
         est.cast("double").alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B-cubed cluster evaluation — self-grading the dedup partition
+# ---------------------------------------------------------------------------
+
+
+def _b3_oracle() -> str:
+    from datafusion_dedup_ai_spark import materialize as MZ
+
+    return f"""
+    WITH snap AS (
+        SELECT row_order, base_name, cluster_id, cluster_size
+        FROM '{MZ.snapshot_glob()}'
+    ), labeled AS (
+        SELECT row_order, cluster_id, cluster_size,
+               CASE WHEN base_name = '' THEN '&' || row_order
+                    ELSE list_aggr(list_sort(string_split(base_name, ' ')),
+                                   'string_agg', '')
+               END AS gold_key
+        FROM snap
+    ), gsize AS (
+        SELECT gold_key, CAST(COUNT(*) AS BIGINT) AS g FROM labeled
+        GROUP BY gold_key
+    ), cells AS (
+        SELECT cluster_id, gold_key, CAST(COUNT(*) AS BIGINT) AS cell,
+               CAST(MAX(cluster_size) AS BIGINT) AS c
+        FROM labeled GROUP BY cluster_id, gold_key
+    ), fp AS (
+        SELECT cells.cell, cells.c, gsize.g,
+               CAST(FLOOR((CAST(cell AS DOUBLE) / c)
+                   * CAST({_FP_SCALE} AS DOUBLE)) AS BIGINT) AS p_fp,
+               CAST(FLOOR((CAST(cell AS DOUBLE) / g)
+                   * CAST({_FP_SCALE} AS DOUBLE)) AS BIGINT) AS r_fp
+        FROM cells JOIN gsize USING (gold_key)
+    ), agg AS (
+        SELECT CAST(SUM(cell) AS BIGINT) AS n_rows,
+               CAST(SUM(cell * p_fp) AS BIGINT) AS p_sum,
+               CAST(SUM(cell * r_fp) AS BIGINT) AS r_sum
+        FROM fp
+    ), tot AS (
+        SELECT n_rows,
+               (CAST(p_sum AS DOUBLE) / n_rows)
+                   / CAST({_FP_SCALE} AS DOUBLE) AS b3_precision,
+               (CAST(r_sum AS DOUBLE) / n_rows)
+                   / CAST({_FP_SCALE} AS DOUBLE) AS b3_recall
+        FROM agg
+    )
+    SELECT n_rows,
+           (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM snap)
+               AS n_system_clusters,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gsize) AS n_gold_clusters,
+           b3_precision, b3_recall,
+           CASE WHEN b3_precision + b3_recall = CAST(0 AS DOUBLE)
+                THEN CAST(0 AS DOUBLE)
+                ELSE CAST(2 AS DOUBLE) * b3_precision * b3_recall
+                     / (b3_precision + b3_recall) END AS b3_f1
+    FROM tot
+    """
+
+
+@register("cluster_b3_metrics", _b3_oracle)
+def q_cluster_b3_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed evaluation (Bagga & Baldwin 1998) of the fuzzy-dedup
+    partition against the token-sorted exact-key clustering as reference:
+    per item, precision = |C(i) n G(i)| / |C(i)| and recall = the same
+    over |G(i)|, averaged over items — THE standard entity-resolution
+    quality metric (pairwise F-measure overweights big clusters; B-cubed
+    does not). Empty-base singletons are their own gold cluster. The
+    system side reads the SAME materialized cluster snapshot the O-pack
+    oracles grade against, so this row is the engine scoring its own
+    headline feature.
+
+    Per-item fractions ride the 2^40 fixed-point gate (pack header) —
+    each (cluster, gold) CELL's p/r is floored once and weighted by the
+    cell size, so the global averages are order-independent integer
+    sums; F1 is a fixed expression over the two gated doubles. Scale
+    shape: two grouped reductions (cells, gold sizes) + a broadcast-size
+    join — never materializes pairs."""
+    from datafusion_dedup_ai_spark import materialize as MZ
+    from datafusion_dedup_ai_spark.functions.normalize import token_sort_key
+
+    snap = MZ.read_clusters_snapshot(spark, sf_dir).select(
+        "row_order", "base_name", "cluster_id", "cluster_size"
+    )
+    labeled = snap.select(
+        "cluster_id",
+        "cluster_size",
+        F.when(
+            F.col("base_name") == "",
+            F.concat(F.lit("&"), F.col("row_order").cast("string")),
+        )
+        .otherwise(token_sort_key(F.col("base_name")))
+        .alias("gold_key"),
+    )
+    gsize = labeled.groupBy("gold_key").agg(
+        F.count("*").cast("bigint").alias("g")
+    )
+    cells = labeled.groupBy("cluster_id", "gold_key").agg(
+        F.count("*").cast("bigint").alias("cell"),
+        F.max("cluster_size").cast("bigint").alias("c"),
+    )
+    scale = F.lit(float(_FP_SCALE))
+    fp = cells.join(gsize, "gold_key").select(
+        "cluster_id",
+        "cell",
+        F.floor((F.col("cell").cast("double") / F.col("c")) * scale)
+        .cast("bigint")
+        .alias("p_fp"),
+        F.floor((F.col("cell").cast("double") / F.col("g")) * scale)
+        .cast("bigint")
+        .alias("r_fp"),
+    )
+    agg = fp.agg(
+        F.sum("cell").cast("bigint").alias("n_rows"),
+        F.sum(F.col("cell") * F.col("p_fp")).cast("bigint").alias("p_sum"),
+        F.sum(F.col("cell") * F.col("r_fp")).cast("bigint").alias("r_sum"),
+        F.countDistinct("cluster_id").cast("bigint").alias(
+            "n_system_clusters"
+        ),
+    )
+    ngold = gsize.agg(
+        F.count("*").cast("bigint").alias("n_gold_clusters")
+    )
+    p = (F.col("p_sum").cast("double") / F.col("n_rows")) / scale
+    r = (F.col("r_sum").cast("double") / F.col("n_rows")) / scale
+    f1 = F.when(p + r == F.lit(0.0), F.lit(0.0)).otherwise(
+        F.lit(2.0) * p * r / (p + r)
+    )
+    return agg.crossJoin(F.broadcast(ngold)).select(
+        "n_rows",
+        "n_system_clusters",
+        "n_gold_clusters",
+        p.alias("b3_precision"),
+        r.alias("b3_recall"),
+        f1.alias("b3_f1"),
+    )

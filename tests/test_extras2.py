@@ -836,3 +836,36 @@ def test_kmv_by_type_error_and_exact_path(spark, sf_dir):
                 "exact_distinct"
             ]
             assert rel < 3.0 / (_KMV_GROUP_K - 2) ** 0.5, r
+
+
+def test_b3_metrics_match_python_reference(spark, sf_dir):
+    """Replay B-cubed from the same snapshot in pure Python (exact float
+    per-item averages) and require agreement within the fixed-point
+    resolution; structural bounds on the metric values."""
+    from datafusion_dedup_ai_spark import materialize as MZ
+    from datafusion_dedup_ai_spark.queries_extras import q_cluster_b3_metrics
+
+    snap = MZ.read_clusters_snapshot(spark, sf_dir).collect()
+    items = []
+    for row in snap:
+        base = row["base_name"] or ""
+        gold = (
+            f"&{row['row_order']}"
+            if base == ""
+            else "".join(sorted(base.split(" ")))
+        )
+        items.append((row["cluster_id"], gold))
+    csz = Counter(c for c, _ in items)
+    gsz = Counter(g for _, g in items)
+    cell = Counter(items)
+    p = sum(cell[(c, g)] / csz[c] for c, g in items) / len(items)
+    r = sum(cell[(c, g)] / gsz[g] for c, g in items) / len(items)
+    [got] = q_cluster_b3_metrics(spark, sf_dir).collect()
+    assert got["n_rows"] == len(items)
+    assert got["n_system_clusters"] == len(csz)
+    assert got["n_gold_clusters"] == len(gsz)
+    assert abs(got["b3_precision"] - p) < 1e-9
+    assert abs(got["b3_recall"] - r) < 1e-9
+    assert 0.0 < got["b3_f1"] <= 1.0
+    # fuzzy clusters refine-merge exact-key groups: recall must be 1.0
+    assert got["b3_recall"] == pytest.approx(1.0, abs=1e-9)
