@@ -4558,3 +4558,173 @@ def q_cluster_b3_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("b3_recall"),
         f1.alias("b3_f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-event ML feature engineering (lag + time-range rolling frames)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_event_features",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_us(ts) AS ts_us
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts_us,
+           LAG(value) OVER w AS prev_value,
+           ts_us - LAG(ts_us) OVER w AS micros_since_prev,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) - 1 AS BIGINT) AS events_prev_hour,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS errors_prev_day
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+def q_user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event ML feature table — the feature-engineering pass a churn/
+    fraud model trains on: previous value and inter-event gap (LAG over
+    the user timeline) plus TIME-RANGE rolling aggregates (events in the
+    trailing hour, errors in the trailing day) via RANGE frames over
+    epoch-micros — the frame type where the window extends by TIME, not
+    row count, so bursts and quiet periods aggregate correctly (a ROWS
+    frame would be wrong on irregular event spacing).
+
+    One Exchange on user_id serves the LAG window and both RANGE frames.
+    Note the RANGE windows order by ts alone (SQL requires a single
+    ordering expression for RANGE) — simultaneous events aggregate
+    identically on both engines because the frame boundary is a value
+    predicate, not a row position. All integer arithmetic; LAG(value) is
+    a picked double — hash-gates exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_hour = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    w_day = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    err = F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("micros_since_prev"),
+        (F.count("*").over(w_hour) - F.lit(1))
+        .cast("bigint")
+        .alias("events_prev_hour"),
+        F.sum(err).over(w_day).cast("bigint").alias("errors_prev_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroid drift (the data-drift monitor shape)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_drift_oracle() -> str:
+    return f"""
+    WITH c AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), comp AS (
+        SELECT label, vec_id,
+               unnest(range(0, len(v))) AS dim, v
+        FROM c
+    ), fp AS (
+        SELECT label, dim,
+               CAST(FLOOR(v[dim + 1] * CAST({_FP_SCALE} AS DOUBLE))
+                   AS BIGINT) AS comp_fp
+        FROM comp
+    ), lmean AS (
+        SELECT label, dim,
+               (CAST(SUM(comp_fp) AS DOUBLE) / COUNT(*))
+                   / CAST({_FP_SCALE} AS DOUBLE) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM fp GROUP BY label, dim
+    ), gmean AS (
+        SELECT dim,
+               (CAST(SUM(comp_fp) AS DOUBLE) / COUNT(*))
+                   / CAST({_FP_SCALE} AS DOUBLE) AS g
+        FROM fp GROUP BY dim
+    ), diffs AS (
+        SELECT l.label, l.n_vecs,
+               CAST(FLOOR(((l.m - g.g) * (l.m - g.g))
+                   * CAST({_FP_SCALE} AS DOUBLE)) AS BIGINT) AS sq_fp
+        FROM lmean l JOIN gmean g USING (dim)
+    )
+    SELECT label, CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+           sqrt((CAST(SUM(sq_fp) AS DOUBLE))
+                / CAST({_FP_SCALE} AS DOUBLE)) AS centroid_drift
+    FROM diffs GROUP BY label
+    """
+
+
+@register("label_centroid_drift", _centroid_drift_oracle)
+def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the Euclidean
+    distance from the label's embedding centroid to the global corpus
+    centroid — the statistic a production pipeline tracks per source/day
+    to catch upstream drift (encoder swap, topic shift, pipeline bug)
+    before it poisons training. Here grouped by the embeddings' label
+    column; the per-source/per-day form is the same plan with a
+    different key.
+
+    Two fixed-point passes keep the whole statistic order-independent:
+    vector components are floored to 2^40 BIGINTs before the per-group
+    per-dimension mean (integer sums commute; two fixed-order divisions
+    recover the double), and the squared centroid differences are
+    floored again before the cross-dimension sum, so the final sqrt (the
+    one IEEE-exact libm call) sees the identical double on both engines.
+    Scale: one explode bounded by n_vectors x dim, two grouped
+    reductions — the standard wide-agg shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.lit(float(_FP_SCALE))
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "label",
+        F.col("pos").alias("dim"),
+        F.floor(F.col("col") * scale).cast("bigint").alias("comp_fp"),
+    )
+    lmean = comp.groupBy("label", "dim").agg(
+        (
+            (F.sum("comp_fp").cast("double") / F.count("*")) / scale
+        ).alias("m"),
+        F.count("*").cast("bigint").alias("n_vecs"),
+    )
+    gmean = comp.groupBy("dim").agg(
+        ((F.sum("comp_fp").cast("double") / F.count("*")) / scale).alias("g")
+    )
+    diffs = lmean.join(gmean, "dim").select(
+        "label",
+        "n_vecs",
+        F.floor(((F.col("m") - F.col("g")) * (F.col("m") - F.col("g"))) * scale)
+        .cast("bigint")
+        .alias("sq_fp"),
+    )
+    return diffs.groupBy("label").agg(
+        F.max("n_vecs").cast("bigint").alias("n_vecs"),
+        F.sqrt(F.sum("sq_fp").cast("double") / scale).alias(
+            "centroid_drift"
+        ),
+    )

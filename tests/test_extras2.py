@@ -869,3 +869,70 @@ def test_b3_metrics_match_python_reference(spark, sf_dir):
     assert 0.0 < got["b3_f1"] <= 1.0
     # fuzzy clusters refine-merge exact-key groups: recall must be 1.0
     assert got["b3_recall"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_user_event_features_match_python_reference(spark, sf_dir):
+    from datetime import datetime, timedelta
+
+    from datafusion_dedup_ai_spark.queries_extras import q_user_event_features
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    epoch = datetime(1970, 1, 1)
+    per_user: dict[int, list] = {}
+    for r in ev:
+        us = (r["ts"].replace(tzinfo=None) - epoch) // timedelta(
+            microseconds=1
+        )
+        per_user.setdefault(r["user_id"], []).append(
+            (us, r["event_id"], r["event_type"], r["value"])
+        )
+    got = {r["event_id"]: r for r in q_user_event_features(spark, sf_dir).collect()}
+    assert len(got) == len(ev)
+    for uid, rows in per_user.items():
+        rows.sort()
+        for i, (us, eid, etype, val) in enumerate(rows):
+            r = got[eid]
+            if i == 0:
+                assert r["prev_value"] is None
+                assert r["micros_since_prev"] is None
+            else:
+                assert r["prev_value"] == rows[i - 1][3]
+                assert r["micros_since_prev"] == us - rows[i - 1][0]
+            in_hour = [
+                x for x in rows if us - 3_600_000_000 <= x[0] <= us
+            ]
+            assert r["events_prev_hour"] == len(in_hour) - 1
+            in_day = [
+                x
+                for x in rows
+                if us - 86_400_000_000 <= x[0] <= us and x[2] == "error"
+            ]
+            assert r["errors_prev_day"] == len(in_day)
+
+
+def test_label_centroid_drift_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from datafusion_dedup_ai_spark.queries_extras import (
+        _FP_SCALE,
+        q_label_centroid_drift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    allv = np.stack([v for vs in by_label.values() for v in vs])
+    g = allv.mean(axis=0)
+    got = {r["label"]: r for r in q_label_centroid_drift(spark, sf_dir).collect()}
+    assert set(got) == set(by_label)
+    for label, vs in by_label.items():
+        m = np.stack(vs).mean(axis=0)
+        want = float(np.sqrt(((m - g) ** 2).sum()))
+        r = got[label]
+        assert r["n_vecs"] == len(vs)
+        # fixed-point drift bound: dims * (quantization of mean + square)
+        assert abs(r["centroid_drift"] - want) < 64 * 4.0 / _FP_SCALE + 1e-9
+        assert r["centroid_drift"] >= 0.0
