@@ -4728,3 +4728,76 @@ def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_drift"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy report (signature agreement vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_estimate_oracle() -> str:
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+    from datafusion_dedup_ai_spark.queries_dedup_ext import (
+        _minhash_mins_with,
+        _NUM_HASHES,
+    )
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    g = HF.shingle_hashes_glob()
+    return f"""
+    WITH {_minhash_mins_with(g)},
+    pairs AS ({get_oracle("ngram_jaccard_pairs")}),
+    agree AS (
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               CAST(SUM(CASE WHEN ma.hv = mb.hv THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_agree
+        FROM pairs p
+        JOIN mins ma ON ma.doc_id = p.doc_a
+        JOIN mins mb ON mb.doc_id = p.doc_b AND mb.i = ma.i
+        GROUP BY p.doc_a, p.doc_b, p.jaccard
+    )
+    SELECT doc_a, doc_b, jaccard, n_agree,
+           CAST(n_agree AS DOUBLE) / {_NUM_HASHES} AS jaccard_est,
+           abs(CAST(n_agree AS DOUBLE) / {_NUM_HASHES} - jaccard)
+               AS abs_error
+    FROM agree
+    """
+
+
+@register("minhash_estimate_report", _minhash_estimate_oracle)
+def q_minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-grading MinHash fidelity: for every EXACT near-dup pair, the
+    signature-agreement Jaccard estimate (matching positions / 64 —
+    E[agreement] = J is the MinHash theorem) against the true Jaccard,
+    with the absolute error. The operator a pipeline owner reads before
+    trusting signature-only dedup decisions (e.g. the persisted-index
+    match path, which never rescans text). Pure integers until two
+    divisions — hash-gated through the xxhash64 shingle fixture like the
+    rest of the MinHash pack; the estimator's per-pair error is the
+    VALUE under test, visible to the driver."""
+    from datafusion_dedup_ai_spark.operators import dedup as D
+    from datafusion_dedup_ai_spark.queries_dedup_ext import _shingled_docs
+    from datafusion_dedup_ai_spark.queries_text import q_ngram_jaccard_pairs
+
+    sigs = D.minhash_signatures(_shingled_docs(spark, sf_dir))
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    n_agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"
+    ).cast("bigint")
+    est = F.col("n_agree").cast("double") / F.lit(64)
+    return (
+        j.withColumn("n_agree", n_agree)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "n_agree",
+            est.alias("jaccard_est"),
+            F.abs(est - F.col("jaccard")).alias("abs_error"),
+        )
+    )

@@ -936,3 +936,24 @@ def test_label_centroid_drift_matches_numpy(spark, sf_dir):
         # fixed-point drift bound: dims * (quantization of mean + square)
         assert abs(r["centroid_drift"] - want) < 64 * 4.0 / _FP_SCALE + 1e-9
         assert r["centroid_drift"] >= 0.0
+
+
+def test_minhash_estimate_unbiasedness(spark, sf_dir):
+    """Per-pair signature agreement must be a plausible estimate of the
+    true Jaccard: mean absolute error across pairs well inside the
+    binomial standard error at n=64, and estimates bounded in [0, 1]."""
+    from datafusion_dedup_ai_spark.queries_extras import (
+        q_minhash_estimate_report,
+    )
+
+    rows = q_minhash_estimate_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        assert r["abs_error"] == pytest.approx(
+            abs(r["jaccard_est"] - r["jaccard"]), abs=0
+        )
+    mae = sum(r["abs_error"] for r in rows) / len(rows)
+    # sd of the estimator at J=0.5 is sqrt(0.25/64) ~= 0.0625; the planted
+    # pairs are mostly near J=1 where variance shrinks further
+    assert mae < 0.125, mae
