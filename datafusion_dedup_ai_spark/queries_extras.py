@@ -4801,3 +4801,115 @@ def q_minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("jaccard")).alias("abs_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental cluster maintenance (batch edges into existing state)
+# ---------------------------------------------------------------------------
+
+
+def _incremental_cluster_oracle() -> str:
+    # The oracle IS the full recompute (text_dedup_clusters' SQL verbatim):
+    # the hash gate therefore PROVES the incremental path's partition and
+    # labels equal a from-scratch connected-components run, bit for bit.
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return get_oracle("text_dedup_clusters")
+
+
+@register("incremental_cluster_update", _incremental_cluster_oracle)
+def q_incremental_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance — the state-merge step between the
+    persisted near-dup indexes and the cluster outputs: given the
+    corpus's EXISTING cluster assignment (components over corpus-only
+    edges) and a new batch's delta edges (batch-batch and batch-corpus,
+    the pairs an index match emits), produce the updated assignment
+    WITHOUT re-running components on the corpus graph. Corpus components
+    contract to supernodes (their existing min-id label), delta edges
+    relabel onto supernodes, components run on that contracted graph
+    (delta-sized, not corpus-sized), and labels map back.
+
+    Correctness is the definition of contraction: a supernode's label is
+    its component's min doc_id, so min-label propagation over the
+    contracted graph yields the min doc_id of each MERGED component —
+    exactly the from-scratch answer. The oracle runs the FULL recompute
+    (text_dedup_clusters' SQL verbatim), so the hash gate is an
+    end-to-end machine proof of incremental == full on this corpus.
+
+    Scale shape: the corpus-side work is one pass to build base labels
+    (amortized: in production they're the persisted state, not
+    recomputed) plus a map-side relabel of delta edges; the component
+    iteration touches only the contracted delta graph. Batch split is
+    the established doc_id%10 convention."""
+    from datafusion_dedup_ai_spark.operators.clustering import (
+        cluster_label_propagation,
+    )
+    from datafusion_dedup_ai_spark.queries_extras import NEAR_DUP_JACCARD
+
+    d = load_spread(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
+    )
+    pairs = D.minhash_near_dup_pairs(
+        sh, threshold=NEAR_DUP_JACCARD
+    ).select("id_a", "id_b")
+
+    def in_batch(c):
+        return F.col(c) % 10 >= 8
+
+    corpus_pairs = pairs.where(~in_batch("id_a") & ~in_batch("id_b"))
+    delta_pairs = pairs.where(in_batch("id_a") | in_batch("id_b"))
+
+    # existing state: components over corpus-only edges, min-id labels
+    base = cluster_label_propagation(
+        corpus_pairs.select(
+            F.col("id_a").alias("row_order_a"),
+            F.col("id_b").alias("row_order_b"),
+        )
+    ).select(F.col("row_order").alias("doc_id"), "cluster_id")
+    universe = d.select("doc_id")
+    base_full = (
+        universe.where(~in_batch("doc_id"))
+        .join(base, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("supernode"),
+        )
+    )
+    # batch docs are their own supernode; corpus docs contract to labels
+    sup_map = base_full.unionByName(
+        universe.where(in_batch("doc_id")).select(
+            "doc_id", F.col("doc_id").alias("supernode")
+        )
+    )
+    ma = sup_map.select(
+        F.col("doc_id").alias("id_a"), F.col("supernode").alias("sup_a")
+    )
+    mb = sup_map.select(
+        F.col("doc_id").alias("id_b"), F.col("supernode").alias("sup_b")
+    )
+    contracted = (
+        delta_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .where(F.col("sup_a") != F.col("sup_b"))
+        .select(
+            F.col("sup_a").alias("row_order_a"),
+            F.col("sup_b").alias("row_order_b"),
+        )
+    )
+    merged = cluster_label_propagation(contracted).select(
+        F.col("row_order").alias("supernode"), F.col("cluster_id").alias("comp")
+    )
+    full = sup_map.join(merged, "supernode", "left").select(
+        "doc_id",
+        F.coalesce("comp", F.col("supernode")).alias("cluster_id"),
+    )
+    sizes = full.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"), F.min("doc_id").alias("rep_id")
+    )
+    return full.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("rep_id")).alias("is_representative"),
+    )

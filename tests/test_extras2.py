@@ -957,3 +957,23 @@ def test_minhash_estimate_unbiasedness(spark, sf_dir):
     # sd of the estimator at J=0.5 is sqrt(0.25/64) ~= 0.0625; the planted
     # pairs are mostly near J=1 where variance shrinks further
     assert mae < 0.125, mae
+
+
+def test_incremental_cluster_update_equals_full_recompute(spark, sf_dir):
+    """The incremental merge must reproduce text_dedup_clusters (the full
+    recompute) row for row — the same equivalence the hash gate proves
+    cross-engine, pinned here Spark-vs-Spark for fast regression."""
+    from datafusion_dedup_ai_spark.queries_extras import (
+        q_incremental_cluster_update,
+        q_text_dedup_clusters,
+    )
+
+    inc = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_representative"])
+        for r in q_incremental_cluster_update(spark, sf_dir).collect()
+    }
+    full = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_representative"])
+        for r in q_text_dedup_clusters(spark, sf_dir).collect()
+    }
+    assert inc == full
