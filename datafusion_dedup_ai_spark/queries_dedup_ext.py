@@ -324,9 +324,13 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 # Deterministic corpus/batch split of the documents table: 80% existing
-# corpus, 20% incoming batch.
-_CORPUS_PRED = "doc_id % 10 < 8"
-_BATCH_PRED = "doc_id % 10 >= 8"
+# corpus, 20% incoming batch. Defined in the registration-free
+# shared_params module (extras oracles embed these; see its docstring),
+# re-exported here so the historical import path keeps working.
+from datafusion_dedup_ai_spark.shared_params import (  # noqa: E402,F401
+    _BATCH_PRED,
+    _CORPUS_PRED,
+)
 
 
 @register(

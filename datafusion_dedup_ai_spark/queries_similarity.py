@@ -15,24 +15,16 @@ from datafusion_dedup_ai_spark.operators import similarity_search as S
 from datafusion_dedup_ai_spark.registry import register
 from datafusion_dedup_ai_spark.sources.readers import load_spread, load_table
 
-N_QUERIES = 5
-TOP_K = 5
-NEAR_DUP_THRESHOLD = 0.35
-
-# DuckDB mirror of operators.similarity_search.dot_fold on double-widened
-# lists: left fold over elementwise products, same order as Spark aggregate.
-_SQL_DOT = (
-    "list_reduce(list_concat([0.0], "
-    "[{a}[i] * {b}[i] FOR i IN range(1, len({a}) + 1)]), "
-    "(acc, x) -> acc + x)"
+# Shared parameters live in the registration-free shared_params module
+# (extras oracles embed them; see its docstring) — re-exported here so the
+# historical import path keeps working.
+from datafusion_dedup_ai_spark.shared_params import (  # noqa: F401
+    _SQL_DOT,
+    N_QUERIES,
+    NEAR_DUP_THRESHOLD,
+    TOP_K,
+    _sql_cosine,
 )
-
-
-def _sql_cosine(a: str, b: str) -> str:
-    dot_ab = _SQL_DOT.format(a=a, b=b)
-    dot_aa = _SQL_DOT.format(a=a, b=a)
-    dot_bb = _SQL_DOT.format(a=b, b=b)
-    return f"({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})))"
 
 
 @register(

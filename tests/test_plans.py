@@ -202,6 +202,31 @@ def test_bm25_broadcasts_query_workload(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_single_corpus_tokenization(spark, sf_dir):
+    """Round-5 verdict #1: the corpus explode+scan subtree executed twice
+    (tf and dl were independent aggregations over the raw token stream).
+    dl is now derived from the persisted tf, so NO Generate (explode) may
+    be reachable in the executed plan without crossing an
+    InMemoryTableScan boundary — the tokenize pass runs only while
+    populating the cache, exactly once."""
+    df = entry_mod.queries()["bm25_retrieval_topk"](spark, sf_dir)
+    root = df._jdf.queryExecution().executedPlan()
+
+    def count_uncached_generates(node) -> int:
+        name = node.getClass().getSimpleName()
+        if name.startswith("InMemoryTableScan"):
+            return 0
+        n = 1 if name.startswith("Generate") else 0
+        children = node.children()
+        for i in range(children.size()):
+            n += count_uncached_generates(children.apply(i))
+        return n
+
+    assert count_uncached_generates(root) == 0
+    # and the explode must still exist somewhere (inside the cached relation)
+    assert "Generate" in root.toString()
+
+
 def test_fuzzy_contamination_broadcasts_benchmark_bands(spark, sf_dir):
     """The benchmark side of the cross-set LSH probe is eval-suite-sized;
     it must broadcast so the corpus side stays a map-side probe."""
