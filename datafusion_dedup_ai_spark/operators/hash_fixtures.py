@@ -104,14 +104,19 @@ def materialize_token_hashes(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _glob(materializer, path_fn) -> str:
-    """Oracle-resolution-time fixture path: if an active SparkSession exists,
-    (re)materialize the fixture HERE so the oracle is valid regardless of
-    whether the driver resolves oracles before or after running the Spark
-    query (the queries_multimodal._media_glob contract)."""
-    from datafusion_dedup_ai_spark.materialize import oracle_sf_dir
+    """Oracle-resolution-time fixture path: (re)materialize the fixture HERE
+    so the oracle is valid regardless of whether the driver resolves oracles
+    before or after running the Spark query (the queries_multimodal
+    ._media_glob contract). Standalone (no-active-session) consumers get a
+    session built for them when the fixture is missing on disk — see
+    materialize.ensure_fixture_session."""
+    from datafusion_dedup_ai_spark.materialize import (
+        ensure_fixture_session,
+        oracle_sf_dir,
+    )
 
     sf_dir = oracle_sf_dir()
-    spark = SparkSession.getActiveSession()
+    spark = ensure_fixture_session(path_fn(sf_dir))
     if spark is not None:
         materializer(spark, sf_dir)
     return os.path.join(path_fn(sf_dir), "*.parquet")

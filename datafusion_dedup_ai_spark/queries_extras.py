@@ -584,16 +584,19 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_cells_glob() -> str:
     """DuckDB-side path to the (vec_id, cell) assignment fixture, resolved
-    lazily and (re)materialized when an active SparkSession exists — same
-    contract as materialize.snapshot_glob / queries_multimodal._media_glob."""
+    lazily and (re)materialized here — same contract as
+    materialize.snapshot_glob / queries_multimodal._media_glob, including
+    the standalone-consumer session fallback
+    (materialize.ensure_fixture_session)."""
     import os
 
-    from pyspark.sql import SparkSession
-
-    from datafusion_dedup_ai_spark.materialize import oracle_sf_dir
+    from datafusion_dedup_ai_spark.materialize import (
+        ensure_fixture_session,
+        oracle_sf_dir,
+    )
     from datafusion_dedup_ai_spark.operators import semantic_dedup as SD
 
-    spark = SparkSession.getActiveSession()
+    spark = ensure_fixture_session(SD.semantic_cells_path(oracle_sf_dir()))
     if spark is not None:
         SD.materialize_semantic_cells(spark, oracle_sf_dir())
     return os.path.join(SD.semantic_cells_path(oracle_sf_dir()), "*.parquet")

@@ -24,14 +24,16 @@ from datafusion_dedup_ai_spark.registry import register
 def _media_glob() -> str:
     """DuckDB-side path to the fixture the driver's compare targets.
 
-    Resolved lazily (the oracle registrations are callables) and, when an
-    active SparkSession exists, the fixture is (re)materialized HERE — so
-    the oracle is valid regardless of whether the driver resolves oracles
-    before or after running the Spark query, and a stale fixture left by an
-    earlier process is refreshed before either side reads it."""
-    from pyspark.sql import SparkSession
+    Resolved lazily (the oracle registrations are callables); the fixture is
+    (re)materialized HERE — so the oracle is valid regardless of whether the
+    driver resolves oracles before or after running the Spark query, and a
+    stale fixture left by an earlier process is refreshed before either side
+    reads it. Standalone (no-active-session) consumers get a session built
+    for them when the fixture is missing on disk — see
+    materialize.ensure_fixture_session."""
+    from datafusion_dedup_ai_spark.materialize import ensure_fixture_session
 
-    spark = SparkSession.getActiveSession()
+    spark = ensure_fixture_session(M.media_fixture_path(oracle_sf_dir()))
     if spark is not None:
         M.materialize_media(spark, oracle_sf_dir())
     return os.path.join(M.media_fixture_path(oracle_sf_dir()), "*.parquet")
