@@ -57,6 +57,11 @@ HEADLINE = [
     "event_funnel",
     "textrank_keywords",
     "fuzzy_benchmark_contamination",
+    # round-6 additions (verdict #10): the flagship round-5 work gets
+    # tracked wall-times — the 5-tier ANN self-grading report and the
+    # incremental cluster-maintenance capstone.
+    "ann_recall_report",
+    "incremental_cluster_update",
 ]
 
 

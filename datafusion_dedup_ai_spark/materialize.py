@@ -64,8 +64,14 @@ def atomic_parquet_overwrite(df, path: str) -> None:
     the same deterministic fixture leaves any reader (a DuckDB oracle
     glob mid-scan) a seconds-wide window of missing files — observed as
     a spurious IO error in a parallel audit run. Write to a tmp sibling,
-    swap via two renames (microsecond window; a POSIX reader holding the
-    old files open keeps reading them), then reap the old tree."""
+    swap via two renames, then reap the old tree. The swap narrows but
+    does not eliminate the race: between the renames the path is briefly
+    absent, so a concurrent DuckDB glob STARTING inside that (normally
+    microsecond, unless the process is preempted between syscalls) window
+    still errors — a reader already holding the old files open keeps
+    reading them. Acceptable for deterministic-fixture re-materialization;
+    if the spurious error ever recurs in parallel audit runs, add a brief
+    retry in the oracle readers."""
     import shutil
     import uuid
 

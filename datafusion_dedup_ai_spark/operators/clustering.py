@@ -535,7 +535,7 @@ def cluster_components_star(edges: DataFrame, max_iters: int = 60) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iters):
@@ -564,13 +564,23 @@ def cluster_components_star(edges: DataFrame, max_iters: int = 60) -> DataFrame:
             .union(sm.select("u", F.col("nmin").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # non-eager: the convergence action below materializes the
+            # checkpoint, so each round launches exactly ONE job (eager
+            # checkpoints + a separate count+count+subtract check used to
+            # make it four — for the mega-block sizes this backend targets,
+            # job-launch overhead per round roughly halved)
+            .localCheckpoint(eager=False)
         )
-        if out.count() == e.count() and out.subtract(e).limit(1).count() == 0:
-            e = out
+        # Exact set fixed point in a single action: the symmetric
+        # difference is empty iff out == e (both sides are canonical
+        # u>v distinct edge sets). limit(1) stops at the first witness.
+        changed = (
+            out.subtract(e).union(e.subtract(out)).limit(1).count()
+        )
+        e = out
+        if changed == 0:
             converged = True
             break
-        e = out
     if not converged:
         raise RuntimeError(
             f"star contraction did not converge in {max_iters} rounds"

@@ -3410,6 +3410,12 @@ def q_fuzzy_benchmark_contamination(
     )
     from pyspark import StorageLevel
 
+    # Documented-exception persist (the textrank-edge-cache class): the
+    # shingled frame feeds BOTH the signature pass and the exact-Jaccard
+    # verification join inside one action, and a query function returning a
+    # lazy DataFrame has no post-action hook to unpersist from. Released by
+    # bench.py's per-run cache clear / session teardown; a long-lived
+    # service would wrap the action and unpersist in a finally.
     shingled = _shingled_docs(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -4250,7 +4256,11 @@ def q_collocation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample proportion test for an A/B experiment: users split by
-    id parity, conversion = made >= 1 purchase; reports per-variant
+    id parity, conversion = made >= 14 purchases (fixture-tuned: the
+    synthetic events table gives every user some purchases, so a >= 1
+    cut would convert 100% of both variants and zero out the statistic;
+    14 lands both variants' rates strictly inside (0, 1)); reports
+    per-variant
     conversion rates, lift, and the pooled two-proportion z-score — the
     experimentation-analytics readout. sqrt IS hash-gateable (IEEE 754
     requires correctly-rounded sqrt, unlike libm's ln/exp), so the whole

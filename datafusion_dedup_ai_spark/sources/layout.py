@@ -176,11 +176,15 @@ def compact_in_place(
     data_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
-    """Compact a parquet directory IN PLACE with a crash-safe temp-and-swap:
+    """Compact a parquet directory IN PLACE with a temp-and-swap:
     the rewrite lands in ``<dir>.compact``, then two renames swap it live.
-    A crash before the swap leaves the live data untouched; between the
-    renames, the old data survives under ``<dir>.old``. Returns the output
-    file count. This is what the persisted-index compactors
+    A crash before the first rename leaves the live data untouched. Between
+    the two renames there is a brief window with no live directory: a crash
+    THERE leaves the data stranded in ``<dir>.old`` — this function restores
+    it on any failure it can catch, and the streaming sinks' reconcile pass
+    self-heals on restart; a direct (non-streaming) caller killed at exactly
+    that point recovers manually by renaming ``<dir>.old`` back. Returns the
+    output file count. This is what the persisted-index compactors
     (minhash_index/vector_index) delegate to after streaming appends decay
     into thousands of small files."""
     import shutil
@@ -191,6 +195,15 @@ def compact_in_place(
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(data_dir, old)
-    os.rename(tmp, data_dir)
-    shutil.rmtree(old)
+    try:
+        os.rename(tmp, data_dir)
+    except OSError:
+        # restore the live directory before propagating — the no-live-dir
+        # window must not outlive this call
+        os.rename(old, data_dir)
+        raise
+    # post-swap reap is best-effort: the swap already succeeded, so a
+    # cleanup failure must not fail the compaction (stale .old is reclaimed
+    # by the next run's pre-swap rmtree)
+    shutil.rmtree(old, ignore_errors=True)
     return len(parquet_files(data_dir))

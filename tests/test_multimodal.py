@@ -117,6 +117,32 @@ def test_decode_stub_contract():
         M.decode_media(b"\x00", "image")
 
 
+def test_pluggable_decoder_drives_featurizer(media):
+    """The decode_fn seam end-to-end through the REAL Arrow featurizer path:
+    a fake decoder that 'decodes' a payload to its first 8 bytes repeated 3x
+    (deterministic, codec-free) must change n_bytes/histogram to reflect the
+    DECODED samples — proving codec-present environments plug in without
+    editing the module."""
+
+    def fake_decode(payload: bytes, media_type: str):
+        import numpy as np
+
+        head = np.frombuffer(payload[:8], dtype=np.uint8)
+        return np.tile(head, 3)
+
+    rows = {
+        r["doc_id"]: r
+        for r in M.extract_features(media.limit(5), decode_fn=fake_decode).collect()
+    }
+    raw = {r["doc_id"]: r for r in M.extract_features(media.limit(5)).collect()}
+    assert rows, "featurizer yielded no rows"
+    for doc_id, r in rows.items():
+        assert r["n_bytes"] == 24  # 8 head bytes x 3 — decoded, not raw, length
+        assert sum(r["byte_histogram"]) == 24
+        assert all(h % 3 == 0 for h in r["byte_histogram"])  # tiled samples
+        assert raw[doc_id]["n_bytes"] > 24  # raw path unaffected / distinct
+
+
 def test_enricher_shape(spark):
     from datafusion_dedup_ai_spark.config import DedupConfig
     from datafusion_dedup_ai_spark.enrich import StubEnricher
