@@ -474,6 +474,90 @@ def q_streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select("doc_id", F.md5("text").alias("text_md5"))
 
 
+_STREAM_SLIDING_DONE: set[str] = set()
+
+# Sliding-window params (streaming/windows.py defaults): length 2h, slide
+# 30min => every event lands in exactly length/slide = 4 epoch-aligned
+# windows. The oracle replays that expansion in pure SQL — no fixture.
+_SLIDE_US = 1_800_000_000
+_SLIDING_LEN_US = 7_200_000_000
+
+
+@register(
+    "streaming_sliding_counts",
+    f"""
+    WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+    w AS (
+        SELECT (t // {_SLIDE_US}) * {_SLIDE_US}
+                   - CAST(i AS BIGINT) * {_SLIDE_US} AS win_start_us,
+               event_type
+        FROM e, (SELECT unnest([0, 1, 2, 3]) AS i)
+    )
+    SELECT win_start_us,
+           win_start_us + {_SLIDING_LEN_US} AS win_end_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window streaming aggregation (streaming/windows.py
+    streaming_sliding_counts: 2h windows sliding every 30min, 2h watermark)
+    driven to completion over the deterministic event-time-ordered replay of
+    `events` — the smoothed rolling-count shape — surfaced as the final
+    complete-mode result. Round-5 verdict #8: previously the batch-
+    convergence pin lived only in tests/test_streaming.py with no registry
+    visibility.
+
+    HASH-GATED (upgraded from the rows-only ask): with the event-time-
+    ordered replay the watermark always trails arrivals, so nothing is
+    dropped and the converged streaming state equals the batch sliding
+    aggregation — which the oracle replays in pure SQL as the epoch-aligned
+    window expansion (each event joins its 4 containing window starts:
+    floor(t/slide)*slide - i*slide for i in 0..3). Same convergence
+    argument tests/test_streaming.py pins against the batch DataFrame.
+
+    Scale shape: watermark-bounded state, (windows open per key) =
+    length/slide x the tumbling case — slide choice IS the state budget at
+    100 TB/day rates. The run-once replay caches its result parquet per
+    (process, sf); the registered query itself is a plain scan."""
+    import os
+    import shutil
+
+    from datafusion_dedup_ai_spark.materialize import _REPO_ROOT, sf_cache_key
+    from datafusion_dedup_ai_spark.streaming import windows as W
+
+    root = os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "stream_sliding"
+    )
+    out_dir = os.path.join(root, "result")
+    if root not in _STREAM_SLIDING_DONE:
+        shutil.rmtree(root, ignore_errors=True)
+        stream = W.replay_events_as_stream(
+            spark, sf_dir, os.path.join(root, "stage")
+        )
+        q = W.run_stream_to_memory(
+            W.streaming_sliding_counts(stream),
+            "sliding_registry",
+            output_mode="complete",
+        )
+        try:
+            q.processAllAvailable()
+            spark.table("sliding_registry").write.mode("overwrite").parquet(
+                out_dir
+            )
+        finally:
+            q.stop()
+        _STREAM_SLIDING_DONE.add(root)
+    return spark.read.parquet(out_dir).select(
+        "win_start_us",
+        "win_end_us",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style document quality rule pack (Rae et al. 2021, "Scaling Language
 # Models: Methods, Analysis & Insights from Training Gopher", arXiv:2112.11446
@@ -1561,20 +1645,23 @@ from datafusion_dedup_ai_spark.shared_params import (  # noqa: E402
 )
 
 
-@register(
-    "bloom_incremental_new_docs",
-    f"""
+def _bloom_oracle(hex_chars: int) -> str:
+    """Width-parameterized position-set replay of the packed filter: the
+    slice width changes only the substr length on both engines."""
+    return f"""
     WITH corpus AS (
         SELECT DISTINCT md5(text) AS h FROM documents WHERE {_CORPUS_PRED}
     ), slots AS (
         SELECT unnest([0, 1, 2]) AS slot
     ), cpos AS (
-        SELECT DISTINCT slot, substr(h, 1 + 4 * slot, 4) AS pos
+        SELECT DISTINCT slot,
+               substr(h, 1 + {hex_chars} * slot, {hex_chars}) AS pos
         FROM corpus CROSS JOIN slots
     ), batch AS (
         SELECT doc_id, md5(text) AS h FROM documents WHERE {_BATCH_PRED}
     ), bpos AS (
-        SELECT doc_id, h, slot, substr(h, 1 + 4 * slot, 4) AS pos
+        SELECT doc_id, h, slot,
+               substr(h, 1 + {hex_chars} * slot, {hex_chars}) AS pos
         FROM batch CROSS JOIN slots
     ), probe AS (
         SELECT b.doc_id, b.h, BOOL_AND(c.pos IS NOT NULL) AS bloom_maybe
@@ -1591,24 +1678,16 @@ from datafusion_dedup_ai_spark.shared_params import (  # noqa: E402
     SELECT doc_id, content_hash, bloom_maybe, in_corpus,
            (NOT in_corpus AND rn = 1) AS is_new
     FROM flags
-    """,
-)
-def q_bloom_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-prefiltered incremental exact dedup: every incoming-batch doc
-    tagged (bloom_maybe, in_corpus, is_new), where the corpus-sized exact
-    verify runs ONLY for bloom-maybe docs.
+    """
 
-    Spark side builds a REAL packed Bloom filter: corpus md5 slices ->
-    (slot, word=pos div 64, bit=pos mod 64) -> bit_or(1L << bit) groupBy
-    (slot, word) — at most 3 x 1024 longs (24 KiB) whatever the corpus
-    size — broadcast to the batch, probed with (bits >> bit) & 1. The
-    DuckDB oracle expresses the identical membership semantics as a
-    position-set join (pos -> (word, bit) is a bijection, and bit_or only
-    unions positions within a word, so packed-bit membership == position-set
-    membership, row for row). No false negatives is a theorem (a corpus
-    key's own positions are always set); the measured false-positive rate
-    and the bloom_maybe=false => not-in-corpus invariant are pinned in
-    tests/test_extras2.py."""
+
+def _bloom_incremental_plan(
+    spark: SparkSession, sf_dir: str, hex_chars: int
+) -> DataFrame:
+    """Shared Spark plan for both filter widths: corpus md5 slices of
+    ``hex_chars`` hex digits -> (slot, word=pos div 64, bit=pos mod 64) ->
+    bit_or(1L << bit) groupBy (slot, word) — a REAL packed Bloom filter —
+    broadcast to the batch and probed with (bits >> bit) & 1."""
     d = load_table(spark, sf_dir, "documents")
     corpus_h = (
         d.where(F.expr(_CORPUS_PRED))
@@ -1622,7 +1701,10 @@ def q_bloom_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def positions(df: DataFrame) -> DataFrame:
         slots = F.array(*[F.lit(i) for i in range(_BLOOM_SLOTS)])
         ex = df.select("*", F.explode(slots).alias("slot"))
-        pos = F.expr("cast(conv(substr(h, 1 + 4 * slot, 4), 16, 10) as long)")
+        pos = F.expr(
+            f"cast(conv(substr(h, 1 + {hex_chars} * slot, {hex_chars}),"
+            " 16, 10) as long)"
+        )
         return ex.withColumn("pos", pos).select(
             "*",
             F.expr("pos div 64").alias("word"),
@@ -1665,6 +1747,45 @@ def q_bloom_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((~F.col("in_corpus")) & (F.col("rn") == 1)).alias("is_new"),
         )
     )
+
+
+@register("bloom_incremental_new_docs", _bloom_oracle(4))
+def q_bloom_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup: every incoming-batch doc
+    tagged (bloom_maybe, in_corpus, is_new), where the corpus-sized exact
+    verify runs ONLY for bloom-maybe docs.
+
+    Spark side builds a REAL packed Bloom filter (see
+    _bloom_incremental_plan): 16-bit slices -> 3 independent 65,536-bit
+    filters, at most 3 x 1024 longs (24 KiB) whatever the corpus size —
+    broadcast to the batch. The DuckDB oracle expresses the identical
+    membership semantics as a position-set join (pos -> (word, bit) is a
+    bijection, and bit_or only unions positions within a word, so
+    packed-bit membership == position-set membership, row for row). No
+    false negatives is a theorem (a corpus key's own positions are always
+    set); the measured false-positive rate and the bloom_maybe=false =>
+    not-in-corpus invariant are pinned in tests/test_extras2.py."""
+    return _bloom_incremental_plan(spark, sf_dir, hex_chars=4)
+
+
+@register("bloom_incremental_new_docs_wide", _bloom_oracle(6))
+def q_bloom_incremental_new_docs_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION-SIZING variant of the Bloom prefilter (round-5
+    verdict #9): 24-bit slices -> 3 independent 16,777,216-bit filters.
+    SCALE.md's sizing note says 16-bit slots saturate around 1e9 corpus
+    keys and production width is nbits ~ 10 x keys; this registers that
+    wider width class as a first-class query to prove the operator SHAPE
+    is width-invariant — the identical bit_or groupBy -> broadcast ->
+    bitwise-probe plan, only the substr slice length changes. Dense
+    worst case is 3 x 262,144 longs = 6 MiB of broadcast state (still
+    trivially broadcastable); at fixture scale the bit_or aggregation
+    materializes only the words actually set (sparse rows), so the
+    broadcast grows smoothly from KBs toward the dense bound as corpus
+    keys approach nbits/10 = 1.7e6 per slot. The no-false-negative pin at
+    this width lives in tests/test_extras2.py."""
+    return _bloom_incremental_plan(spark, sf_dir, hex_chars=6)
 
 
 # ---------------------------------------------------------------------------
