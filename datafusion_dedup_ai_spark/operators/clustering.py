@@ -173,8 +173,10 @@ def cluster_label_propagation(edges: DataFrame, max_iters: int = 50) -> DataFram
                 ),
             )
         )
-        # Convergence check: any label changed?  (count of diffs)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # Convergence check: any label changed? Non-eager checkpoint + one
+        # diff action per round (the convergence count materializes the
+        # checkpoint — same one-job-per-round shape as the star backend).
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "v")
