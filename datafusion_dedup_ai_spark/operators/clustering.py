@@ -592,3 +592,83 @@ def cluster_components_star(edges: DataFrame, max_iters: int = 60) -> DataFrame:
         verts["v"].alias("row_order"),
         F.coalesce("m", verts["v"]).alias("cluster_id"),
     )
+
+
+_CC_SCHEMA = StructType(
+    [
+        StructField("row_order", LongType()),
+        StructField("cluster_id", LongType()),
+    ]
+)
+
+
+def _cc_union_find(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Plain min-label union-find over one edge frame (no C3 confidence
+    replay — this is the id-only contract shared by the LP/star backends)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["row_order_a"], pdf["row_order_b"]):
+        a, b = int(a), int(b)
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    members = sorted(parent)
+    cluster_min: dict[int, int] = {}
+    for m in members:
+        r = find(m)
+        if r not in cluster_min:  # members ascending => first hit is min
+            cluster_min[r] = m
+    return pd.DataFrame(
+        {
+            "row_order": members,
+            "cluster_id": [cluster_min[find(m)] for m in members],
+        }
+    )
+
+
+def cluster_components_auto(
+    edges: DataFrame,
+    small_max_edges: int = 2_000_000,
+    scale_backend: str = "lp",
+) -> DataFrame:
+    """C1 backend router by graph size — the inverse of the mega-block
+    routing above. Returns (row_order, cluster_id = component min), the
+    contract shared by cluster_label_propagation / cluster_components_star.
+
+    Why: the iterative backends pay O(rounds) Spark jobs — right when the
+    edge list is beyond one task, pure job-launch overhead when it is not.
+    Incremental cluster maintenance makes the small case structural, not
+    lucky: the contracted delta graph is DELTA-sized by construction
+    whatever the corpus size, so at 100 TB the router still sends it down
+    the single-task path while corpus-scale graphs route to LP/star. The
+    size probe is a bounded ``limit(n+1).count()`` — it never scans more
+    than the threshold — and the small path is one ``applyInPandas`` over
+    a constant group (~32 MB of long pairs at the default cap, far under
+    executor task memory).
+    """
+    n = edges.limit(small_max_edges + 1).count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], _CC_SCHEMA)
+    if n <= small_max_edges:
+        return (
+            edges.select("row_order_a", "row_order_b")
+            .withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(
+                lambda pdf: _cc_union_find(pdf), schema=_CC_SCHEMA
+            )
+        )
+    if scale_backend == "star":
+        return cluster_components_star(edges)
+    return cluster_label_propagation(edges)

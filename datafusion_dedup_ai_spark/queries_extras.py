@@ -2532,7 +2532,11 @@ def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle aggregates (query, doc) scores. The top-k window
     partitions by query_id over candidate sets already reduced to matched
     docs. Document length is DERIVED from the term-frequency table (a
-    dlen = sum(tfreq) window per doc) rather than re-tokenizing, and the
+    dlen = sum(tfreq) window per doc) rather than re-tokenizing (round-6
+    A/B: a groupBy(doc)+broadcast-join dlen variant measured equal at
+    sf0.1, 1.82s vs 1.86s median-of-5 — and the window is the shape that
+    still works at 100 TB, where a one-row-per-doc length table is far
+    beyond broadcast size), and the
     tf table is persisted so the corpus explode+scan executes ONCE
     (round-5 verdict #1 found it running twice — exchange reuse alone
     cannot collapse it because PushDownLeftSemiAntiJoin pushes the
@@ -5027,7 +5031,7 @@ def q_incremental_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration touches only the contracted delta graph. Batch split is
     the established doc_id%10 convention."""
     from datafusion_dedup_ai_spark.operators.clustering import (
-        cluster_label_propagation,
+        cluster_components_auto,
     )
     from datafusion_dedup_ai_spark.queries_extras import NEAR_DUP_JACCARD
 
@@ -5053,8 +5057,14 @@ def q_incremental_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_pairs = pairs.where(~in_batch("id_a") & ~in_batch("id_b"))
     delta_pairs = pairs.where(in_batch("id_a") | in_batch("id_b"))
 
-    # existing state: components over corpus-only edges, min-id labels
-    base = cluster_label_propagation(
+    # existing state: components over corpus-only edges, min-id labels.
+    # Both component runs go through the SIZE ROUTER (round-6): the
+    # contracted delta graph is delta-sized by construction, so it takes
+    # the single-task union-find path at ANY corpus scale, and the
+    # corpus-side run (amortized-away in production, see above) routes to
+    # LP only beyond the 2M-edge threshold — at bench scale this removed
+    # ~20 iterative Spark jobs per run (8.3s -> see BENCH_r06).
+    base = cluster_components_auto(
         corpus_pairs.select(
             F.col("id_a").alias("row_order_a"),
             F.col("id_b").alias("row_order_b"),
@@ -5069,12 +5079,17 @@ def q_incremental_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cluster_id", F.col("doc_id")).alias("supernode"),
         )
     )
-    # batch docs are their own supernode; corpus docs contract to labels
+    # batch docs are their own supernode; corpus docs contract to labels.
+    # Persisted (same documented-exception class as `pairs`): sup_map feeds
+    # THREE consumers (both delta-edge endpoint relabels and the final
+    # label map-back) — unpersisted, the corpus components subtree above,
+    # applyInPandas included, executed once per consumer. One row per doc
+    # id (two longs), released with the session / bench cache clear.
     sup_map = base_full.unionByName(
         universe.where(in_batch("doc_id")).select(
             "doc_id", F.col("doc_id").alias("supernode")
         )
-    )
+    ).persist()
     ma = sup_map.select(
         F.col("doc_id").alias("id_a"), F.col("supernode").alias("sup_a")
     )
@@ -5090,19 +5105,22 @@ def q_incremental_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sup_b").alias("row_order_b"),
         )
     )
-    merged = cluster_label_propagation(contracted).select(
+    merged = cluster_components_auto(contracted).select(
         F.col("row_order").alias("supernode"), F.col("cluster_id").alias("comp")
     )
     full = sup_map.join(merged, "supernode", "left").select(
         "doc_id",
         F.coalesce("comp", F.col("supernode")).alias("cluster_id"),
     )
-    sizes = full.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size"), F.min("doc_id").alias("rep_id")
-    )
-    return full.join(sizes, "cluster_id").select(
+    # Sizes + representative as ONE window pass (single shuffle by
+    # cluster_id) — the former groupBy + join-back consumed `full` twice,
+    # re-executing the whole assembly subtree per consumer.
+    w = Window.partitionBy("cluster_id")
+    return full.select(
         "doc_id",
         "cluster_id",
-        F.col("cluster_size").cast("bigint").alias("cluster_size"),
-        (F.col("doc_id") == F.col("rep_id")).alias("is_representative"),
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias(
+            "is_representative"
+        ),
     )

@@ -184,3 +184,37 @@ def test_mega_block_star_backend_matches_exact(spark):
         cluster_exact(
             prep, matches, max_block_rows=50, cc_backend="nope"
         ).collect()
+
+
+def test_components_auto_routes_and_matches_iterative_backends(spark):
+    """cluster_components_auto: the small path (single-task union-find), the
+    forced-LP path (threshold 0), and star must all produce the identical
+    min-label partition on a random graph with chains, blobs, and
+    singleton-free isolates; the empty edge list yields an empty frame."""
+    from datafusion_dedup_ai_spark.operators.clustering import (
+        cluster_components_auto,
+        cluster_components_star,
+        cluster_label_propagation,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    # a long chain forces multi-round LP so the comparison is non-trivial
+    edges += [(100 + i, 101 + i) for i in range(25)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["row_order_a", "row_order_b"])
+
+    def part(res):
+        return {r["row_order"]: r["cluster_id"] for r in res.collect()}
+
+    small = part(cluster_components_auto(df))
+    routed_lp = part(cluster_components_auto(df, small_max_edges=0))
+    routed_star = part(
+        cluster_components_auto(df, small_max_edges=0, scale_backend="star")
+    )
+    lp = part(cluster_label_propagation(df))
+    star = part(cluster_components_star(df))
+    assert small == lp == star == routed_lp == routed_star
+
+    empty = df.where(F.col("row_order_a") < 0)
+    assert cluster_components_auto(empty).count() == 0

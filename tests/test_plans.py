@@ -15,6 +15,16 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _unwrap_aqe(node):
+    """AdaptiveSparkPlanExec reports no children() — traversals that start
+    at the AQE root silently see a single leaf. Descend into the input
+    plan (the pre-execution physical tree, which is what the shape gates
+    assert on)."""
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        return node.inputPlan()
+    return node
+
+
 def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -96,7 +106,7 @@ def test_dedup_clusters_single_cogroup_execution(spark, sf_dir):
     without crossing an InMemoryTableScan boundary — i.e. the replay runs
     only while populating the cache, exactly once."""
     df = entry_mod.queries()["dedup_clusters"](spark, sf_dir)
-    root = df._jdf.queryExecution().executedPlan()
+    root = _unwrap_aqe(df._jdf.queryExecution().executedPlan())
 
     def count_uncached_cogroups(node) -> int:
         name = node.getClass().getSimpleName()
@@ -256,3 +266,33 @@ def test_partitioned_global_rank_queries_avoid_group_windows(spark, sf_dir):
         assert rank_windows, name
         for w in rank_windows:
             assert "_bucket" in w, (name, w)
+
+
+def test_incremental_cluster_update_plan_shape(spark, sf_dir):
+    """Round-6 regression gates for the cluster-maintenance capstone:
+
+    - the size router sends both component runs down the single-task
+      union-find path (FlatMapGroupsInPandas present);
+    - the corpus-side components subtree hides behind the sup_map persist,
+      so at most ONE union-find node is reachable without crossing an
+      InMemoryTableScan (the contracted delta run — everything upstream of
+      the cache executes once);
+    - sizes + representative come from a SINGLE Window node (the former
+      groupBy + join-back consumed the assembly subtree twice)."""
+    df = entry_mod.queries()["incremental_cluster_update"](spark, sf_dir)
+    root = _unwrap_aqe(df._jdf.queryExecution().executedPlan())
+
+    def count_uncached(node, needle) -> int:
+        name = node.getClass().getSimpleName()
+        if name.startswith("InMemoryTableScan"):
+            return 0
+        n = 1 if needle in name else 0
+        children = node.children()
+        for i in range(children.size()):
+            n += count_uncached(children.apply(i), needle)
+        return n
+
+    text = root.toString()
+    assert "FlatMapGroupsInPandas" in text, "routed union-find missing"
+    assert count_uncached(root, "FlatMapGroupsInPandas") <= 1
+    assert count_uncached(root, "Window") == 1, "sizes must be one window"
