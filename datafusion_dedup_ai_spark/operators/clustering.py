@@ -145,19 +145,31 @@ def cluster_label_propagation(edges: DataFrame, max_iters: int = 50) -> DataFram
     endpoint); iterations = O(component diameter), which for name-dedup graphs
     is tiny. Used when a single component/block is too large for one task.
     """
-    # labels: every vertex starts as its own label.
-    verts = (
-        edges.select(F.col("row_order_a").alias("v"))
-        .union(edges.select(F.col("row_order_b")))
-        .distinct()
+    # Single-scan input discipline (round-6, found by scale_probe): the
+    # caller's edge list is often an UNPERSISTED candidate-generation
+    # pipeline (LSH band join + verify). Before this base checkpoint, the
+    # round-1 action's DAG referenced that subtree up to 8 times (verts'
+    # two union branches x three initial-label references, plus sym's
+    # two) — at the 10x probe corpus that turned a 27s pair generation
+    # into a 516s query (measured exponent 1.80). The checkpointed base
+    # is one shared RDD, so the caller's pipeline now executes exactly
+    # once whatever the round count.
+    base = edges.select("row_order_a", "row_order_b").localCheckpoint(
+        eager=False
     )
-    labels = verts.withColumn("label", F.col("v"))
     sym = (
-        edges.select(F.col("row_order_a").alias("src"), F.col("row_order_b").alias("dst"))
-        .union(edges.select(F.col("row_order_b"), F.col("row_order_a")))
+        base.select(
+            F.col("row_order_a").alias("src"), F.col("row_order_b").alias("dst")
+        )
+        .union(base.select(F.col("row_order_b"), F.col("row_order_a")))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # sym is symmetric, so its src side alone enumerates every vertex;
+    # labels: every vertex starts as its own label (checkpointed — the
+    # round-1 DAG references it three times).
+    verts = sym.select(F.col("src").alias("v")).distinct()
+    labels = verts.withColumn("label", F.col("v")).localCheckpoint(eager=False)
     for _ in range(max_iters):
         neigh_min = (
             sym.join(labels, sym["dst"] == labels["v"])
@@ -525,13 +537,18 @@ def cluster_components_star(edges: DataFrame, max_iters: int = 60) -> DataFrame:
     behavior is empirical), so the default is sized generously at 60 —
     convergence stops the loop early, so the extra headroom costs nothing
     on real graphs (the test chains converge in <10 rounds)."""
+    # Same single-scan base as cluster_label_propagation: the caller's
+    # (possibly expensive, unpersisted) edge pipeline materializes once.
+    base = edges.select("row_order_a", "row_order_b").localCheckpoint(
+        eager=False
+    )
     verts = (
-        edges.select(F.col("row_order_a").alias("v"))
-        .union(edges.select(F.col("row_order_b")))
+        base.select(F.col("row_order_a").alias("v"))
+        .union(base.select(F.col("row_order_b")))
         .distinct()
     )
     e = (
-        edges.select(
+        base.select(
             F.greatest("row_order_a", "row_order_b").alias("u"),
             F.least("row_order_a", "row_order_b").alias("v"),
         )
@@ -657,18 +674,23 @@ def cluster_components_auto(
     a constant group (~32 MB of long pairs at the default cap, far under
     executor task memory).
     """
-    n = edges.limit(small_max_edges + 1).count()
+    # Checkpoint before probing: the size probe and the routed backend are
+    # two consumers of the caller's (possibly expensive, unpersisted) edge
+    # pipeline — the shared RDD bounds it to one execution.
+    base = edges.select("row_order_a", "row_order_b").localCheckpoint(
+        eager=False
+    )
+    n = base.limit(small_max_edges + 1).count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], _CC_SCHEMA)
     if n <= small_max_edges:
         return (
-            edges.select("row_order_a", "row_order_b")
-            .withColumn("_g", F.lit(0))
+            base.withColumn("_g", F.lit(0))
             .groupBy("_g")
             .applyInPandas(
                 lambda pdf: _cc_union_find(pdf), schema=_CC_SCHEMA
             )
         )
     if scale_backend == "star":
-        return cluster_components_star(edges)
-    return cluster_label_propagation(edges)
+        return cluster_components_star(base)
+    return cluster_label_propagation(base)

@@ -449,9 +449,14 @@ def greedy_min_id_dropped(
     Rounds = O(longest dependency chain), tiny for near-dup graphs; each
     round is two shuffles on the edge list, same cost model as
     cluster_label_propagation."""
+    # Single-scan base (see cluster_label_propagation): the caller's pair
+    # pipeline materializes once even though sym's union references it on
+    # both sides.
+    base = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint(
+        eager=False
+    )
     sym = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .union(pairs.select(F.col(id_b), F.col(id_a)))
+        base.union(base.select(F.col("v"), F.col("u")))
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -104,14 +104,17 @@ def _text_dedup_clusters_impl(spark, sf_dir, cc) -> DataFrame:
     full = d.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
     )
-    sizes = full.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size"), F.min("doc_id").alias("rep_id")
-    )
-    return full.join(sizes, "cluster_id").select(
+    # Sizes + representative as ONE window pass (single shuffle by
+    # cluster_id); the former groupBy + join-back consumed `full` — and
+    # with it the docs-join subtree — twice per run.
+    w = Window.partitionBy("cluster_id")
+    return full.select(
         "doc_id",
         "cluster_id",
-        "cluster_size",
-        (F.col("doc_id") == F.col("rep_id")).alias("is_representative"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias(
+            "is_representative"
+        ),
     )
 
 

@@ -8,7 +8,7 @@ via the materialized hyperplane-bucket fixture + recursive-CTE components.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_dedup_ai_spark.operators import similarity_search as S
@@ -175,8 +175,16 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. Per-tier floors are additionally pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    exact = S.brute_force_topk(emb, queries, k=TOP_K).select(
-        "query_id", "neighbor_id"
+    # Persisted (documented-exception class): the exact reference is
+    # consumed TEN times below — a semi-join and an n_expected aggregate
+    # per tier. Measured neutral at sf0.1 (AQE exchange reuse already
+    # deduplicates most of the repeat work) but k-rows-per-query cheap,
+    # and it makes the single-execution guarantee structural rather than
+    # optimizer-dependent. Released with the session / bench cache clear.
+    exact = (
+        S.brute_force_topk(emb, queries, k=TOP_K)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
     out = None
     for tier, df in _ann_tier_frames(spark, sf_dir).items():
@@ -263,7 +271,12 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = emb.select("vec_id").join(labels, "vec_id", "left").select(
         "vec_id", F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id")
     )
-    sizes = full.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return full.join(sizes, "cluster_id").select(
-        "vec_id", "cluster_id", "cluster_size"
+    # Single window pass for sizes (see _text_dedup_clusters_impl): the
+    # groupBy + join-back shape consumed `full` twice per run.
+    return full.select(
+        "vec_id",
+        "cluster_id",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
     )
