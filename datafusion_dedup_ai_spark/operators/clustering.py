@@ -1,6 +1,6 @@
 """C1/C3/C4 — connected components over the matched-pair edge list.
 
-Two implementations:
+Backends:
 
 * ``cluster_from_edges`` (default, exact): per-block ``applyInPandas``
   union-find. Pairs exist only *within* a block (engine.py:251-255), so
@@ -11,12 +11,27 @@ Two implementations:
   reason overwritten. Iterative union-find (no recursion — the reference's
   recursive ``find`` overflows on deep chains, SURVEY.md §4).
 
-* ``cluster_label_propagation`` (scale fallback): iterative hash-min label
+* ``cluster_label_propagation`` (scale fallback #1): iterative hash-min label
   propagation on the edge list — O(diameter) joins, each a shuffle on bounded
   keys. For mega-components where even a single block's edges don't fit one
   task. Produces identical partitions; per-row confidences are
   order-independent upper bounds (documented divergence; the exact path is the
   default precisely because blocks are small by construction).
+
+* ``cluster_components_star`` (scale fallback #2): alternating star
+  contraction — O(log^2 n) rounds on ANY topology, the chain-graph
+  insurance LP's O(diameter) bound lacks.
+
+* ``cluster_components_auto`` (router): bounded size probe, then a
+  single-task union-find for small edge lists (e.g. the contracted delta
+  graph of incremental maintenance — delta-sized at any corpus scale) and
+  LP/star beyond the threshold.
+
+All iterative backends checkpoint a base edge frame first and derive
+every internal frame from that shared RDD, so a caller's expensive
+unpersisted candidate-generation pipeline materializes exactly once (the
+round-6 scale_probe finding: without it, LP's round-1 DAG referenced the
+LSH band-join subtree up to 8 times).
 
 Cluster ids are ``min(row_order)`` over the component — deterministic and
 order-independent, unlike the reference's union-order-dependent root index
