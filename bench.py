@@ -143,12 +143,13 @@ def main() -> None:
         print(f"  {name}: median {timings[name]:.3f}s of {runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # Per-run samples go on their OWN stdout line first: the external
-    # driver snapshots only the last ~2000 chars of output and parses the
-    # final JSON line, and with 29 headline queries a single line carrying
-    # both medians and run arrays exceeds that window (observed:
-    # BENCH_r05.json has parsed=null because the line was truncated).
-    print(json.dumps({"runs": samples, "repeats": repeats}))
+    # Per-run samples go to STDERR: stdout carries exactly ONE compact
+    # JSON line (the driver contract). The external driver snapshots only
+    # the last ~2000 chars of output and parses the final JSON line, and
+    # with 29 headline queries a single line carrying both medians and
+    # run arrays exceeds that window (observed: BENCH_r05.json has
+    # parsed=null because the oversized line was truncated).
+    print(json.dumps({"runs": samples, "repeats": repeats}), file=sys.stderr)
     print(
         json.dumps(
             {

@@ -38,3 +38,24 @@ def test_bench_emits_contract_json():
         "cosine_topk",
     }
     assert all(v >= 0 for v in payload["queries"].values())
+
+
+def test_bench_final_line_fits_driver_tail_window():
+    """The external driver snapshots only the last ~2000 chars of bench
+    output and parses the final JSON line — a per-query medians dict for
+    all 29 headline queries must stay comfortably inside that window
+    (BENCH_r05.json recorded parsed=null when run arrays shared the
+    line). Static check: build the contract line with worst-case 7-char
+    timings for every headline query."""
+    import bench
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": 9999.999,
+            "unit": "sec",
+            "queries": {name: 999.999 for name in bench.HEADLINE},
+            "sf": 0.001,
+        }
+    )
+    assert len(line) < 1800, f"final JSON line {len(line)} chars"
