@@ -39,6 +39,14 @@ PROBES = [
     "text_dedup_clusters",
     "incremental_cluster_update",
 ]
+# round-6: the embeddings pipeline gets its own 10x probe (exact copies:
+# each original gains 9 planted exact duplicates — same K10-family
+# candidate growth the documents corpus plants)
+EMB_PROBES = [
+    "cosine_topk",                 # brute-force exact tier: linear scan
+    "embedding_dedup_clusters",    # LSH bucket join -> verify -> components
+    "semantic_dedup_embeddings",   # k-means cells -> in-cell dedup
+]
 MAX_EXPONENT = 1.35  # fail the probe if wall time grows super-linearly
 
 
@@ -65,6 +73,24 @@ def build_scaled(spark, src_sf: str, dst: str, factor: int) -> None:
         out = copy if out is None else out.unionByName(copy)
     out.repartition(32).write.mode("overwrite").parquet(
         os.path.join(dst, "documents.parquet")
+    )
+
+
+def build_scaled_embeddings(spark, src_sf: str, dst: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(src_sf, "embeddings.parquet"))
+    n = emb.count()
+    out = None
+    for i in range(factor):
+        copy = emb.select(
+            (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        out = copy if out is None else out.unionByName(copy)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet")
     )
 
 
@@ -98,11 +124,12 @@ def main() -> None:
     if os.path.isdir(dst):
         shutil.rmtree(dst)
     build_scaled(spark, src, dst, factor)
+    build_scaled_embeddings(spark, src, dst, factor)
 
     qs = entry_mod.queries()
     report = {}
     ok = True
-    for name in PROBES:
+    for name in PROBES + EMB_PROBES:
         # warm BOTH shapes (codegen, Python workers, AQE stats) before
         # timing, so t1 and t10 measure the same steady-uncached regime
         time_query(qs, name, spark, src)
