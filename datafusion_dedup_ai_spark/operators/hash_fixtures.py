@@ -151,12 +151,17 @@ def lsh_buckets_path(sf_dir: str) -> str:
 
 def materialize_lsh_buckets(spark: SparkSession, sf_dir: str) -> str:
     """(vec_id, table, bucket): the sign-bit hyperplane codes of
-    operators/similarity_search.lsh_bucketize at lsh_near_pairs' production
-    parameters (16 tables x 4 bits, seed 7) — the ONE non-SQL step of the
-    embedding near-dup pipeline (a numpy matmul). Everything downstream —
-    bucket self-join, exact-cosine verify, component labeling — is SQL the
-    oracle replays. The code computation itself is pinned against a
-    numpy-free pure-Python reference in tests/test_similarity.py."""
+    operators/similarity_search.lsh_bucketize at FIXED build-time
+    parameters (16 tables x 4 bits, seed 7) — the fixture behind the two
+    index-shaped oracles (`ann_lsh_topk_gated`, whose query tier is tuned
+    once, and `incremental_semantic_matches`, whose persisted vector index
+    freezes its hyperplanes at build time; an index's geometry does not
+    change as the corpus grows). The ONE non-SQL step (a numpy matmul);
+    everything downstream — bucket self-join, exact-cosine verify,
+    component labeling — is SQL the oracle replays. The code computation
+    itself is pinned against a numpy-free pure-Python reference in
+    tests/test_similarity.py. The ad-hoc batch-dedup composite uses the
+    corpus-ADAPTIVE twin below instead."""
     path = lsh_buckets_path(sf_dir)
     if path not in _written:
         from datafusion_dedup_ai_spark.operators import similarity_search as S
@@ -176,3 +181,40 @@ def materialize_lsh_buckets(spark: SparkSession, sf_dir: str) -> str:
 
 def lsh_buckets_glob() -> str:
     return _glob(materialize_lsh_buckets, lsh_buckets_path)
+
+
+def lsh_buckets_adaptive_path(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT,
+        ".materialized",
+        sf_cache_key(sf_dir),
+        "lsh_buckets_adaptive.parquet",
+    )
+
+
+def materialize_lsh_buckets_adaptive(spark: SparkSession, sf_dir: str) -> str:
+    """The corpus-size-ADAPTIVE twin of materialize_lsh_buckets, for the
+    ad-hoc batch-dedup composite (embedding_dedup_clusters): n_bits =
+    lsh_bits_for(count) — the SAME count-derived value
+    composite_near_pairs passes to lsh_near_pairs, so fixture and Spark
+    side agree at every sf. Round-6 probe rationale in lsh_bits_for."""
+    path = lsh_buckets_adaptive_path(sf_dir)
+    if path not in _written:
+        from datafusion_dedup_ai_spark.operators import similarity_search as S
+        from datafusion_dedup_ai_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        from datafusion_dedup_ai_spark.materialize import (
+            atomic_parquet_overwrite,
+        )
+
+        n_bits = S.lsh_bits_for(emb.count())
+        atomic_parquet_overwrite(
+            S.lsh_bucketize(emb, n_tables=16, n_bits=n_bits, seed=7), path
+        )
+        _written.add(path)
+    return path
+
+
+def lsh_buckets_adaptive_glob() -> str:
+    return _glob(materialize_lsh_buckets_adaptive, lsh_buckets_adaptive_path)

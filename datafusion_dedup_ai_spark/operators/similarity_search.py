@@ -173,6 +173,28 @@ def lsh_bucketize(
     return explode_codes(codes, id_col, "codes", extra_probes, n_bits)
 
 
+def lsh_bits_for(
+    n_rows: int,
+    target_bucket: int = 64,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> int:
+    """Corpus-size-adaptive hyperplane count: ~log2(N / target bucket
+    population), clamped. The lsh_near_pairs docstring has warned since
+    round 5 that its n_bits=4 default is FIXTURE-TUNED and 'must grow with
+    corpus size'; the round-6 embeddings scale probe measured what happens
+    when it doesn't — with 16 buckets/table the bucket self-join
+    materializes ~n_tables * N^2 / 16 candidates, i.e. a quadratic
+    (embedding_dedup_clusters: 10.4s -> 276s at the 10x corpus, exponent
+    1.43). Both the registered composite and its oracle FIXTURE compute
+    bits from the same corpus count, so the hash gate stays aligned at
+    every sf while candidate volume tracks N * target_bucket instead of
+    N^2. Deterministic given N (no sampling)."""
+    import math
+
+    return min(max_bits, max(min_bits, math.ceil(math.log2(max(1.0, n_rows / target_bucket)))))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -207,8 +207,16 @@ def composite_near_pairs(emb: DataFrame) -> DataFrame:
     """The exact edge generator embedding_dedup_clusters runs — exposed so
     tests exercise the composite's real parameters instead of restating them
     (a restated threshold/param set silently stops mirroring the query under
-    test when either side changes)."""
-    return S.lsh_near_pairs(emb, threshold=NEAR_DUP_THRESHOLD)
+    test when either side changes).
+
+    Round-6: n_bits adapts to the corpus count (S.lsh_bits_for) — the
+    fixture-tuned 4-bit default is quadratic beyond fixture scale (probe:
+    exponent 1.43 at 10x), and the oracle fixture computes the SAME bits
+    from the same count (hash_fixtures.materialize_lsh_buckets), so the
+    gate holds at every sf. The count is one metadata-cheap job on the
+    embeddings scan, paid once per composite construction."""
+    n_bits = S.lsh_bits_for(emb.count())
+    return S.lsh_near_pairs(emb, threshold=NEAR_DUP_THRESHOLD, n_bits=n_bits)
 
 
 def _embedding_dedup_clusters_oracle() -> str:
@@ -220,7 +228,7 @@ def _embedding_dedup_clusters_oracle() -> str:
     from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
     from datafusion_dedup_ai_spark.oracles import sql_connected_components
 
-    g = HF.lsh_buckets_glob()
+    g = HF.lsh_buckets_adaptive_glob()
     return f"""
     WITH RECURSIVE cvec AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -283,3 +283,48 @@ def test_ivfpq_recall_vs_brute_force(spark, emb):
         len(bf_sets[q] & got_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_lsh_bits_for_adaptive_sizing():
+    """The corpus-size-adaptive hyperplane count: clamped at 4 for fixture
+    scales (so every pre-round-6 hash gate is bit-identical), grows
+    ~log2(N/target) beyond, clamps at 16. The round-6 probe rationale: at
+    a fixed 4 bits the bucket self-join is ~N^2/16 per table."""
+    from datafusion_dedup_ai_spark.operators.similarity_search import lsh_bits_for
+
+    assert lsh_bits_for(0) == 4
+    assert lsh_bits_for(500) == 4        # sf0.01 -> unchanged gates
+    assert lsh_bits_for(2_000) == 5      # sf0.1
+    assert lsh_bits_for(20_000) == 9     # the 10x probe corpus
+    assert lsh_bits_for(1_000_000) == 14
+    assert lsh_bits_for(10**12) == 16    # clamp
+    # monotone non-decreasing over decades
+    vals = [lsh_bits_for(10**i) for i in range(2, 13)]
+    assert vals == sorted(vals)
+
+
+def test_adaptive_fixture_and_composite_agree_on_bits(spark, sf_dir):
+    """Cross-module pin: the oracle fixture (hash_fixtures.
+    materialize_lsh_buckets_adaptive) and the Spark composite
+    (queries_similarity.composite_near_pairs) MUST derive n_bits from the
+    same corpus count, or the hash gate silently diverges at any sf where
+    the adaptive width departs from the fixed-width default. Verified
+    structurally: the fixture's max bucket id stays under 2^bits for the
+    composite's count-derived bits, and the fixture contains exactly the
+    corpus's vec_ids x 16 tables."""
+    import duckdb
+
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+    from datafusion_dedup_ai_spark.operators.similarity_search import lsh_bits_for
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = lsh_bits_for(n)
+    path = HF.materialize_lsh_buckets_adaptive(spark, sf_dir)
+    rows = duckdb.sql(
+        f"SELECT COUNT(*) AS c, MAX(bucket) AS mb FROM '{path}/*.parquet'"
+    ).fetchone()
+    assert rows[0] == n * 16  # one code per (vec, table)
+    assert rows[1] < 2**bits
+    assert rows[1] >= 2 ** (bits - 1)  # top bit actually used somewhere
