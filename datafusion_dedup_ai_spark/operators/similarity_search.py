@@ -43,6 +43,23 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def self_dot(a: Column) -> Column:
+    """dot_fold(v, v) — for precomputing per-VECTOR self-dots once in a
+    projection instead of once per candidate pair. The fold is the same
+    expression over the same array, so the value is bit-identical to the
+    inline form in ``cosine`` and oracles keep matching bitwise."""
+    ad = as_double(a)
+    return dot_fold(ad, ad)
+
+
+def cosine_with_norms(a: Column, b: Column, aa: Column, bb: Column) -> Column:
+    """``cosine`` with the two self-dots supplied from precomputed columns
+    (see self_dot). Round-6: the verify stage of lsh_near_pairs folded
+    dot(a,a)/dot(b,b) once PER CANDIDATE PAIR (815k pairs at sf0.1) rather
+    than per corpus vector (2k) — 3x the fold work for identical bits."""
+    return dot_fold(as_double(a), as_double(b)) / (F.sqrt(aa) * F.sqrt(bb))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -351,12 +368,27 @@ def lsh_near_pairs(
         )
         .distinct()
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Self-dots precomputed per corpus VECTOR (see cosine_with_norms):
+    # bit-identical cosine, a third of the per-pair fold work.
+    va = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        self_dot(F.col(vec_col)).alias("naa"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        self_dot(F.col(vec_col)).alias("nbb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("naa"), F.col("nbb")
+            ),
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
