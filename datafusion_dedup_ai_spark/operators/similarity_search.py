@@ -290,12 +290,31 @@ def near_duplicate_embeddings(
                 "+ exact verify) at this scale, or raise max_rows explicitly "
                 "if a quadratic baseline on this corpus is intended"
             )
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Per-vector self-dots precomputed (see cosine_with_norms): the N^2
+    # pair stage folds only dot(a,b) — a third of the fold work, same bits.
+    # The stream side is repartitioned to the session's parallelism: a
+    # bounded-fixture corpus is one or two parquet splits, so the
+    # nested-loop pair evaluation otherwise runs on 1-2 cores (measured
+    # 20s -> ~2s at sf0.1 on local[32]).
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        self_dot(F.col(vec_col)).alias("naa"),
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        self_dot(F.col(vec_col)).alias("nbb"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("naa"), F.col("nbb")
+            ),
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
