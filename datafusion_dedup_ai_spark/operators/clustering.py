@@ -686,8 +686,11 @@ def cluster_components_auto(
     the single-task path while corpus-scale graphs route to LP/star. The
     size probe is a bounded ``limit(n+1).count()`` — it never scans more
     than the threshold — and the small path is one ``applyInPandas`` over
-    a constant group (~32 MB of long pairs at the default cap, far under
-    executor task memory).
+    a constant group. Memory honesty at the default cap: the Arrow frame
+    is ~32 MB of long pairs, but the Python union-find dicts cost ~10x
+    that (~100 B per entry over up to 2x-edges vertices, ~400 MB worst
+    case) — fine in a normal multi-GB task budget; size
+    ``small_max_edges`` down when executor Python memory is tighter.
     """
     # Checkpoint before probing: the size probe and the routed backend are
     # two consumers of the caller's (possibly expensive, unpersisted) edge
