@@ -47,6 +47,18 @@ EMB_PROBES = [
     "embedding_dedup_clusters",    # LSH bucket join -> verify -> components
     "semantic_dedup_embeddings",   # k-means cells -> in-cell dedup
 ]
+# round-6 (late): the events pipeline too — 10x by replicating users
+# (user_id shifted per copy, timestamps unchanged), i.e. MORE users with
+# the same per-user history length: per-key session/funnel state stays
+# bounded while key cardinality grows, which is exactly the claim the
+# event operators make at 100 TB
+EVENT_PROBES = [
+    "user_sessions",               # sessionization: lag window per user
+    "event_funnel",                # staged MIN aggs per user
+    "event_transition_matrix",     # lag window -> pair counts
+    "user_retention_cohorts",      # first-seen cohort x activity week join
+    "value_outliers_mad",          # grouped median/MAD via percentile
+]
 MAX_EXPONENT = 1.35  # fail the probe if wall time grows super-linearly
 
 
@@ -94,6 +106,28 @@ def build_scaled_embeddings(spark, src_sf: str, dst: str, factor: int) -> None:
     )
 
 
+def build_scaled_events(spark, src_sf: str, dst: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(src_sf, "events.parquet"))
+    n_events = ev.count()
+    n_users = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    out = None
+    for i in range(factor):
+        copy = ev.select(
+            (F.col("event_id") + F.lit(i * n_events)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * n_users)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        out = copy if out is None else out.unionByName(copy)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "events.parquet")
+    )
+
+
 def time_query(qs, name, spark, sf_dir) -> float:
     """One steady-state UNCACHED measurement — clear the cache and drain
     the cleaner before timing, exactly like bench.py. Without the clear,
@@ -125,11 +159,12 @@ def main() -> None:
         shutil.rmtree(dst)
     build_scaled(spark, src, dst, factor)
     build_scaled_embeddings(spark, src, dst, factor)
+    build_scaled_events(spark, src, dst, factor)
 
     qs = entry_mod.queries()
     report = {}
     ok = True
-    for name in PROBES + EMB_PROBES:
+    for name in PROBES + EMB_PROBES + EVENT_PROBES:
         # warm BOTH shapes (codegen, Python workers, AQE stats) before
         # timing, so t1 and t10 measure the same steady-uncached regime
         time_query(qs, name, spark, src)
