@@ -288,3 +288,109 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("cluster_id"))
         .alias("cluster_size"),
     )
+
+
+def _lsh_width_report_oracle() -> str:
+    """Replays BOTH width modes from their fixtures: the fixed 4-bit
+    index-style buckets and the corpus-adaptive buckets (round-6
+    lsh_bits_for), folding each to (n_candidates, n_pairs) with the
+    bitwise-mirrored cosine verify."""
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+
+    parts = []
+    for mode, g in (
+        ("fixed", HF.lsh_buckets_glob()),
+        ("adaptive", HF.lsh_buckets_adaptive_glob()),
+    ):
+        parts.append(f"""
+    SELECT '{mode}' AS width_mode,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT DISTINCT a.vec_id, b.vec_id
+               FROM '{g}' a JOIN '{g}' b
+                 ON a."table" = b."table" AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id)) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT DISTINCT c.id_a, c.id_b
+               FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                     FROM '{g}' a JOIN '{g}' b
+                       ON a."table" = b."table" AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id) c
+               JOIN (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings) ca ON ca.vec_id = c.id_a
+               JOIN (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings) cb ON cb.vec_id = c.id_b
+               WHERE {_sql_cosine('ca.v', 'cb.v')} >= {NEAR_DUP_THRESHOLD}))
+               AS BIGINT) AS n_pairs
+    """)
+    return " UNION ALL ".join(parts)
+
+
+@register("lsh_width_report", _lsh_width_report_oracle)
+def q_lsh_width_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-grading diagnostic for the round-6 adaptive LSH width: per
+    width mode — the FIXED 4-bit build-time geometry (what the persisted
+    indexes use) and the corpus-ADAPTIVE lsh_bits_for width (what the
+    batch-dedup composite uses) — the candidate volume the bucket
+    self-join materializes and how many verified pairs survive. The table
+    a pipeline owner reads to see what the adaptive width buys AND costs:
+    at fixture scale the modes coincide (bits clamp at 4); at sf0.1 the
+    adaptive width cuts candidates 1.28M -> 816k while verified pairs go
+    3873 -> 3270 — the lost ~15% are the marginal-cosine band (this
+    fixture's planted pairs sit at 0.35-0.55, barely above background;
+    see the lsh_near_pairs parameter note), while exact/high-cosine
+    duplicates collide at ANY width (identical vectors -> identical codes
+    in every table). The candidate gap widens with the corpus exactly as
+    the N^2/2^bits analysis predicts (measured 10x: ~123M -> ~6M;
+    SCALE.md round-6 find #2).
+
+    Hash-gated: both modes replay from their materialized bucket fixtures
+    with the bitwise-mirrored cosine verify."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = None
+    for mode, bits in (("fixed", 4), ("adaptive", S.lsh_bits_for(n))):
+        b = S.lsh_bucketize(emb, n_tables=16, n_bits=bits, seed=7)
+        cand = (
+            b.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        va = emb.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            S.self_dot(F.col("embedding")).alias("naa"),
+        )
+        vb = emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            S.self_dot(F.col("embedding")).alias("nbb"),
+        )
+        verified = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .where(
+                S.cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("naa"), F.col("nbb")
+                )
+                >= NEAR_DUP_THRESHOLD
+            )
+        )
+        row = (
+            cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+            .crossJoin(
+                verified.agg(F.count("*").cast("bigint").alias("n_pairs"))
+            )
+            .select(F.lit(mode).alias("width_mode"), "n_candidates", "n_pairs")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
