@@ -38,6 +38,16 @@ PROBES = [
     # (full) and the contracted-delta incremental variant (size-routed)
     "text_dedup_clusters",
     "incremental_cluster_update",
+    # round-6 (late): the two remaining banded-candidate heavies.
+    # Deliberately NOT probed: the exact-Jaccard family (ngram_jaccard,
+    # doc_containment, clean_corpus, duplicate_substring_spans) — their
+    # shingle/fingerprint equality joins cost Sum(df^2), and the planted
+    # corpus grows every df 10x, i.e. the TRUE candidate mass grows ~100x
+    # by construction; a high exponent there measures the planted dup
+    # density, not a hidden algorithmic quadratic (the sketch tiers prove
+    # the same pairs stay findable at ~linear cost).
+    "media_near_dup_pairs",
+    "fuzzy_benchmark_contamination",
 ]
 # round-6: the embeddings pipeline gets its own 10x probe (exact copies:
 # each original gains 9 planted exact duplicates — same K10-family
