@@ -65,6 +65,12 @@ class Enricher:
     100 TB you never call an external service per row. Subclasses implement
     ``lookup`` only."""
 
+    # Columns lookup() emits BESIDE the canonical_name join key. Subclasses
+    # with extra outputs (e.g. the E4 verified_name) extend this; the join
+    # key itself must pass through lookup() untouched — it is what ties the
+    # enrichment back to the cluster rows.
+    lookup_columns: tuple[str, ...] = ("website",)
+
     def lookup(self, names: pd.Series) -> pd.DataFrame:
         raise NotImplementedError
 
@@ -72,10 +78,8 @@ class Enricher:
         distinct = clusters.select("canonical_name").distinct()
 
         schema = StructType(
-            [
-                StructField("canonical_name", StringType()),
-                StructField("website", StringType()),
-            ]
+            [StructField("canonical_name", StringType())]
+            + [StructField(c, StringType()) for c in self.lookup_columns]
         )
         lookup = self.lookup
 
@@ -168,6 +172,12 @@ class LiveWebEnricher(Enricher):
 
         self._search = search_fn
         self._llm = llm_fn
+        if llm_fn is not None:
+            # E4 output travels as its OWN column: canonical_name stays the
+            # untouched join key (Enricher.enrich joins the lookup output
+            # back to clusters ON canonical_name — overwriting it would
+            # orphan every LLM-corrected cluster's enrichment).
+            self.lookup_columns = ("website", "verified_name")
         self._max_results = max_results
         self._min_interval = 1.0 / rate_per_sec if rate_per_sec > 0 else 0.0
         self._next_call = 0.0
@@ -210,11 +220,13 @@ class LiveWebEnricher(Enricher):
             }
         )
         if self._llm is not None:
-            # E4 seam: an LLM verifier may overwrite the canonical name per
+            # E4 seam: an LLM verifier may correct the canonical name per
             # reference agentic_research (engine.py:144-183) — snippets in,
             # {"name", "reason"} out. Applied per distinct name, same
-            # rate-limited budget.
-            out["canonical_name"] = [
+            # rate-limited budget. The correction is emitted as
+            # verified_name, NOT written over canonical_name: that column is
+            # the join key back to the cluster rows.
+            out["verified_name"] = [
                 (self._llm(n) or {}).get("name", n) if n else n
                 for n in out["canonical_name"].fillna("")
             ]

@@ -25,16 +25,66 @@ import os
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+_code_fp_cache: str | None = None
+
+
+def code_fingerprint() -> str:
+    """Short digest of every .py source in this package. Baked into the
+    fixture cache key so a fixture written by an OLDER code version (e.g.
+    pre-adaptive-LSH-width) resolves to a different path and is rebuilt
+    rather than silently trusted — the standalone-consumer case where
+    ``ensure_fixture_session`` returns None on an existing path (round-6
+    advice). Coarse by design: any package edit invalidates all fixtures,
+    which only costs a deterministic rebuild."""
+    global _code_fp_cache
+    if _code_fp_cache is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        h = hashlib.md5()
+        for root, dirs, files in sorted(os.walk(pkg_dir)):
+            dirs.sort()
+            for fname in sorted(files):
+                if fname.endswith(".py"):
+                    with open(os.path.join(root, fname), "rb") as f:
+                        h.update(fname.encode())
+                        h.update(f.read())
+        _code_fp_cache = h.hexdigest()[:8]
+    return _code_fp_cache
+
+
 def sf_cache_key(sf_dir: str) -> str:
     """Directory key for per-sf materialized fixtures: basename plus a short
-    hash of the ABSOLUTE path, so distinct sf dirs sharing a basename (e.g.
-    two checkouts' testdata/sf0.01) never collide in `.materialized/`."""
+    hash of the ABSOLUTE path (so distinct sf dirs sharing a basename — e.g.
+    two checkouts' testdata/sf0.01 — never collide in `.materialized/`) plus
+    the package code fingerprint (so fixtures from an earlier code version
+    are never trusted by a standalone consumer)."""
     norm = os.path.abspath(os.path.normpath(sf_dir))
-    return (
-        os.path.basename(norm)
-        + "-"
-        + hashlib.md5(norm.encode()).hexdigest()[:8]
+    prefix = (
+        os.path.basename(norm) + "-" + hashlib.md5(norm.encode()).hexdigest()[:8]
     )
+    key = prefix + "-" + code_fingerprint()
+    _reap_stale_versions(prefix, key)
+    return key
+
+
+_reaped: set[str] = set()
+
+
+def _reap_stale_versions(prefix: str, keep: str) -> None:
+    """Delete fixture dirs for the same sf under OLD code fingerprints (once
+    per process per prefix) — the versioned key otherwise accumulates one
+    tree per code edit across long build sessions."""
+    if prefix in _reaped:
+        return
+    _reaped.add(prefix)
+    import shutil
+
+    base = os.path.join(_REPO_ROOT, ".materialized")
+    if not os.path.isdir(base):
+        return
+    for entry in os.listdir(base):
+        # entry == prefix is the pre-versioning (round ≤6) layout
+        if (entry == prefix or entry.startswith(prefix + "-")) and entry != keep:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
 # The driver runs the side-by-side compare at sf0.01 with no env set; pytest
 # sets SPARK_GRAFT_TEST_SF_DIR (tests/conftest.py) so both the Spark fixture

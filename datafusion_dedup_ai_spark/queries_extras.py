@@ -3909,16 +3909,11 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("w"))
     )
     # Vocabulary table — consumed by EVERY iteration's rank rebuild (the
-    # left join that restores dangling nodes) plus the final report join.
-    # Unpersisted, each of those 11 uses re-ran the whole explode+bigram
-    # subtree (round-5 verdict #2); vocabulary-sized (Heaps' law), so the
-    # cache is kilobytes-to-megabytes — the documented exception class,
-    # released by bench.py's per-run cache clear.
-    # Vocabulary table — consumed by EVERY iteration's rank rebuild (the
     # left join that restores dangling nodes) plus the final report join;
     # unpersisted, each of those 11 uses re-ran the whole explode+bigram
-    # subtree. Vocabulary-sized (Heaps' law) — the documented exception
-    # class, released by bench.py's per-run cache clear. A pre-partitioned
+    # subtree (round-5 verdict #2). Vocabulary-sized (Heaps' law) — the
+    # documented exception class, released by bench.py's per-run cache
+    # clear. A pre-partitioned
     # (repartition on the join key) persist of both tables was A/B-measured
     # WORSE here (6.0s vs 4.4s median at sf0.1): it pins 32-task cached
     # scans under every iteration and defeats AQE's coalescing of the

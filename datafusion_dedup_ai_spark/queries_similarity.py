@@ -347,7 +347,7 @@ def q_lsh_width_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the bitwise-mirrored cosine verify."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    out = None
+    rows = []
     for mode, bits in (("fixed", 4), ("adaptive", S.lsh_bits_for(n))):
         b = S.lsh_bucketize(emb, n_tables=16, n_bits=bits, seed=7)
         cand = (
@@ -385,12 +385,15 @@ def q_lsh_width_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= NEAR_DUP_THRESHOLD
             )
         )
-        row = (
-            cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
-            .crossJoin(
-                verified.agg(F.count("*").cast("bigint").alias("n_pairs"))
-            )
-            .select(F.lit(mode).alias("width_mode"), "n_candidates", "n_pairs")
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        # Fold the two scalars eagerly so cand (the 1.28M-row fixed-width
+        # frame at sf0.1) can be unpersisted HERE — a lazy plan would pin
+        # both candidate sets in cache for the session lifetime (round-6
+        # advice). Two scalar counts per mode is the documented-acceptable
+        # collect pattern.
+        n_candidates = cand.count()
+        n_pairs = verified.count()
+        cand.unpersist()
+        rows.append((mode, n_candidates, n_pairs))
+    return spark.createDataFrame(
+        rows, "width_mode string, n_candidates bigint, n_pairs bigint"
+    )

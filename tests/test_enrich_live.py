@@ -74,15 +74,42 @@ def test_rate_limit_schedules_minimum_interval():
     assert enr._next_call > t0
 
 
-def test_llm_hook_overwrites_canonical_name():
+def make_llm():
     def llm(name):
         if name == "GLOBEX":
             return {"name": "GLOBEX CORPORATION", "reason": "legal filings"}
         return None  # LLM miss -> keep original (reference behavior)
 
-    enr = LiveWebEnricher(search_fn=fake_search, llm_fn=llm, rate_per_sec=0)
+    return llm
+
+
+def test_llm_hook_emits_verified_name_keeps_join_key():
+    enr = LiveWebEnricher(search_fn=fake_search, llm_fn=make_llm(), rate_per_sec=0)
     out = enr.lookup(pd.Series(["ACME CORP", "GLOBEX"]))
-    assert list(out["canonical_name"]) == ["ACME CORP", "GLOBEX CORPORATION"]
+    # canonical_name is the join key back to clusters — never rewritten
+    assert list(out["canonical_name"]) == ["ACME CORP", "GLOBEX"]
+    assert list(out["verified_name"]) == ["ACME CORP", "GLOBEX CORPORATION"]
+
+
+def test_llm_corrected_name_still_joins_back_to_cluster_rows(spark):
+    """Regression: the E4 hook used to overwrite canonical_name in the lookup
+    output while enrich() broadcast-joins ON canonical_name — LLM-corrected
+    clusters got null website and the correction was silently dropped. The
+    corrected name must arrive as verified_name WITH the website intact."""
+    clusters = spark.createDataFrame(
+        [(1, "ACME CORP"), (2, "GLOBEX"), (3, "GLOBEX")],
+        "row_id int, canonical_name string",
+    )
+    enr = LiveWebEnricher(search_fn=fake_search, llm_fn=make_llm(), rate_per_sec=0)
+    rows = {r["row_id"]: r for r in enr.enrich(clusters).collect()}
+    assert len(rows) == 3
+    # the corrected cluster keeps its enrichment AND carries the correction
+    assert rows[2]["website"] == "globex.example.org"
+    assert rows[2]["verified_name"] == "GLOBEX CORPORATION"
+    assert rows[3]["verified_name"] == "GLOBEX CORPORATION"
+    # uncorrected cluster: verified_name echoes the original (LLM miss)
+    assert rows[1]["website"] == "acme.com"
+    assert rows[1]["verified_name"] == "ACME CORP"
 
 
 def test_live_enricher_drives_full_e5_dataflow(spark):
