@@ -218,3 +218,44 @@ def materialize_lsh_buckets_adaptive(spark: SparkSession, sf_dir: str) -> str:
 
 def lsh_buckets_adaptive_glob() -> str:
     return _glob(materialize_lsh_buckets_adaptive, lsh_buckets_adaptive_path)
+
+
+def lsh_query_margins_path(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT,
+        ".materialized",
+        sf_cache_key(sf_dir),
+        "lsh_query_margins.parquet",
+    )
+
+
+def materialize_lsh_query_margins(spark: SparkSession, sf_dir: str) -> str:
+    """(vec_id, table, bucket, bit, margin) for the ANN query workload
+    (vec_id < N_QUERIES) at the fixed 16x4 seed-7 geometry: each query
+    vector's base code per table PLUS the per-bit |projection| margins the
+    multi-probe ranking sorts. The oracle derives the probe bucket itself —
+    ``bucket XOR (1 << arg_min(bit, margin))`` — so the flip selection is
+    SQL-verified, not trusted from the code fixture (round-6 verdict #10).
+    The only non-SQL step remains the hyperplane matmul, shared with
+    materialize_lsh_buckets."""
+    path = lsh_query_margins_path(sf_dir)
+    if path not in _written:
+        from datafusion_dedup_ai_spark.operators import similarity_search as S
+        from datafusion_dedup_ai_spark.shared_params import N_QUERIES
+        from datafusion_dedup_ai_spark.sources.readers import load_table
+        from datafusion_dedup_ai_spark.materialize import (
+            atomic_parquet_overwrite,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") < N_QUERIES
+        )
+        atomic_parquet_overwrite(
+            S.lsh_code_margins(emb, n_tables=16, n_bits=4, seed=7), path
+        )
+        _written.add(path)
+    return path
+
+
+def lsh_query_margins_glob() -> str:
+    return _glob(materialize_lsh_query_margins, lsh_query_margins_path)

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 
 def as_double(arr: Column) -> Column:
@@ -188,6 +188,61 @@ def lsh_bucketize(
         df, id_col, vec_col, n_tables, n_bits, dim, seed, extra_probes
     )
     return explode_codes(codes, id_col, "codes", extra_probes, n_bits)
+
+
+def lsh_code_margins(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, table, bucket, bit, margin): the base sign-bit code per (vector,
+    table) PLUS each bit's |projection| margin — the quantity multi-probe
+    ranks to pick which bit to flip (Lv et al., VLDB 2007). Long-form
+    fixture shape for the multi-probe oracle: SQL can re-derive the probe
+    bucket as ``bucket XOR (1 << arg_min(bit, margin))``, so the flip
+    RANKING itself is cross-engine verified, not just candidate admission
+    (round-6 verdict #10). Identical float64 matmul to ``lsh_codes`` (same
+    hyperplanes, same widening), so the margins are bit-identical to what
+    the query-side UDF ranks."""
+    planes = _hyperplanes(n_tables, n_bits, dim, seed)
+    flat = planes.reshape(n_tables * n_bits, dim)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def proj_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())
+        proj = M.astype(np.float64) @ flat.T  # (n, T*B), table-major
+        return pd.Series(list(proj))
+
+    proj_udf = proj_udf.asNondeterministic()  # evaluation barrier, see lsh_codes
+    long = df.select(
+        F.col(id_col), F.posexplode(proj_udf(F.col(vec_col))).alias("pos", "proj")
+    ).select(
+        id_col,
+        (F.col("pos") / n_bits).cast("int").alias("table"),
+        (F.col("pos") % n_bits).cast("int").alias("bit"),
+        "proj",
+    )
+    # bucket = sum over bits of (proj > 0) << bit, per (id, table); keep the
+    # per-bit margins alongside via a window so one scan yields both.
+    w = Window.partitionBy(id_col, "table")
+    return long.select(
+        id_col,
+        "table",
+        F.sum(
+            F.when(
+                F.col("proj") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .over(w)
+        .alias("bucket"),
+        "bit",
+        F.abs(F.col("proj")).alias("margin"),
+    )
 
 
 def lsh_bits_for(

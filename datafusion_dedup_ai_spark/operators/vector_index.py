@@ -62,10 +62,12 @@ def _write_meta(path: str, meta: dict) -> None:
         json.dump(meta, f, sort_keys=True)
 
 
-def _check_meta(path: str, n_tables: int, n_bits: int, dim: int, seed: int) -> None:
+def read_index_meta(path: str) -> dict:
+    """The build-time parameter sidecar, or a diagnostic error when data
+    exists without one (hyperplane parameters would be unverifiable)."""
     try:
         with open(_meta_path(path)) as f:
-            meta = json.load(f)
+            return json.load(f)
     except FileNotFoundError:
         raise ValueError(
             f"vector index at {path} has data but no {_META_FILE} sidecar — "
@@ -73,17 +75,43 @@ def _check_meta(path: str, n_tables: int, n_bits: int, dim: int, seed: int) -> N
             "build_vector_index (index_exists() treats this state as "
             "'no index', so self-healing callers rebuild automatically)"
         ) from None
+
+
+def _resolve_meta(
+    path: str,
+    n_tables: int | None,
+    n_bits: int | None,
+    dim: int | None,
+    seed: int | None,
+) -> tuple[int, int, int, int]:
+    """Fill unspecified (None) geometry params from the sidecar, then
+    validate any explicitly-given ones against it. None is the right
+    default for append/match callers: the geometry is FROZEN at build time
+    (possibly corpus-adaptive), so the sidecar — not a caller-side
+    constant — is the source of truth."""
+    meta = read_index_meta(path)
     want = {"n_tables": n_tables, "n_bits": n_bits, "dim": dim, "seed": seed}
     # .get, not [k]: a sidecar that parses but lacks a key (older format,
     # manual edit) must land in the diagnostic mismatch branch below, not
     # die with a bare KeyError that names neither path nor remedy.
-    got = {k: meta.get(k) for k in want}
-    if got != want:
+    explicit = {k: v for k, v in want.items() if v is not None}
+    got = {k: meta.get(k) for k in explicit}
+    if got != explicit:
         raise ValueError(
             f"vector index at {path} was built with {got}; caller requested "
-            f"{want} — mixing hyperplane generations destroys recall, "
+            f"{explicit} — mixing hyperplane generations destroys recall, "
             "rebuild the index instead"
         )
+    resolved = tuple(
+        want[k] if want[k] is not None else meta.get(k)
+        for k in ("n_tables", "n_bits", "dim", "seed")
+    )
+    if any(v is None for v in resolved):
+        raise ValueError(
+            f"vector index sidecar at {path} is missing geometry keys: "
+            f"{meta} — rebuild with build_vector_index"
+        )
+    return resolved  # type: ignore[return-value]
 
 
 def index_exists(path: str) -> bool:
@@ -98,13 +126,28 @@ def build_vector_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 16,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     dim: int = 64,
     seed: int = 7,
 ) -> None:
     """Create (overwrite) the index from the current corpus: one code pass
     over the embeddings, stored alongside them. Meta BEFORE data (see module
-    docstring)."""
+    docstring).
+
+    ``n_bits=None`` (the default) computes the corpus-ADAPTIVE width
+    ``lsh_bits_for(count)`` at build time and records it in the sidecar —
+    round-6 verdict #3: the old fixed default (4) gave a 100 TB corpus
+    16-bucket tables, the exact geometry the scale probe measured as a
+    quadratic (exponent 1.43). Geometry stays frozen thereafter (appends
+    and matches resolve it from the sidecar); the one extra count() job at
+    build time is noise next to the code pass itself. Pass an explicit
+    ``n_bits`` to pin a width (e.g. the oracle-fixture geometry)."""
+    from datafusion_dedup_ai_spark.operators.similarity_search import (
+        lsh_bits_for,
+    )
+
+    if n_bits is None:
+        n_bits = lsh_bits_for(emb.count())
     _write_meta(
         path,
         {"n_tables": n_tables, "n_bits": n_bits, "dim": dim, "seed": seed},
@@ -124,14 +167,16 @@ def append_vector_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_tables: int = 16,
-    n_bits: int = 4,
-    dim: int = 64,
-    seed: int = 7,
+    n_tables: int | None = None,
+    n_bits: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
 ) -> None:
     """Append an accepted batch's codes to the index (the per-crawl growth
-    path). Parameters are validated against the build-time sidecar."""
-    _check_meta(path, n_tables, n_bits, dim, seed)
+    path). Unspecified geometry params resolve from the build-time sidecar
+    (the source of truth for a frozen, possibly corpus-adaptive width);
+    explicitly-given ones are validated against it."""
+    n_tables, n_bits, dim, seed = _resolve_meta(path, n_tables, n_bits, dim, seed)
     out = lsh_codes(
         emb_new.select(F.col(id_col), F.col(vec_col)),
         id_col, vec_col, n_tables, n_bits, dim, seed,
@@ -154,10 +199,10 @@ def incremental_semantic_matches_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
-    n_tables: int = 16,
-    n_bits: int = 4,
-    dim: int = 64,
-    seed: int = 7,
+    n_tables: int | None = None,
+    n_bits: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
 ) -> DataFrame:
     """(batch_id, corpus_id, cosine): batch vectors within ``threshold``
     cosine of an indexed corpus vector, via the persisted codes — the
@@ -166,8 +211,11 @@ def incremental_semantic_matches_indexed(
     BATCH codes against the index's STORED codes (never recomputed: one
     ArrowEvalPython in the plan, asserted in tests); verification is the
     exact order-pinned cosine against the index's stored embeddings,
-    restricted to candidate ids."""
-    _check_meta(index_path, n_tables, n_bits, dim, seed)
+    restricted to candidate ids. Unspecified geometry params resolve from
+    the sidecar; explicit ones are validated against it."""
+    n_tables, n_bits, dim, seed = _resolve_meta(
+        index_path, n_tables, n_bits, dim, seed
+    )
     idx = read_vector_index(spark, index_path)
 
     b_codes = lsh_codes(batch_emb, id_col, vec_col, n_tables, n_bits, dim, seed)

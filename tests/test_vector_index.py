@@ -40,8 +40,11 @@ def test_index_matches_equal_recompute(spark, emb, tmp_path):
         VI.incremental_semantic_matches_indexed(spark, path, batch, threshold=0.35)
     )
 
-    cb = S.lsh_bucketize(corpus, n_tables=16, n_bits=4, seed=7)
-    bb = S.lsh_bucketize(batch, n_tables=16, n_bits=4, seed=7)
+    # recompute at the geometry the build actually chose (adaptive default
+    # writes lsh_bits_for(count) to the sidecar)
+    bits = VI.read_index_meta(path)["n_bits"]
+    cb = S.lsh_bucketize(corpus, n_tables=16, n_bits=bits, seed=7)
+    bb = S.lsh_bucketize(batch, n_tables=16, n_bits=bits, seed=7)
     cands = (
         bb.alias("b")
         .join(
@@ -77,7 +80,14 @@ def test_append_equals_rebuild(spark, emb, tmp_path):
 
     VI.build_vector_index(part1, p_grow)
     VI.append_vector_index(part2, p_grow)
-    VI.build_vector_index(part1.unionByName(part2), p_full)
+    # pin the rebuild to the grow index's frozen geometry: the adaptive
+    # default would otherwise pick a (possibly wider) width for the larger
+    # union corpus, and the test compares append-vs-rebuild at EQUAL params
+    VI.build_vector_index(
+        part1.unionByName(part2),
+        p_full,
+        n_bits=VI.read_index_meta(p_grow)["n_bits"],
+    )
 
     got = _match_set(
         VI.incremental_semantic_matches_indexed(spark, p_grow, batch, threshold=0.35)
@@ -86,6 +96,25 @@ def test_append_equals_rebuild(spark, emb, tmp_path):
         VI.incremental_semantic_matches_indexed(spark, p_full, batch, threshold=0.35)
     )
     assert got == want and len(got) > 0
+
+
+def test_adaptive_default_width_recorded_in_sidecar(spark, emb, tmp_path):
+    """build with default n_bits must record the corpus-adaptive
+    lsh_bits_for(count) in the sidecar, and default (sidecar-resolving)
+    appends/matches must work against it without the caller knowing the
+    width."""
+    path = str(tmp_path / "vindex_adaptive")
+    corpus = emb.where(F.expr(CORPUS))
+    VI.build_vector_index(corpus, path)
+    meta = VI.read_index_meta(path)
+    assert meta["n_bits"] == S.lsh_bits_for(corpus.count())
+    # sidecar-resolved append + match round-trip
+    batch = emb.where(F.expr(BATCH))
+    VI.append_vector_index(batch, path)
+    out = VI.incremental_semantic_matches_indexed(
+        spark, path, batch, threshold=0.35
+    )
+    assert out.count() > 0  # batch vectors match themselves in the index
 
 
 def test_parameter_generation_rejected(spark, emb, tmp_path):
