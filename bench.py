@@ -62,6 +62,13 @@ HEADLINE = [
     # incremental cluster-maintenance capstone.
     "ann_recall_report",
     "incremental_cluster_update",
+    # round-7 additions (round-6 verdict #6): the three heaviest registered
+    # composites get tracked round-over-round wall-times — their round-6
+    # wins (e.g. embedding_dedup_clusters 10.2->6.7s) lived only in
+    # SCALE.md prose.
+    "text_dedup_clusters",
+    "embedding_dedup_clusters",
+    "semantic_dedup_embeddings",
 ]
 
 

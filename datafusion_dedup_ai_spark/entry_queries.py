@@ -17,30 +17,35 @@ Importing this module populates the registry from the per-domain packs.
 
 from __future__ import annotations
 
-# Import order IS registration order. KNOWN HARNESS LIMITATION (flagged for
-# the harness owners; see also README "Correctness verification"): the
-# external driver's correctness run evaluates only the first ~50 registered
-# queries, so with 139+ registered entries most necessarily fall outside it
-# WHATEVER the order. The order below is a stable ROTATION so every pack
-# gets driver-validated at least once across rounds:
+# Registration order = ROUND7_WINDOW first, then import order. KNOWN
+# HARNESS LIMITATION (flagged for the harness owners; see also README
+# "Correctness verification"): the external driver's correctness run
+# evaluates only the first ~50 registered queries, so with 140+ registered
+# entries most necessarily fall outside it WHATEVER the order. The explicit
+# window below is a stable ROTATION so every entry gets driver-validated at
+# least once across rounds:
 #   rounds 2-3: relational pack in the window (green);
 #   rounds 4-5: dedup-core + text + dedup-ext + similarity + multimodal +
-#               curation packs in the window (green, CORRECTNESS_r04/r05);
-#   round 6+:   the extras pack — its 59 entries (BM25, TextRank, ensemble
-#               dedup, incremental cluster update, ...) had only ever been
-#               validated by the self-run full_correctness.py, so it takes
-#               the window now per the round-5 verdict's #1 ask.
+#               curation packs (green, CORRECTNESS_r04/r05);
+#   round 6:    the extras pack head (green, CORRECTNESS_r06);
+#   round 7:    (a) the 12 entries that had NEVER held a driver row — the
+#               extras tail past r06's slot 50, the incremental cluster
+#               update capstone above all, plus lsh_width_report (round-6
+#               verdict #1); (b) the entries ADDED or materially CHANGED
+#               this round (flagship partition gate, MG guarantee gate,
+#               multi-probe ANN gate); (c) backfill from the longest-stale
+#               packs (dedup-core/text/dedup-ext/similarity/multimodal,
+#               last driver-validated r05), preferring hash-GATED entries
+#               at the margin (verdict #7) — all 50 round-7 slots carry
+#               oracles.
 # The overflow packs are still independently REPRODUCIBLE every round:
 # `python full_correctness.py` replays the driver's exact per-query record
 # (rows/schema/value-hash vs the same DuckDB oracles) over the ENTIRE
 # registry and writes CORRECTNESS_FULL.json — the judge can rerun it in one
 # command rather than trusting the committed artifact.
 # tests/test_entry_contract.py::test_priority_packs_inside_driver_window pins
-# the ordering so a future pack addition can't silently displace the pack
-# whose turn it is.
+# the window so a future pack addition can't silently displace it.
 from datafusion_dedup_ai_spark import queries_extras  # noqa: F401
-# Overflow packs this round (each driver-validated green in a prior round;
-# graded via CORRECTNESS_FULL.json + pytest until their turn comes again).
 from datafusion_dedup_ai_spark import queries_dedup  # noqa: F401
 from datafusion_dedup_ai_spark import queries_text  # noqa: F401
 from datafusion_dedup_ai_spark import queries_dedup_ext  # noqa: F401
@@ -48,7 +53,72 @@ from datafusion_dedup_ai_spark import queries_similarity  # noqa: F401
 from datafusion_dedup_ai_spark import queries_multimodal  # noqa: F401
 from datafusion_dedup_ai_spark import queries_curation  # noqa: F401
 from datafusion_dedup_ai_spark import queries_relational  # noqa: F401
-from datafusion_dedup_ai_spark.registry import oracle_sql, queries  # noqa: F401
+from datafusion_dedup_ai_spark.registry import (  # noqa: F401
+    oracle_sql,
+    promote_window,
+    queries,
+)
+
+ROUND7_WINDOW = [
+    # (a) never driver-validated before this round
+    "positional_index",
+    "hourly_value_ohlc",
+    "collocation_scores",
+    "ab_test_report",
+    "rrf_fused_ranking",
+    "kmv_distinct_by_type",
+    "cluster_b3_metrics",
+    "user_event_features",
+    "label_centroid_drift",
+    "minhash_estimate_report",
+    "incremental_cluster_update",
+    "lsh_width_report",
+    # (b) new / materially changed in round 7
+    "dedup_cluster_partition",
+    "heavy_hitter_terms",
+    "ann_lsh_topk_gated",
+    # (c) dedup-core pack (stale since r05; gated members only)
+    "normalize_names",
+    "company_base_names",
+    "candidate_pairs",
+    "matched_pairs",
+    "levenshtein_matched_pairs",
+    "canonical_mapping",
+    "cluster_review",
+    "cluster_stats",
+    "canonical_summary",
+    "token_cluster_canonical",
+    "industry_classification",
+    "enriched_clusters",
+    # (c) text pack (stale since r05)
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_language_id",
+    "doc_fingerprints",
+    "corpus_top_terms",
+    "doc_tfidf_topterms",
+    "duplicate_substring_spans",
+    "ngram_jaccard_pairs",
+    "clean_corpus",
+    "doc_repetition_stats",
+    # (c) dedup-ext pack (stale since r05; gated members only)
+    "exact_dedup_events",
+    "exact_dedup_documents",
+    "minhash_signatures",
+    "minhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "incremental_exact_new_docs",
+    "incremental_near_dup_matches",
+    # (c) similarity + multimodal packs (stale since r05; gated members only)
+    "cosine_topk",
+    "embedding_near_pairs",
+    "embedding_dedup_clusters",
+    "media_payload_stats",
+    "media_frame_samples",
+]
+
+promote_window(ROUND7_WINDOW)
 
 # re-export the flagship for __spark_entry__.entry()
 from datafusion_dedup_ai_spark.queries_dedup import q_dedup_clusters  # noqa: F401

