@@ -77,6 +77,8 @@ ROUND7_WINDOW = [
     "dedup_cluster_partition",
     "heavy_hitter_terms",
     "ann_lsh_topk_gated",
+    "streaming_attribution_join",
+    "phonetic_blocked_pairs",
     # (c) dedup-core pack (stale since r05; gated members only)
     "normalize_names",
     "company_base_names",
@@ -110,12 +112,12 @@ ROUND7_WINDOW = [
     "simhash_near_pairs",
     "incremental_exact_new_docs",
     "incremental_near_dup_matches",
-    # (c) similarity + multimodal packs (stale since r05; gated members only)
+    # (c) similarity pack (stale since r05; gated members only; the two
+    # multimodal slots yielded to the new stream-stream join and phonetic
+    # blocking gates — media_* were driver-validated green in r05)
     "cosine_topk",
     "embedding_near_pairs",
     "embedding_dedup_clusters",
-    "media_payload_stats",
-    "media_frame_samples",
 ]
 
 promote_window(ROUND7_WINDOW)

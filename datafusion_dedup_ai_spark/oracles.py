@@ -120,6 +120,48 @@ def sql_reason(ratio: str, token_match: str) -> str:
     )
 
 
+# Spark's US_ENGLISH soundex mapping (UTF8String.soundex): A..Z ->
+# 0123 0127 0224 5501 2623 0172 02, where 7 marks H/W ("silent": skipped
+# WITHOUT touching the last-code state) and 0 marks vowels+Y (emit nothing,
+# reset the last-code state so a repeated consonant across a vowel emits).
+_SOUNDEX_DIGITS = "01230127022455012623017202"
+
+
+def sql_soundex(expr: str) -> str:
+    """DuckDB mirror of Spark's ``soundex`` for UPPERCASE ALPHABETIC input
+    (the phonetic-blocking query feeds it `[A-Z]+` tokens only — Spark's
+    non-letter fallback branches are out of contract and pinned as such in
+    tests/test_normalize.py::test_soundex_parity). Implemented as a
+    list_reduce fold over the character stream with the (output, last-code)
+    state encoded in a VARCHAR accumulator ('out|last'), the same
+    same-type-accumulator trick as the suffix-strip fixpoint."""
+    d_first = f"translate({expr}[1], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_DIGITS}')"
+    chars = f"[{expr}[i] FOR i IN range(2, len({expr}) + 1)]"
+    step = (
+        "(acc, c) -> CASE "
+        # 4 output chars reached: the Java loop breaks — state frozen
+        "WHEN len(split_part(acc, '|', 1)) >= 4 THEN acc "
+        # H/W: skipped entirely, last-code untouched
+        f"WHEN translate(c, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_DIGITS}') = '7' THEN acc "
+        # vowels: emit nothing, reset last-code
+        f"WHEN translate(c, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_DIGITS}') = '0' "
+        "THEN split_part(acc, '|', 1) || '|0' "
+        # same code as previous: collapse, keep state
+        f"WHEN translate(c, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_DIGITS}') = split_part(acc, '|', 2) "
+        f"THEN split_part(acc, '|', 1) || '|' || translate(c, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_DIGITS}') "
+        # new code: emit and remember
+        f"ELSE split_part(acc, '|', 1) || translate(c, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_DIGITS}') "
+        f"|| '|' || translate(c, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_DIGITS}') END"
+    )
+    fold = (
+        f"list_reduce(list_prepend({expr}[1] || '|' || {d_first}, {chars}), {step})"
+    )
+    return (
+        f"(CASE WHEN {expr} = '' OR {expr} IS NULL THEN '' "
+        f"ELSE rpad(split_part({fold}, '|', 1), 4, '0') END)"
+    )
+
+
 def sql_connected_components(pairs_cte: str, universe_sql: str, id_col: str) -> str:
     """CTE chain labeling every id in ``universe_sql`` with the MIN id of its
     connected component over the undirected edge set in ``pairs_cte``

@@ -274,6 +274,106 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic typo injection for the phonetic tier: partkey%3==1 rows
+# carry the vowel-dropped leading token (GOLDENROD -> GLDNRD), %3==2 rows
+# the first-letter-doubled one (GGOLDENROD). Both typo classes PRESERVE the
+# soundex code (vowels only reset code separation; doubled letters
+# collapse) while breaking the prefix block key — the exact inputs phonetic
+# blocking exists to catch. The part vocabulary itself is phonetically
+# clean (zero natural soundex collisions at sf0.01), so without injection
+# the query would be vacuously empty.
+_PHONETIC_TOK_SQL = "regexp_extract(upper(p_name), '^[A-Z]+', 0)"
+_PHONETIC_NAME_SQL = f"""
+    CASE WHEN {_PHONETIC_TOK_SQL} = '' THEN ''
+         WHEN p_partkey % 3 = 1 THEN
+             substr({_PHONETIC_TOK_SQL}, 1, 1) ||
+             regexp_replace(substr({_PHONETIC_TOK_SQL}, 2), '[AEIOU]', '', 'g')
+         WHEN p_partkey % 3 = 2 THEN
+             substr({_PHONETIC_TOK_SQL}, 1, 1) || {_PHONETIC_TOK_SQL}
+         ELSE {_PHONETIC_TOK_SQL} END
+"""
+
+
+def _phonetic_name_col() -> F.Column:
+    tok = F.regexp_extract(F.upper(F.col("p_name")), "^[A-Z]+", 0)
+    dropped = F.concat(
+        F.substring(tok, 1, 1),
+        F.regexp_replace(tok.substr(F.lit(2), F.length(tok)), "[AEIOU]", ""),
+    )
+    doubled = F.concat(F.substring(tok, 1, 1), tok)
+    p = F.col("p_partkey")
+    return (
+        F.when(tok == "", F.lit(""))
+        .when(p % 3 == 1, dropped)
+        .when(p % 3 == 2, doubled)
+        .otherwise(tok)
+    )
+
+
+@register(
+    "phonetic_blocked_pairs",
+    f"""
+    WITH named AS (
+        SELECT {_PHONETIC_NAME_SQL} AS tok FROM part
+    ), freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM named WHERE tok <> '' GROUP BY tok
+    ), keyed AS (
+        SELECT tok, cnt, {O.sql_soundex('tok')} AS phonetic_key FROM freq
+    )
+    SELECT a.phonetic_key AS phonetic_key,
+           a.tok AS name_a, b.tok AS name_b,
+           jaro_winkler_similarity(a.tok, b.tok) AS jw,
+           CAST(a.cnt * b.cnt AS BIGINT) AS pair_rows
+    FROM keyed a JOIN keyed b
+      ON a.phonetic_key = b.phonetic_key AND a.tok < b.tok
+    """,
+)
+def q_phonetic_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC blocking tier — the alternative B1 for typo-heavy name
+    corpora: candidates are generated where tokens SOUND alike (Spark's
+    builtin ``soundex``, US English), catching the vowel-dropped and
+    letter-doubled misspellings above that the prefix-based block key
+    structurally cannot (its components are the literal first character,
+    length bucket, and first token). Entity-collapsed like
+    group_pair_matches: the self-join runs on the DISTINCT token
+    vocabulary (Heaps-bounded at any corpus size), each pair carrying
+    ``pair_rows`` = the row-pair count it represents, so the quadratic
+    stays in vocabulary space, never row space — the same collapse that
+    keeps the 100 TB J1 feasible.
+
+    Hash-gated end-to-end: the oracle re-implements Spark's soundex as a
+    DuckDB list_reduce fold (oracles.sql_soundex — mapping, H/W silence,
+    vowel reset, 4-char truncation; classic-vector + cross-engine parity
+    in tests/test_normalize.py) and DuckDB's jaro_winkler_similarity
+    mirrors the pandas_udf bitwise (matched_pairs pins that)."""
+    from datafusion_dedup_ai_spark.functions.similarity import jaro_winkler_udf
+
+    part = load_spread(spark, sf_dir, "part")
+    named = part.select(_phonetic_name_col().alias("tok"))
+    freq = (
+        named.where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    keyed = freq.withColumn("phonetic_key", F.soundex(F.col("tok")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.phonetic_key") == F.col("b.phonetic_key"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .select(
+            F.col("a.phonetic_key").alias("phonetic_key"),
+            F.col("a.tok").alias("name_a"),
+            F.col("b.tok").alias("name_b"),
+            jaro_winkler_udf(F.col("a.tok"), F.col("b.tok")).alias("jw"),
+            (F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("pair_rows"),
+        )
+    )
+
+
 def _dedup_cluster_partition_oracle() -> str:
     """Independent DuckDB replay of the flagship's CLUSTER PARTITION — unlike
     the O-pack oracles (which read the materialized snapshot, verifying only

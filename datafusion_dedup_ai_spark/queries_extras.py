@@ -561,6 +561,84 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSJOIN_DONE: set[str] = set()
+
+_ATTR_HORIZON_US = 3_600_000_000  # 60 minutes
+
+
+@register(
+    "streaming_attribution_join",
+    f"""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id, c.click_us, p.purchase_us
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND c.click_us <= p.purchase_us
+     AND c.click_us >= p.purchase_us - {_ATTR_HORIZON_US}
+    """,
+)
+def q_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (streaming/windows.py::
+    streaming_click_purchase_join): each purchase attributes the same
+    user's clicks from the preceding 60 minutes, driven to completion over
+    the deterministic event-time-ordered replay of `events`. The one major
+    Structured Streaming operator class that previously had no registry
+    surface (tumbling/sliding/session aggs and three foreachBatch sinks are
+    registered; the two-sided-state join was pinned only in
+    tests/test_streaming.py).
+
+    HASH-GATED by the same convergence argument as
+    streaming_sliding_counts: with event-time-ordered replay the watermark
+    always trails both sides' arrivals, so no click is evicted from join
+    state before its attributable purchases arrive, and the converged
+    append-mode output equals the batch time-range join — which the oracle
+    replays in pure SQL.
+
+    Scale shape: BOTH sides watermarked + an explicit time-range predicate,
+    so Spark derives state-eviction bounds — click state is dropped once
+    the purchase watermark passes click_ts + horizon. Without the range
+    condition state grows forever; the horizon IS the state budget at
+    100 TB/day rates. Run-once replay caches its result parquet per
+    (process, sf); the registered query itself is a plain scan."""
+    import os
+    import shutil
+
+    from datafusion_dedup_ai_spark.materialize import _REPO_ROOT, sf_cache_key
+    from datafusion_dedup_ai_spark.streaming import windows as W
+
+    root = os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "stream_ssjoin"
+    )
+    out_dir = os.path.join(root, "result")
+    if root not in _SSJOIN_DONE:
+        shutil.rmtree(root, ignore_errors=True)
+        stream = W.replay_events_as_stream(
+            spark, sf_dir, os.path.join(root, "stage")
+        )
+        joined = W.streaming_click_purchase_join(
+            stream, stream, horizon_minutes=_ATTR_HORIZON_US // 60_000_000
+        )
+        q = W.run_stream_to_memory(
+            joined, "ssjoin_registry", output_mode="append"
+        )
+        try:
+            q.processAllAvailable()
+            spark.table("ssjoin_registry").write.mode("overwrite").parquet(
+                out_dir
+            )
+        finally:
+            q.stop()
+        _SSJOIN_DONE.add(root)
+    return spark.read.parquet(out_dir).select(
+        "user_id", "click_id", "purchase_id", "click_us", "purchase_us"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style document quality rule pack (Rae et al. 2021, "Scaling Language
 # Models: Methods, Analysis & Insights from Training Gopher", arXiv:2112.11446

@@ -98,15 +98,12 @@ def build_scaled(spark, src_sf: str, dst: str, factor: int) -> None:
     )
 
 
-def build_scaled_constdup(spark, src_sf: str, dst: str, factor: int) -> None:
-    """CONSTANT-dup-rate 10x documents corpus (round-6 verdict #4): each
-    copy i > 0 interleaves a copy-unique marker token after EVERY word, so
-    its word-bigram shingle set is disjoint from the original's and from
-    every other copy's — the copies are perturbed PAST the J >= 0.5
-    near-dup threshold. True-pair density therefore stays the 1x corpus's
-    intrinsic rate instead of growing 45x like the planted-near-dup corpus,
-    isolating the ALGORITHMIC exponent of the banded-LSH candidate path
-    from the data-dependent growth of real output."""
+def _marker_scaled_docs(spark, src_sf: str, dst: str, factor: int, marker_sql):
+    """Copies with every SECOND word rewritten by ``marker_sql`` — token
+    and shingle VOLUME are unchanged (appending markers instead would
+    double both and conflate a 10x corpus with a 20x workload), while
+    every original word-bigram gains a rewritten endpoint, pushing every
+    copy past the J >= 0.5 verify threshold vs the original."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(os.path.join(src_sf, "documents.parquet"))
@@ -118,8 +115,9 @@ def build_scaled_constdup(spark, src_sf: str, dst: str, factor: int) -> None:
         else:
             text = F.expr(
                 f"array_join(transform(split(text, ' '), "
-                f"x -> concat(x, ' zqmark{i}z')), ' ')"
-            )
+                f"(x, idx) -> CASE WHEN idx % 2 = 1 THEN {marker_sql(i)} "
+                f"ELSE x END), ' ')"
+            )  # marker_sql may reference x (the word) and outer columns
         copy = docs.select(
             (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
             text.alias("text"),
@@ -129,6 +127,45 @@ def build_scaled_constdup(spark, src_sf: str, dst: str, factor: int) -> None:
         out = copy if out is None else out.unionByName(copy)
     out.repartition(32).write.mode("overwrite").parquet(
         os.path.join(dst, "documents.parquet")
+    )
+
+
+def build_scaled_constdup(spark, src_sf: str, dst: str, factor: int) -> None:
+    """CONSTANT-dup-rate 10x documents corpus (round-6 verdict #4): each
+    copy i > 0 PREFIXES every second word with a copy-level tag — a
+    bijective rewrite of the word-bigram shingle space, so within-copy
+    pairwise Jaccard is EXACTLY preserved (the 1x corpus's intrinsic
+    near-dup pairs exist once per copy: constant density, 10x true pairs)
+    while every cross-stratum pair shares zero shingles (every bigram has
+    a tagged endpoint, and tags differ per stratum / from the original).
+    Token and shingle volume unchanged. This isolates the ALGORITHMIC
+    exponent of the banded-LSH candidate path: output grows exactly 10x,
+    ambient candidate mass does not grow at all. (The first cut of this
+    corpus used per-DOC markers, which silently destroyed the intra-copy
+    dups — pairs stayed 256 at 10x, making the probe vacuously linear;
+    the copy-level bijection is the honest construction.)"""
+    _marker_scaled_docs(
+        spark, src_sf, dst, factor, lambda i: f"concat('zq{i}', x)"
+    )
+
+
+def build_scaled_templated(spark, src_sf: str, dst: str, factor: int) -> None:
+    """ADVERSARIAL ambient-similarity 10x corpus: every copy-i document
+    replaces every second word with the SAME copy-wide marker — a stand-in
+    for boilerplate-heavy corpora (site templates, license headers) where
+    large document strata share moderate shingle overlap without being
+    near-dups. Any two copy-i documents then share every (w, marker) /
+    (marker, w) shingle for their common words w, pushing ambient pairwise
+    Jaccard into the LSH banding's catch range while staying below the
+    J >= 0.5 verify threshold: the 16x4 banding admits Theta(sum over
+    pairs of catch(J_pair)) candidates that all FAIL verification — LSH's
+    documented boilerplate failure mode, NOT a plan defect (the
+    per-doc-marker corpus above measures the same code at ~linear). The
+    mitigation is the max_df hot-shingle guard, whose effect the probe
+    measures alongside (minhash_near_dup_pairs@templated vs
+    @templated_maxdf)."""
+    _marker_scaled_docs(
+        spark, src_sf, dst, factor, lambda i: f"'zqmark{i}z'"
     )
 
 
@@ -261,21 +298,53 @@ def main() -> None:
     # corpus grows TRUE pair output ~45x, so minhash's 0.87-1.03 exponent
     # there measures data density; this corpus holds pair density constant
     # and measures the candidate machinery alone.
-    name = "minhash_near_dup_pairs@constdup"
-    time_query(qs, "minhash_near_dup_pairs", spark, src)
-    time_query(qs, "minhash_near_dup_pairs", spark, dst_const)
-    t1 = min(time_query(qs, "minhash_near_dup_pairs", spark, src) for _ in range(2))
-    t10 = min(
-        time_query(qs, "minhash_near_dup_pairs", spark, dst_const)
-        for _ in range(2)
+    def probe_minhash(name, sf10_dir, max_df, gate):
+        nonlocal ok
+
+        def one(sf_dir):
+            from pyspark.sql import functions as F
+
+            from datafusion_dedup_ai_spark.functions import text as T
+            from datafusion_dedup_ai_spark.operators import dedup as D
+
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            sh = docs.select(
+                "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
+            )
+            t0 = time.time()
+            D.minhash_near_dup_pairs(sh, threshold=0.5, max_df=max_df).count()
+            return time.time() - t0
+
+        one(src)
+        one(sf10_dir)
+        t1 = min(one(src) for _ in range(2))
+        t10 = min(one(sf10_dir) for _ in range(2))
+        exponent = math.log(max(t10, 1e-6) / max(t1, 1e-6)) / math.log(factor)
+        report[name] = {
+            "t_1x_s": round(t1, 3),
+            "t_10x_s": round(t10, 3),
+            "exponent": round(exponent, 3),
+            "gated": gate,
+        }
+        if gate:
+            ok = ok and exponent <= MAX_EXPONENT
+
+    probe_minhash("minhash_near_dup_pairs@constdup", dst_const, None, True)
+    # Templated-boilerplate stress PAIR: the default config's documented
+    # failure mode (ambient-Jaccard candidate mass — expected superlinear,
+    # excluded from the gate) and the max_df guard that restores the
+    # exponent (gated).
+    dst_tmpl = "/tmp/spark_graft_scale10_templated"
+    if os.path.isdir(dst_tmpl):
+        shutil.rmtree(dst_tmpl)
+    build_scaled_templated(spark, src, dst_tmpl, factor)
+    probe_minhash("minhash_near_dup_pairs@templated", dst_tmpl, None, False)
+    probe_minhash(
+        "minhash_near_dup_pairs@templated_maxdf", dst_tmpl, 0.05, True
     )
-    exponent = math.log(max(t10, 1e-6) / max(t1, 1e-6)) / math.log(factor)
-    report[name] = {
-        "t_1x_s": round(t1, 3),
-        "t_10x_s": round(t10, 3),
-        "exponent": round(exponent, 3),
-    }
-    ok = ok and exponent <= MAX_EXPONENT
 
     # Adaptive-default index build + match (verdict #3 'done' check)
     name = "vector_index_adaptive_build_match"

@@ -631,8 +631,10 @@ def test_multimodal_curation_rules(spark, sf_dir):
 
 def test_ann_lsh_gated_recall_and_bucket_provenance(spark, sf_dir):
     """The gated LSH tier must (a) only return candidates that truly share
-    a bucket with the query (provenance) and (b) keep recall vs brute
-    force above the base-probe floor."""
+    a bucket with the query — where the query side now probes its base
+    code PLUS the lowest-|margin| single-bit flip per table (round-7
+    multi-probe; the probed buckets derive from the margins fixture) —
+    and (b) keep recall vs brute force above the base-probe floor."""
     from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
     from datafusion_dedup_ai_spark.queries_extras import q_ann_lsh_topk_gated
     from datafusion_dedup_ai_spark.queries_similarity import q_cosine_topk
@@ -645,8 +647,20 @@ def test_ann_lsh_gated_recall_and_bucket_provenance(spark, sf_dir):
     ).collect()
     for r in bdf:
         buckets.setdefault(r["vec_id"], set()).add((r["table"], r["bucket"]))
+    # query probe sets: base bucket + (bucket XOR 1<<argmin-margin-bit)
+    qprobe: dict[int, set] = {}
+    best: dict[tuple, tuple] = {}
+    for r in spark.read.parquet(
+        HF.materialize_lsh_query_margins(spark, sf_dir)
+    ).collect():
+        key = (r["vec_id"], r["table"])
+        qprobe.setdefault(r["vec_id"], set()).add((r["table"], r["bucket"]))
+        if key not in best or r["margin"] < best[key][0]:
+            best[key] = (r["margin"], r["bucket"] ^ (1 << r["bit"]))
+    for (vec_id, table), (_, flipped) in best.items():
+        qprobe[vec_id].add((table, flipped))
     for r in got:
-        assert buckets[r["query_id"]] & buckets[r["neighbor_id"]], r
+        assert qprobe[r["query_id"]] & buckets[r["neighbor_id"]], r
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in q_cosine_topk(spark, sf_dir).collect()

@@ -274,3 +274,57 @@ def test_unicode_parity_randomized_batch(spark):
     assert got_norm == [py_normalize_unicode(n) for n in names]
     got_base = spark_eval(spark, names, base_name)
     assert got_base == [py_base_unicode(n) for n in names]
+
+
+# Classic US-Soundex ground-truth vectors (the H/W-silence cases are the
+# discriminating ones: ASHCRAFT -> A261 requires S and C to collapse ACROSS
+# the silent H, which naive implementations miss).
+_SOUNDEX_GROUND_TRUTH = {
+    "ROBERT": "R163",
+    "RUPERT": "R163",
+    "ASHCRAFT": "A261",
+    "ASHCROFT": "A261",
+    "TYMCZAK": "T522",
+    "PFISTER": "P236",
+    "HONEYMAN": "H555",
+    "JACKSON": "J250",
+    "A": "A000",
+    "EULER": "E460",
+    "GAUSS": "G200",
+    "HILBERT": "H416",
+    "KNUTH": "K530",
+    "LLOYD": "L300",
+    "WHEATON": "W350",
+}
+
+
+def test_soundex_parity(spark):
+    """Spark's builtin soundex vs the DuckDB list_reduce mirror
+    (oracles.sql_soundex) — the phonetic_blocked_pairs gate rests on these
+    two agreeing on every uppercase-alpha token. Checked on the classic
+    ground-truth vectors AND the live part-name vocabulary."""
+    import duckdb
+
+    from datafusion_dedup_ai_spark.oracles import sql_soundex
+
+    vocab = sorted(_SOUNDEX_GROUND_TRUTH) + [
+        "GOLDENROD", "LAVENDER", "SPRING", "PERU", "POWDER", "ALMOND",
+        "ANTIQUE", "AQUAMARINE", "AZURE", "BEIGE", "BISQUE", "BLANCHED",
+        "BLUSH", "BURLYWOOD", "BURNISHED", "CHARTREUSE", "CHIFFON",
+        "CHOCOLATE", "CORNFLOWER", "CORNSILK", "WHWH", "HW", "BB", "BPB",
+    ]
+    got_spark = {
+        r["tok"]: r["sx"]
+        for r in spark.createDataFrame([(w,) for w in vocab], "tok string")
+        .select("tok", F.soundex(F.col("tok")).alias("sx"))
+        .collect()
+    }
+    con = duckdb.connect()
+    expr = sql_soundex("tok")
+    for w in vocab:
+        duck = con.execute(
+            f"SELECT {expr} FROM (SELECT '{w}' AS tok)"
+        ).fetchone()[0]
+        assert duck == got_spark[w], f"{w}: duckdb {duck} vs spark {got_spark[w]}"
+    for w, want in _SOUNDEX_GROUND_TRUTH.items():
+        assert got_spark[w] == want, f"{w}: spark {got_spark[w]} vs classic {want}"
