@@ -603,3 +603,170 @@ def q_training_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_chunks.alias("n_chunks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL hygiene (functions/urls.py): canonicalization + host-level dedup stats.
+# The testdata has no URL column, so both sides derive the same DIRTY url
+# deterministically from (doc_id, source): mixed-case scheme/host, www
+# prefixes, default and non-default ports, utm tracker runs, fragments and
+# trailing slashes — every mess the canonicalizer must survive. The path and
+# the surviving query param key on pid = doc_id % 50, so each host carries
+# genuine RECRAWL DUPLICATES (same resource, differently-dirty urls) for the
+# host stats to count.
+# ---------------------------------------------------------------------------
+
+_RAW_URL_SQL = """
+    CASE WHEN doc_id % 7 = 0 THEN 'HTTP' WHEN doc_id % 2 = 0 THEN 'HTTPS'
+         ELSE 'https' END
+    || '://'
+    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
+    || '.Example.'
+    || CASE length(source) % 3 WHEN 0 THEN 'COM' WHEN 1 THEN 'org'
+            ELSE 'net' END
+    || CASE WHEN doc_id % 7 = 0 THEN ':80' WHEN doc_id % 11 = 0 THEN ':8080'
+            WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+    || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id % 50 AS VARCHAR)
+            WHEN doc_id % 4 = 1
+            THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_medium=rss'
+            WHEN doc_id % 4 = 2 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END
+"""
+
+
+def _raw_url_col() -> Column:
+    d = F.col("doc_id")
+    src = F.col("source")
+    tld = (
+        F.when(F.length(src) % 3 == 0, "COM")
+        .when(F.length(src) % 3 == 1, "org")
+        .otherwise("net")
+    )
+    pid = (d % 50).cast("string")
+    return F.concat(
+        F.when(d % 7 == 0, "HTTP").when(d % 2 == 0, "HTTPS").otherwise("https"),
+        F.lit("://"),
+        F.when(d % 3 == 0, "WWW.").otherwise(""),
+        F.when(d % 4 == 0, "cdn.").otherwise(""),
+        F.when(d % 5 == 0, F.upper(src)).otherwise(src),
+        F.lit(".Example."),
+        tld,
+        F.when(d % 7 == 0, ":80")
+        .when(d % 11 == 0, ":8080")
+        .when(d % 2 == 0, ":443")
+        .otherwise(""),
+        F.lit("/Docs/"),
+        pid,
+        F.when(d % 5 == 0, "/").otherwise(""),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&utm_campaign=x&id="), pid),
+        )
+        .when(d % 4 == 1, F.concat(F.lit("?id="), pid, F.lit("&utm_medium=rss")))
+        .when(d % 4 == 2, F.concat(F.lit("?id="), pid))
+        .otherwise(""),
+        F.when(d % 6 == 0, "#Section-2").otherwise(""),
+    )
+
+
+def _url_mapping_oracle() -> str:
+    from datafusion_dedup_ai_spark.functions import urls as U
+
+    canon = U.sql_canonical_url("raw_url")
+    return f"""
+    WITH raw AS (
+        SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents
+    ), canon AS (
+        SELECT doc_id, raw_url, {canon} AS canonical_url FROM raw
+    )
+    SELECT doc_id, raw_url, canonical_url,
+           {U.sql_url_host('canonical_url')} AS host,
+           {U.sql_registrable_domain(U.sql_url_host('canonical_url'))}
+               AS reg_domain
+    FROM canon
+    """
+
+
+@register("url_canonical_mapping", _url_mapping_oracle)
+def q_url_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): scheme/host lowercasing,
+    www and default-port stripping, tracker-param removal (utm_*/fbclid/
+    gclid/msclkid/ref — including consecutive runs), fragment and trailing-
+    slash cleanup — the normalize-before-dedup step every web-corpus
+    pipeline runs before keying anything on a URL. Pure regexp Column
+    expressions (whole-stage codegen, no UDF); hash-gated against DuckDB
+    mirrors generated from the SAME pattern constants, so the two regex
+    engines (Java / RE2) are proven to agree on every derived dirty URL."""
+    from datafusion_dedup_ai_spark.functions import urls as U
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _raw_url_col().alias("raw_url"))
+    canon = raw.withColumn("canonical_url", U.canonical_url(F.col("raw_url")))
+    host = U.url_host(F.col("canonical_url"))
+    return canon.select(
+        "doc_id",
+        "raw_url",
+        "canonical_url",
+        host.alias("host"),
+        U.registrable_domain(host).alias("reg_domain"),
+    )
+
+
+def _host_url_stats_oracle() -> str:
+    from datafusion_dedup_ai_spark.functions import urls as U
+
+    canon = U.sql_canonical_url("raw_url")
+    return f"""
+    WITH raw AS (
+        SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents
+    ), canon AS (
+        SELECT doc_id, {canon} AS canonical_url FROM raw
+    ), keyed AS (
+        SELECT doc_id, canonical_url,
+               {U.sql_url_host('canonical_url')} AS host
+        FROM canon
+    )
+    SELECT host,
+           {U.sql_registrable_domain('host')} AS reg_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_resources,
+           CAST(COUNT(*) - COUNT(DISTINCT canonical_url) AS BIGINT)
+               AS n_recrawl_dups
+    FROM keyed GROUP BY host
+    """
+
+
+@register("host_url_stats", _host_url_stats_oracle)
+def q_host_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level URL dedup stats — the table a crawl-curation pipeline
+    reads to budget per-host quality priors and recrawl pressure: per
+    canonical host, document count, DISTINCT canonical resources, and the
+    recrawl-duplicate surplus (docs whose differently-dirty raw urls
+    canonicalized to the same resource). One groupBy on the host — the
+    shuffle key a 100 TB crawl would bucket its url table by anyway."""
+    from datafusion_dedup_ai_spark.functions import urls as U
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = (
+        d.select(
+            "doc_id",
+            U.canonical_url(_raw_url_col()).alias("canonical_url"),
+        )
+        .withColumn("host", U.url_host(F.col("canonical_url")))
+        .withColumn("reg_domain", U.registrable_domain(F.col("host")))
+    )
+    # reg_domain is functionally dependent on host, so adding it to the
+    # grouping changes no group boundaries — it just rides the same shuffle.
+    return keyed.groupBy("host", "reg_domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("canonical_url").cast("bigint").alias("n_resources"),
+        (F.count("*") - F.countDistinct("canonical_url"))
+        .cast("bigint")
+        .alias("n_recrawl_dups"),
+    )

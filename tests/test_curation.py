@@ -164,3 +164,62 @@ def test_dup_shingle_fraction_bounds(spark, sf_dir):
     # the synthetic corpus shares vocabulary across docs, so duplicated
     # shingles must exist somewhere
     assert any(r["n_dup_shingles"] > 0 for r in rows)
+
+
+def test_url_canonicalization_cross_engine_nasty_cases(spark):
+    """functions/urls.py parity on handcrafted urls nastier than the
+    derived fixture: 4-tracker runs (the x3 unroll bound), ref/fbclid,
+    root-slash preservation, non-default ports kept, path case kept,
+    tracker-only query collapsing to nothing."""
+    import duckdb
+
+    from datafusion_dedup_ai_spark.functions import urls as U
+    from pyspark.sql import functions as F
+
+    cases = [
+        "HTTPS://WWW.Ex.COM:443/A/B/?utm_a=1&utm_b=2&utm_c=3&utm_d=4&x=9#f",
+        "http://ex.com:80/?ref=abc",
+        "https://ex.com/",
+        "https://ex.com",
+        "https://sub.ex.com:8443/Path/",
+        "http://ex.com/p?fbclid=XYZ&gclid=Q&keep=1",
+        "https://ex.com/p?a=1&msclkid=m",
+        "https://WWW.ex.com/CaseKept/Q?Id=UPPER",
+        "HTTP://ex.com:80",
+        "https://a.b.c.ex.org/x/y/z/?utm_source=s",
+    ]
+    got_spark = {
+        r["u"]: (r["c"], r["h"], r["d"])
+        for r in spark.createDataFrame([(u,) for u in cases], "u string")
+        .select(
+            "u",
+            U.canonical_url(F.col("u")).alias("c"),
+            U.url_host(U.canonical_url(F.col("u"))).alias("h"),
+            U.registrable_domain(U.url_host(U.canonical_url(F.col("u")))).alias("d"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    for u in cases:
+        c, h, d = con.execute(
+            f"SELECT {U.sql_canonical_url('u')}, "
+            f"{U.sql_url_host(U.sql_canonical_url('u'))}, "
+            f"{U.sql_registrable_domain(U.sql_url_host(U.sql_canonical_url('u')))} "
+            f"FROM (SELECT '{u}' AS u)"
+        ).fetchone()
+        assert (c, h, d) == got_spark[u], f"{u}: duckdb {(c, h, d)} vs spark {got_spark[u]}"
+    # semantic ground truth on the discriminating cases
+    assert got_spark[cases[0]][0] == "https://ex.com/A/B?x=9"
+    assert got_spark[cases[1]][0] == "http://ex.com/"  # root slash kept
+    assert got_spark[cases[2]][0] == "https://ex.com/"
+    assert got_spark[cases[3]][0] == "https://ex.com/"  # empty path -> root
+    assert got_spark[cases[8]][0] == "http://ex.com/"
+    assert got_spark[cases[4]][0] == "https://sub.ex.com:8443/Path"  # port kept
+    assert got_spark[cases[5]][0] == "http://ex.com/p?keep=1"
+    assert got_spark[cases[6]][0] == "https://ex.com/p?a=1"
+    assert got_spark[cases[7]][0] == "https://ex.com/CaseKept/Q?Id=UPPER"
+    assert got_spark[cases[9]] == (
+        "https://a.b.c.ex.org/x/y/z",
+        "a.b.c.ex.org",
+        "ex.org",
+    )
