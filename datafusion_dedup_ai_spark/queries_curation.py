@@ -770,3 +770,112 @@ def q_host_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_recrawl_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation POLICY composites over the gated dedup/quality layers: which
+# member of a near-dup cluster to keep, and how to threshold quality without
+# source bias. Both nest other registered queries' oracles as CTEs, so the
+# policy layer is hash-gated END-TO-END through the layers it composes.
+# ---------------------------------------------------------------------------
+
+
+def _quality_representatives_oracle() -> str:
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH tdc AS ({get_oracle("text_dedup_clusters")}),
+    q AS ({get_oracle("doc_quality_scores")}),
+    j AS (
+        SELECT t.doc_id, t.cluster_id, t.cluster_size, q.quality
+        FROM tdc t JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, cluster_size, quality,
+           (ROW_NUMBER() OVER (
+               PARTITION BY cluster_id
+               ORDER BY quality DESC, doc_id ASC) = 1) AS is_kept
+    FROM j
+    """
+
+
+@register("dedup_quality_representatives", _quality_representatives_oracle)
+def q_dedup_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-MAX representative election over the text near-dup clusters
+    — the curation policy real pipelines actually want (text_dedup_clusters
+    elects min-doc_id, the arbitrary-but-deterministic default; when
+    near-dups differ in quality you keep the BEST copy, not the first
+    crawled). Ties break to min doc_id so the election stays total. Both
+    layers it composes (the MinHash->components clusters and the quality
+    scores) are themselves hash-gated registered queries whose oracles nest
+    as CTEs — the policy cannot silently drift from the layers.
+
+    Scale shape: one join on doc_id + one window over cluster_id — both
+    shuffles already paid by any consumer of the cluster table."""
+    from datafusion_dedup_ai_spark.queries_extras import q_text_dedup_clusters
+    from datafusion_dedup_ai_spark.queries_text import q_doc_quality_scores
+
+    tdc = q_text_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    q = q_doc_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        tdc.join(q, "doc_id")
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "quality", "is_kept")
+    )
+
+
+SOURCE_QUALITY_KEEP_PCT = 0.2
+
+
+def _source_percentiles_oracle() -> str:
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH q AS ({get_oracle("doc_quality_scores")}),
+    j AS (
+        SELECT d.doc_id, d.source, q.quality
+        FROM documents d JOIN q ON q.doc_id = d.doc_id
+    ), r AS (
+        SELECT doc_id, source, quality,
+               PERCENT_RANK() OVER (
+                   PARTITION BY source
+                   ORDER BY quality ASC, doc_id ASC) AS q_pct_rank
+        FROM j
+    )
+    SELECT doc_id, source, quality, q_pct_rank,
+           q_pct_rank >= {SOURCE_QUALITY_KEEP_PCT} AS selected
+    FROM r
+    """
+
+
+@register("source_quality_percentiles", _source_percentiles_oracle)
+def q_source_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE quality calibration: percent-rank of each document's
+    quality within its source, and the keep decision at the bottom-20%
+    cutoff. A single global quality threshold silently starves whole
+    sources whose score DISTRIBUTION sits lower (boilerplate-heavy crawls
+    vs curated text) — rank-based per-source thresholding drops each
+    source's own worst tail instead, the standard bias-free calibration.
+    percent_rank = (rank-1)/(n-1) with a doc_id tie-break: exact integers
+    into ONE division, so the doubles are bit-identical cross-engine (the
+    same argument as the registered ratio gates). One window over the
+    source partition — the natural shuffle key."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    from datafusion_dedup_ai_spark.queries_text import q_doc_quality_scores
+
+    q = q_doc_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.join(q, "doc_id")
+        .withColumn("q_pct_rank", F.percent_rank().over(w))
+        .withColumn(
+            "selected", F.col("q_pct_rank") >= F.lit(SOURCE_QUALITY_KEEP_PCT)
+        )
+        .select("doc_id", "source", "quality", "q_pct_rank", "selected")
+    )

@@ -561,6 +561,75 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATEFUL_DEDUP_DONE: set[str] = set()
+
+
+@register(
+    "streaming_stateful_first_events",
+    """
+    SELECT user_id, event_type, event_id, first_ts_us FROM (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS first_ts_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1
+    """,
+)
+def q_streaming_stateful_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL streaming operator (streaming/stateful.py::
+    streaming_dedup_first_event, applyInPandasWithState): keep each
+    (user_id, event_type) key's first event across ALL triggers, state
+    carrying the first-seen id/timestamp — the §2-C 'custom stateful
+    operator' class, driven to completion over the deterministic replay
+    and now HASH-GATED (previously pinned only in tests/test_streaming.py).
+
+    Why the gate is sound: the operator sorts each key's within-batch rows
+    by (ts, event_id) before electing, and the replay's chunks are
+    event-time-ordered (ntile over (ts, event_id)), so a key's globally
+    minimal event always arrives in the first trigger that carries the key
+    at all — the converged output is exactly the batch
+    row_number()-over-(ts, event_id) = 1 projection the oracle computes.
+
+    Scale shape: one row of state per key (id + ts + dup counter, a few
+    bytes); production passes dedup_horizon_ms to bound the store via
+    EventTimeTimeout eviction (the bounded-window dedup contract —
+    eviction/re-admission pinned in tests)."""
+    import os
+    import shutil
+
+    from datafusion_dedup_ai_spark.materialize import _REPO_ROOT, sf_cache_key
+    from datafusion_dedup_ai_spark.streaming import windows as W
+    from datafusion_dedup_ai_spark.streaming.stateful import (
+        streaming_dedup_first_event,
+    )
+
+    root = os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "stream_stateful"
+    )
+    out_dir = os.path.join(root, "result")
+    if root not in _STATEFUL_DEDUP_DONE:
+        shutil.rmtree(root, ignore_errors=True)
+        stream = W.replay_events_as_stream(
+            spark, sf_dir, os.path.join(root, "stage")
+        )
+        q = W.run_stream_to_memory(
+            streaming_dedup_first_event(stream),
+            "stateful_registry",
+            output_mode="append",
+        )
+        try:
+            q.processAllAvailable()
+            spark.table("stateful_registry").write.mode("overwrite").parquet(
+                out_dir
+            )
+        finally:
+            q.stop()
+        _STATEFUL_DEDUP_DONE.add(root)
+    return spark.read.parquet(out_dir).select(
+        "user_id", "event_type", "event_id", "first_ts_us"
+    )
+
+
 _SSJOIN_DONE: set[str] = set()
 
 _ATTR_HORIZON_US = 3_600_000_000  # 60 minutes
