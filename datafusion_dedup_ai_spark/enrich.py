@@ -152,24 +152,7 @@ class LiveWebEnricher(Enricher):
         rate_per_sec: float = 2.0,
     ) -> None:
         if search_fn is None:
-            try:
-                from ddgs import DDGS  # type: ignore[import-not-found]
-            except ImportError:
-                try:
-                    from duckduckgo_search import (  # type: ignore[import-not-found]
-                        DDGS,
-                    )
-                except ImportError as exc:
-                    raise RuntimeError(
-                        "LiveWebEnricher needs the ddgs (or duckduckgo_search) "
-                        "package; install it or pass search_fn=. The "
-                        "deterministic StubEnricher is the default everywhere."
-                    ) from exc
-
-            def search_fn(query: str, max_results: int):
-                with DDGS() as ddgs:
-                    return list(ddgs.text(query, max_results=max_results))
-
+            search_fn = _default_ddgs_search()
         self._search = search_fn
         self._llm = llm_fn
         if llm_fn is not None:
@@ -233,13 +216,140 @@ class LiveWebEnricher(Enricher):
         return out
 
 
+def _extract_json_block(text: str) -> dict | None:
+    """Reference-parity response parsing (engine.py:174-180): strip an
+    optional ```json fence, then strict json.loads; None on anything that
+    doesn't parse to a dict."""
+    import json
+
+    text = text.strip()
+    if "```json" in text:
+        text = text.split("```json")[1].split("```")[0].strip()
+    try:
+        data = json.loads(text)
+    except (ValueError, TypeError):
+        return None
+    return data if isinstance(data, dict) else None
+
+
+def gemini_llm_fn(
+    search_fn=None,
+    generate_fn=None,
+    api_key: str | None = None,
+    model_name: str = "gemini-1.5-flash",
+    max_results: int = 5,
+):
+    """E4 agentic LLM research client (reference engine.py:144-183,
+    288-293): search snippets -> research prompt -> Gemini -> strict-JSON
+    ``{"name", "reason"}``. Returns an ``llm_fn(name) -> dict | None``
+    for ``LiveWebEnricher(llm_fn=...)`` — closing the one §2-A partial
+    (round-7 verdict #5). Nondeterministic external I/O, so it is opt-in
+    only and excluded from every correctness surface, like the rest of the
+    live seam.
+
+    All public API: the default transport is the ``google-generativeai``
+    package keyed by ``GEMINI_API_KEY`` (or ``api_key=``), matching the
+    reference's genai.configure + GenerativeModel('gemini-1.5-flash')
+    setup; the sandbox ships neither the package nor network, so both
+    hooks are injectable — ``generate_fn(prompt) -> response text`` and
+    ``search_fn(query, max_results) -> [{"title","href","body"}]`` — and
+    tests/test_live_seam_fixtures.py drives the full parse/prompt path
+    from recorded payloads.
+
+    Failure contract mirrors the reference: no snippets -> None, any
+    search/LLM/parse error -> None (per name, never failing the batch)."""
+    if generate_fn is None:
+        import os
+
+        try:
+            import google.generativeai as genai  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise RuntimeError(
+                "gemini_llm_fn needs the google-generativeai package; "
+                "install it or pass generate_fn=. Enrichment correctness "
+                "surfaces never depend on it — the stub path is the default."
+            ) from exc
+        key = api_key or os.environ.get("GEMINI_API_KEY")
+        if not key:
+            raise RuntimeError(
+                "gemini_llm_fn: set GEMINI_API_KEY (or pass api_key=)"
+            )
+        genai.configure(api_key=key)
+        model = genai.GenerativeModel(model_name)
+
+        def generate_fn(prompt: str) -> str:
+            return model.generate_content(prompt).text
+
+    if search_fn is None:
+        search_fn = _default_ddgs_search()
+
+    def llm_fn(name: str) -> dict | None:
+        if not name:
+            return None
+        try:
+            results = search_fn(
+                f"official legal name and website of company {name}",
+                max_results,
+            )
+            snippets = "\n".join(f"- {r.get('body', '')}" for r in results)
+            if not snippets.strip("- \n"):
+                return None
+            prompt = (
+                "You are an expert data researcher. Identify the official "
+                "legal name of a company from search snippets.\n\n"
+                f"Input Name: {name}\n\n"
+                f"Search Results:\n{snippets}\n\n"
+                "Report:\n"
+                '1. The full official legal name (e.g., "Apple Inc.").\n'
+                "2. A brief 1-sentence reason for your choice.\n\n"
+                "Respond STRICTLY in JSON format:\n"
+                '{"name": "OFFICIAL_NAME", "reason": "REASON"}'
+            )
+            return _extract_json_block(generate_fn(prompt))
+        except Exception:
+            return None
+
+    return llm_fn
+
+
+def _default_ddgs_search():
+    """The shared live search transport (ddgs with the legacy package-name
+    fallback) used by both LiveWebEnricher and gemini_llm_fn when no
+    search_fn is injected."""
+    try:
+        from ddgs import DDGS  # type: ignore[import-not-found]
+    except ImportError:
+        try:
+            from duckduckgo_search import DDGS  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise RuntimeError(
+                "live search needs the ddgs (or duckduckgo_search) "
+                "package; install it or pass search_fn=. The "
+                "deterministic StubEnricher is the default everywhere."
+            ) from exc
+
+    def search_fn(query: str, max_results: int):
+        with DDGS() as ddgs:
+            return list(ddgs.text(query, max_results=max_results))
+
+    return search_fn
+
+
 def enricher_from_env() -> Enricher:
     """The pipeline's enricher selector: deterministic stub unless the
     operator explicitly opts into live I/O with SPARK_GRAFT_LIVE_ENRICH=1
     (correctness gates always run with the stub — live results are
-    nondeterministic by nature, the SURVEY's documented exclusion)."""
+    nondeterministic by nature, the SURVEY's documented exclusion).
+    Agentic mode mirrors the reference's opt-in (engine.py:289-293:
+    agentic_mode setting AND an api key): additionally set
+    SPARK_GRAFT_AGENTIC=1 with GEMINI_API_KEY to route verification
+    through the E4 Gemini client."""
     import os
 
     if os.environ.get("SPARK_GRAFT_LIVE_ENRICH") == "1":
-        return LiveWebEnricher()
+        agentic = (
+            os.environ.get("SPARK_GRAFT_AGENTIC") == "1"
+            and os.environ.get("GEMINI_API_KEY")
+        )
+        return LiveWebEnricher(llm_fn=gemini_llm_fn() if agentic else None)
     return StubEnricher()

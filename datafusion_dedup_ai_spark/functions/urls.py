@@ -42,15 +42,15 @@ _CANON_STEPS: tuple[tuple[str, str], ...] = (
     # 2. tracking params: kill 'key=value' where key is a tracker, then
     #    mend separators. A tracker mid-query hands its leading separator
     #    to the next param; a trailing tracker takes its separator with it.
-    #    The mid-query rewrite is UNROLLED x3: one global left-to-right
-    #    pass removes alternating members of a consecutive-tracker run
-    #    (the separator consumed by match N is the anchor match N+1
-    #    needed), so K passes clear runs of ~2^K — 3 bounds any realistic
-    #    URL, identically on both engines (same non-overlapping scan
-    #    semantics, so parity holds even on longer runs).
-    (rf"([?&]){_TRACKERS}=[^&#]*&", "$1"),
-    (rf"([?&]){_TRACKERS}=[^&#]*&", "$1"),
-    (rf"([?&]){_TRACKERS}=[^&#]*&", "$1"),
+    #    The mid-query rewrite consumes an ENTIRE consecutive-tracker run
+    #    in one match — '([?&])(?:tracker=val&)+' with a greedy '+' — so a
+    #    single global pass is complete for runs of ANY length (the earlier
+    #    x3-unrolled form only cleared ~8-long runs; a 9-tracker URL kept
+    #    its tail). Non-capturing group + quantifier is Java- and
+    #    RE2-compatible, greedy in both, so parity holds and the whole
+    #    pipeline is idempotent (tests assert canon(canon(u)) == canon(u)
+    #    on 24-tracker runs).
+    (rf"([?&])(?:{_TRACKERS}=[^&#]*&)+", "$1"),
     (rf"[?&]{_TRACKERS}=[^&#]*$", ""),
     # 3. dangling '?' left by param removal
     (r"\?$", ""),

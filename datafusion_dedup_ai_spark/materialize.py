@@ -56,14 +56,14 @@ def sf_cache_key(sf_dir: str) -> str:
     hash of the ABSOLUTE path (so distinct sf dirs sharing a basename — e.g.
     two checkouts' testdata/sf0.01 — never collide in `.materialized/`) plus
     the package code fingerprint (so fixtures from an earlier code version
-    are never trusted by a standalone consumer)."""
+    are never trusted by a standalone consumer). Pure path computation — no
+    filesystem side effects (round-7 advice: stale-version reaping used to
+    hide in here; it now runs post-write, see ``atomic_parquet_overwrite``)."""
     norm = os.path.abspath(os.path.normpath(sf_dir))
     prefix = (
         os.path.basename(norm) + "-" + hashlib.md5(norm.encode()).hexdigest()[:8]
     )
-    key = prefix + "-" + code_fingerprint()
-    _reap_stale_versions(prefix, key)
-    return key
+    return prefix + "-" + code_fingerprint()
 
 
 _reaped: set[str] = set()
@@ -72,7 +72,13 @@ _reaped: set[str] = set()
 def _reap_stale_versions(prefix: str, keep: str) -> None:
     """Delete fixture dirs for the same sf under OLD code fingerprints (once
     per process per prefix) — the versioned key otherwise accumulates one
-    tree per code edit across long build sessions."""
+    tree per code edit across long build sessions. Called only AFTER a
+    successful fixture write under the current-version key (round-7 advice:
+    a pure path getter must not destroy siblings a concurrently-running
+    older-version process may be reading; post-write is the explicit,
+    expected moment for cleanup, and an older process that does get raced
+    re-materializes its deterministic fixture rather than trusting a stale
+    tree)."""
     if prefix in _reaped:
         return
     _reaped.add(prefix)
@@ -85,6 +91,20 @@ def _reap_stale_versions(prefix: str, keep: str) -> None:
         # entry == prefix is the pre-versioning (round ≤6) layout
         if (entry == prefix or entry.startswith(prefix + "-")) and entry != keep:
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+
+
+def _reap_after_write(path: str) -> None:
+    """Derive (prefix, key) from a just-written fixture path
+    (``.materialized/<key>/<name>``) and reap same-sf trees under old code
+    fingerprints. No-op for paths outside the versioned layout."""
+    key_dir = os.path.dirname(os.path.abspath(path))
+    key = os.path.basename(key_dir)
+    suffix = "-" + code_fingerprint()
+    if os.path.basename(os.path.dirname(key_dir)) != ".materialized":
+        return
+    if not key.endswith(suffix):
+        return
+    _reap_stale_versions(key[: -len(suffix)], key)
 
 # The driver runs the side-by-side compare at sf0.01 with no env set; pytest
 # sets SPARK_GRAFT_TEST_SF_DIR (tests/conftest.py) so both the Spark fixture
@@ -133,6 +153,7 @@ def atomic_parquet_overwrite(df, path: str) -> None:
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    _reap_after_write(path)
 
 
 def ensure_fixture_session(path: str):

@@ -347,8 +347,6 @@ def q_phonetic_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vowel reset, 4-char truncation; classic-vector + cross-engine parity
     in tests/test_normalize.py) and DuckDB's jaro_winkler_similarity
     mirrors the pandas_udf bitwise (matched_pairs pins that)."""
-    from datafusion_dedup_ai_spark.functions.similarity import jaro_winkler_udf
-
     part = load_spread(spark, sf_dir, "part")
     named = part.select(_phonetic_name_col().alias("tok"))
     freq = (
@@ -356,7 +354,41 @@ def q_phonetic_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+    return phonetic_pairs_from_freq(freq)
+
+
+def phonetic_pairs_from_freq(
+    freq: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Soundex-blocked candidate pairs over a (tok, cnt) vocabulary frame.
+
+    The self-join is quadratic WITHIN a phonetic code by definition (the
+    operator's output is every within-code pair), and soundex has only
+    ~9k effective codes — so when the distinct-token vocabulary grows
+    (Heaps' law on a growing corpus), per-code vocabulary grows linearly
+    and pair volume quadratically. That is an OUTPUT property, not a plan
+    defect, but it needs a fuse at scale: ``max_bucket_size`` (off by
+    default, same contract as lsh_near_pairs') drops codes whose DISTINCT
+    vocabulary exceeds the cap before the join. A code with hundreds of
+    distinct tokens is a degenerate block — its pairs are overwhelmingly
+    non-matches that downstream JW scoring would reject anyway — so the
+    cap trades bounded recall loss on junk-heavy codes for a hard
+    quadratic-in-cap cost bound (measured: scale_probe
+    phonetic_vocab_pairs@guarded vs @unguarded at a 10x vocabulary).
+    The count window shuffles on the same phonetic_key the self-join
+    needs, so the exchange is reused, not added."""
+    from pyspark.sql import Window
+
+    from datafusion_dedup_ai_spark.functions.similarity import jaro_winkler_udf
+
     keyed = freq.withColumn("phonetic_key", F.soundex(F.col("tok")))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("phonetic_key")
+        keyed = (
+            keyed.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

@@ -1,0 +1,73 @@
+"""Deterministic driver-window rotation policy.
+
+The external driver's correctness run evaluates only the first ~50
+registered queries, so with 150 registered entries the window is a
+rotation. Through round 7 the per-round list was hand-picked (documented,
+test-pinned, but chosen by the code being graded — the round-7 advisor
+flagged that as a selection-bias surface even when the picks look honest).
+
+This module removes the discretion: the window is a PURE FUNCTION of
+(a) the committed driver artifacts CORRECTNESS_r*.json — public record of
+which entries have been driver-validated and when — and (b) the set of
+hash-gated entries. Policy, applied to gated entries only (every window
+slot must carry an oracle; rows-only entries get the weaker check anyway
+and are replayed by full_correctness.py):
+
+  1. staleness first — entries NEVER seen by the driver, then oldest
+     last-validated round ascending;
+  2. alphabetical name as the tiebreak within a staleness tier (stable,
+     order-independent of the registry's own import order — using registry
+     order would let registration shuffles influence the window again).
+
+The per-round literal in entry_queries.py (ROUND8_WINDOW, ...) is the
+OUTPUT of this function pinned at rotation time;
+tests/test_entry_contract.py asserts literal == computed, so an auditor
+can re-derive the window from the committed artifacts alone and any
+hand-edit breaks the build.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_validation_history(
+    repo_root: str = _REPO_ROOT, through_round: int | None = None
+) -> dict[str, int]:
+    """name -> latest round whose committed CORRECTNESS_r{N}.json contains a
+    row for it (entries absent from every artifact are absent from the map).
+    ``through_round`` freezes the history at a given round so a pinned
+    window stays reproducible after later artifacts land."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if through_round is not None and rnd > through_round:
+            continue
+        try:
+            rows = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def compute_rotation_window(
+    registered: list[str],
+    gated: set[str],
+    history: dict[str, int],
+    size: int = 50,
+) -> list[str]:
+    """The next driver window under the staleness-first policy (docstring
+    above). Deterministic given its inputs; independent of registration
+    order."""
+    candidates = sorted(n for n in registered if n in gated)
+    return sorted(candidates, key=lambda n: (history.get(n, 0), n))[:size]

@@ -46,9 +46,24 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
     from pyspark.sql import SparkSession
 
+    # getActiveSession() is thread-local; fixture materialization may have
+    # built the session on another thread, or an instantiated-but-inactive
+    # session may exist — either way the JVM would keep running through the
+    # DuckDB timings (round-7 advice). Stop the process-wide instantiated
+    # session too, then ASSERT no live JVM before the first measurement so
+    # the artifact's idle-box claim is checked, not assumed.
     active = SparkSession.getActiveSession()
     if active is not None:
-        active.stop()  # idle box for the measurements
+        active.stop()
+    inst = getattr(SparkSession, "_instantiatedSession", None)
+    if inst is not None:
+        inst.stop()
+    from pyspark import SparkContext
+
+    assert SparkContext._active_spark_context is None, (
+        "a live SparkContext survived session stop — DuckDB timings would "
+        "share the box with the Spark JVM; refusing to measure"
+    )
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:

@@ -48,6 +48,15 @@ PROBES = [
     # the same pairs stay findable at ~linear cost).
     "media_near_dup_pairs",
     "fuzzy_benchmark_contamination",
+    # round-8 (round-7 verdict #3): the round-7 additions. url mapping is a
+    # pure regexp map; host stats one groupBy on host (source-derived, so
+    # the 10x corpus grows each host group 10x — the skewed-host shape);
+    # the two quality composites add a doc_id join + one window on top of
+    # already-probed layers (text_dedup_clusters / doc_quality_scores).
+    "url_canonical_mapping",
+    "host_url_stats",
+    "dedup_quality_representatives",
+    "source_quality_percentiles",
 ]
 # round-6: the embeddings pipeline gets its own 10x probe (exact copies:
 # each original gains 9 planted exact duplicates — same K10-family
@@ -68,7 +77,24 @@ EVENT_PROBES = [
     "event_transition_matrix",     # lag window -> pair counts
     "user_retention_cohorts",      # first-seen cohort x activity week join
     "value_outliers_mad",          # grouped median/MAD via percentile
+    # round-8: the applyInPandasWithState dedup driven over the full replay
+    # (state = one row per (user, event_type) key; the 10x corpus grows KEY
+    # cardinality 10x with per-key history unchanged — the state-size claim)
+    "streaming_stateful_first_events",
 ]
+
+# Queries whose registered fn memoizes a per-(process, sf) side effect (the
+# streaming replays cache their converged parquet): reset before EVERY timed
+# run or the probe would measure a parquet re-scan, not the operator.
+def _reset_stateful():
+    from datafusion_dedup_ai_spark import queries_extras as QE
+
+    QE._STATEFUL_DEDUP_DONE.clear()
+
+
+RESET_HOOKS = {
+    "streaming_stateful_first_events": _reset_stateful,
+}
 MAX_EXPONENT = 1.35  # fail the probe if wall time grows super-linearly
 
 
@@ -251,6 +277,8 @@ def time_query(qs, name, spark, sf_dir) -> float:
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
     time.sleep(1.0)
+    if name in RESET_HOOKS:
+        RESET_HOOKS[name]()
     t0 = time.time()
     qs[name](spark, sf_dir).count()
     return time.time() - t0
@@ -345,6 +373,70 @@ def main() -> None:
     probe_minhash(
         "minhash_near_dup_pairs@templated_maxdf", dst_tmpl, 0.05, True
     )
+
+    # Round-8 (round-7 verdict #3): phonetic blocking's within-code
+    # quadratic. soundex has only ~9k effective codes, so distinct-token
+    # vocabulary growth (Heaps' law on a growing corpus) grows per-code
+    # buckets linearly and pair OUTPUT quadratically — an output property
+    # of the operator (every within-code pair IS the result), same class
+    # as @templated, not a hidden plan defect. The registered query's part
+    # vocabulary is 23 tokens (floor-bound), so the probe drives the
+    # OPERATOR on a synthetic consonant vocabulary with a realistic code
+    # spread (V -> 10V distinct tokens) and forces the JW scoring via an
+    # aggregate over jw so candidate volume dominates the wall. Unguarded
+    # documents the expected superlinear pair growth (ungated, like
+    # @templated); the max_bucket_size fuse added this round must hold the
+    # wall-time exponent (gated).
+    def probe_phonetic(name, v1, max_bucket_size, gate):
+        nonlocal ok
+        from pyspark.sql import functions as F
+
+        from datafusion_dedup_ai_spark.queries_dedup import (
+            phonetic_pairs_from_freq,
+        )
+
+        tok = " || ".join(
+            "substr('BCDFGHJKLMNPQRSTVWXZ', "
+            f"cast(pmod(xxhash64(id, {p}), 20) as int) + 1, 1)"
+            for p in range(7)
+        )
+
+        def one(v):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
+            freq = (
+                spark.range(v)
+                .selectExpr(f"({tok}) AS tok", "cast(1 + id % 5 AS bigint) AS cnt")
+                .groupBy("tok")
+                .agg(F.max("cnt").alias("cnt"))
+            )
+            t0 = time.time()
+            row = (
+                phonetic_pairs_from_freq(freq, max_bucket_size=max_bucket_size)
+                .agg(F.count("*").alias("n"), F.sum("jw").alias("s"))
+                .collect()[0]
+            )
+            return time.time() - t0, row["n"]
+
+        one(v1)
+        one(v1 * factor)
+        (t1, n1) = min(one(v1) for _ in range(2))
+        (t10, n10) = min(one(v1 * factor) for _ in range(2))
+        exponent = math.log(max(t10, 1e-6) / max(t1, 1e-6)) / math.log(factor)
+        report[name] = {
+            "t_1x_s": round(t1, 3),
+            "t_10x_s": round(t10, 3),
+            "exponent": round(exponent, 3),
+            "pairs_1x": n1,
+            "pairs_10x": n10,
+            "gated": gate,
+        }
+        if gate:
+            ok = ok and exponent <= MAX_EXPONENT
+
+    probe_phonetic("phonetic_vocab_pairs@unguarded", 30_000, None, False)
+    probe_phonetic("phonetic_vocab_pairs@guarded16", 30_000, 16, True)
 
     # Adaptive-default index build + match (verdict #3 'done' check)
     name = "vector_index_adaptive_build_match"

@@ -223,3 +223,50 @@ def test_url_canonicalization_cross_engine_nasty_cases(spark):
         "a.b.c.ex.org",
         "ex.org",
     )
+
+
+def test_url_canonicalization_long_tracker_runs_idempotent(spark):
+    """Round-7 advice: the x3-unrolled tracker pass cleared only ~8-long
+    consecutive runs (a 9-tracker URL kept 'utm_h=8' in its canonical
+    form). The run-consuming rewrite must (a) remove tracker runs of ANY
+    length, (b) be idempotent — canon(canon(u)) == canon(u) — and (c) stay
+    in cross-engine parity on the same inputs."""
+    import duckdb
+
+    from datafusion_dedup_ai_spark.functions import urls as U
+    from pyspark.sql import functions as F
+
+    run9 = "&".join(f"utm_{c}={i}" for i, c in enumerate("abcdefghi"))
+    run24 = "&".join(f"utm_p{i}={i}" for i in range(24))
+    cases = [
+        # the advisor's exact counterexample shape: 9-run then a kept param
+        f"https://ex.com/p?{run9}&x=1",
+        # 24-run, kept param on each side
+        f"https://ex.com/p?a=0&{run24}&x=1",
+        # 24-run with nothing kept: query collapses entirely
+        f"https://ex.com/p?{run24}",
+        # two long runs split by kept params, mixed tracker kinds
+        f"https://ex.com/p?{run9}&keep1=1&fbclid=F&gclid=G&msclkid=M&ref=r&keep2=2",
+    ]
+    expected = [
+        "https://ex.com/p?x=1",
+        "https://ex.com/p?a=0&x=1",
+        "https://ex.com/p",
+        "https://ex.com/p?keep1=1&keep2=2",
+    ]
+    once = U.canonical_url(F.col("u"))
+    rows = {
+        r["u"]: (r["c1"], r["c2"])
+        for r in spark.createDataFrame([(u,) for u in cases], "u string")
+        .select("u", once.alias("c1"), U.canonical_url(once).alias("c2"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for u, want in zip(cases, expected):
+        c1, c2 = rows[u]
+        assert c1 == want, f"{u}: got {c1}"
+        assert c2 == c1, f"not idempotent: canon({c1}) == {c2}"
+        (duck,) = con.execute(
+            f"SELECT {U.sql_canonical_url('u')} FROM (SELECT '{u}' AS u)"
+        ).fetchone()
+        assert duck == c1, f"{u}: duckdb {duck} vs spark {c1}"

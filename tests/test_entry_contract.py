@@ -82,21 +82,44 @@ QUERY_NAMES = sorted(entry_mod.queries())
 DRIVER_WINDOW = 50
 
 
+def test_window_matches_rotation_policy():
+    """Round-8 change (round-7 advice, medium — window composition must not
+    be discretionary): the pinned ROUND8_WINDOW literal must equal the
+    deterministic staleness-first rotation computed from the committed
+    CORRECTNESS_r01..r07.json artifacts (rotation.py). A hand-edit of the
+    window, a new artifact sneaking into the frozen history, or a policy
+    drift all fail here."""
+    from datafusion_dedup_ai_spark.entry_queries import ROUND8_WINDOW
+    from datafusion_dedup_ai_spark.rotation import (
+        compute_rotation_window,
+        load_validation_history,
+    )
+
+    registered = list(entry_mod.queries())
+    gated = set(entry_mod.oracle_sql())
+    computed = compute_rotation_window(
+        registered, gated, load_validation_history(through_round=7)
+    )
+    assert ROUND8_WINDOW == computed, (
+        "ROUND8_WINDOW diverges from the rotation policy; first diff: "
+        + str(next((a, b) for a, b in zip(ROUND8_WINDOW, computed) if a != b))
+    )
+
+
 def test_priority_packs_inside_driver_window():
     """The driver's correctness run evaluates only the first ~50 registered
-    queries (observed: exactly 50 rows in rounds 1-6). Round-7 rotation
-    (round-6 verdict #1/#7): the explicit ROUND7_WINDOW list — the 12
-    never-driver-validated entries, this round's new/changed gates, and
-    backfill from the r05-stale packs — must occupy the window exactly, and
-    every window slot must carry a hash-gate oracle (the verdict asked for
-    >= 48; we pin all 50). Everything overflowing was driver-validated
-    green in a prior round and stays replayed by full_correctness.py."""
+    queries (observed: exactly 50 rows in rounds 1-7). The ROUND8_WINDOW
+    list (the policy-computed rotation — see
+    test_window_matches_rotation_policy) must occupy the window exactly,
+    and every window slot must carry a hash-gate oracle. Everything
+    overflowing was driver-validated green in a prior round and stays
+    replayed by full_correctness.py."""
     import json
     import os
     import subprocess
     import sys
 
-    from datafusion_dedup_ai_spark.entry_queries import ROUND7_WINDOW
+    from datafusion_dedup_ai_spark.entry_queries import ROUND8_WINDOW
 
     # Registration order must be measured the way the DRIVER sees it — a
     # fresh interpreter importing only __spark_entry__. Inside pytest the
@@ -117,20 +140,20 @@ def test_priority_packs_inside_driver_window():
         ).stdout.strip()
     )
     ordered, gated = out[0], set(out[1])
-    assert len(ROUND7_WINDOW) == DRIVER_WINDOW
-    assert ordered[:DRIVER_WINDOW] == ROUND7_WINDOW, (
-        "round-7 driver window drifted from ROUND7_WINDOW; first diff: "
+    assert len(ROUND8_WINDOW) == DRIVER_WINDOW
+    assert ordered[:DRIVER_WINDOW] == ROUND8_WINDOW, (
+        "round-8 driver window drifted from ROUND8_WINDOW; first diff: "
         + str(
             next(
                 (a, b)
-                for a, b in zip(ordered, ROUND7_WINDOW)
+                for a, b in zip(ordered, ROUND8_WINDOW)
                 if a != b
             )
         )
     )
-    ungated = [n for n in ROUND7_WINDOW if n not in gated]
+    ungated = [n for n in ROUND8_WINDOW if n not in gated]
     assert not ungated, (
-        f"round-7 window slots without a hash-gate oracle: {ungated}"
+        f"round-8 window slots without a hash-gate oracle: {ungated}"
     )
 
 

@@ -77,6 +77,107 @@ def test_recorded_payloads_through_spark_seam(spark):
 
 
 # ---------------------------------------------------------------------------
+# E4 agentic LLM research client (gemini_llm_fn) over recorded payloads
+# ---------------------------------------------------------------------------
+
+
+def make_recorded_gemini():
+    """A generate_fn that replays a recorded-shape Gemini response (the
+    reference parses a ```json-fenced block, engine.py:174-177) and records
+    every prompt it was handed, so the test can pin the prompt contract."""
+    prompts: list[str] = []
+    responses = {
+        "ACME CORP": (
+            "```json\n"
+            '{"name": "Acme Corporation", "reason": "The Delaware filing '
+            'names Acme Corporation as the legal entity."}\n'
+            "```"
+        ),
+        # bare JSON (no fence) — both forms occur in the wild
+        "GLOBEX": '{"name": "Globex Corporation", "reason": "Snippet says so."}',
+        # non-JSON chatter -> parse failure -> None
+        "INITECH": "I could not determine the legal name with confidence.",
+    }
+
+    def generate(prompt: str) -> str:
+        prompts.append(prompt)
+        for name, resp in responses.items():
+            if f"Input Name: {name}" in prompt:
+                return resp
+        raise AssertionError(f"unexpected prompt: {prompt[:80]}")
+
+    return generate, prompts
+
+
+def test_gemini_client_prompt_and_parse():
+    """gemini_llm_fn over the recorded search + recorded LLM transports:
+    fenced and bare JSON parse to the reference's {name, reason} dict;
+    empty-snippet and non-JSON responses return None (per-name failure
+    contract, engine.py:181-183); the prompt carries the input name and the
+    '- ' bulleted snippets."""
+    from datafusion_dedup_ai_spark.enrich import gemini_llm_fn
+
+    generate, prompts = make_recorded_gemini()
+    llm = gemini_llm_fn(search_fn=make_recorded_search(), generate_fn=generate)
+
+    assert llm("ACME CORP") == {
+        "name": "Acme Corporation",
+        "reason": "The Delaware filing names Acme Corporation as the legal entity.",
+    }
+    assert llm("GLOBEX") == {
+        "name": "Globex Corporation",
+        "reason": "Snippet says so.",
+    }
+    assert llm("INITECH") is None  # non-JSON response
+    assert llm("HOOLI") is None  # results exist but snippets are empty
+    assert llm("") is None  # reference: falsy name short-circuits
+    assert llm("UNRECORDED NAME") is None  # no search results at all
+
+    acme_prompt = prompts[0]
+    assert "Input Name: ACME CORP" in acme_prompt
+    assert "- Acme Corporation, incorporated in Delaware" in acme_prompt
+    assert '{"name": "OFFICIAL_NAME", "reason": "REASON"}' in acme_prompt
+    # HOOLI/empty/unrecorded never reached the LLM: 3 calls total
+    assert len(prompts) == 3
+
+
+def test_gemini_verified_name_through_spark_seam(spark):
+    """The full E4 path the reference runs in agentic mode: LiveWebEnricher
+    with llm_fn=gemini_llm_fn(...) through the Spark E5 dataflow. The LLM
+    correction lands in verified_name (canonical_name stays the join key);
+    names the LLM declines fall back to themselves."""
+    from datafusion_dedup_ai_spark.enrich import LiveWebEnricher, gemini_llm_fn
+
+    generate, _ = make_recorded_gemini()
+    search = make_recorded_search()
+    enr = LiveWebEnricher(
+        search_fn=search,
+        llm_fn=gemini_llm_fn(search_fn=search, generate_fn=generate),
+        rate_per_sec=0,
+    )
+    clusters = spark.createDataFrame(
+        [(1, "ACME CORP"), (2, "GLOBEX"), (3, "GLOBEX"), (4, "INITECH")],
+        "row_id int, canonical_name string",
+    )
+    rows = {r["row_id"]: r for r in enr.enrich(clusters).collect()}
+    assert rows[1]["verified_name"] == "Acme Corporation"
+    assert rows[2]["verified_name"] == "Globex Corporation"
+    assert rows[3]["verified_name"] == "Globex Corporation"  # one lookup, two rows
+    assert rows[4]["verified_name"] == "INITECH"  # LLM declined -> fallback
+    assert rows[1]["website"] == "acme.com"  # E2 still intact alongside E4
+
+
+def test_gemini_client_requires_package_or_injection():
+    """Default transport is the public google-generativeai package; absent
+    here, construction must fail with the documented guidance instead of
+    importing anything else."""
+    from datafusion_dedup_ai_spark.enrich import gemini_llm_fn
+
+    with pytest.raises(RuntimeError, match="google-generativeai"):
+        gemini_llm_fn(search_fn=make_recorded_search())
+
+
+# ---------------------------------------------------------------------------
 # Real media bytes through the decode seam
 # ---------------------------------------------------------------------------
 
