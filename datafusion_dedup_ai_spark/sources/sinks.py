@@ -33,11 +33,13 @@ def write_reports_parquet(reports: dict[str, DataFrame], out_dir: str) -> dict[s
     return paths
 
 
-def write_xlsx_driver_side(reports: dict[str, DataFrame], path: str) -> None:
+def write_xlsx_driver_side(reports: dict[str, DataFrame], path) -> None:
     """O7: reference-parity multi-sheet xlsx sink (outputs.py:44-58),
     driver-side — results after dedup are config-sized; the scalable sink is
     write_reports_parquet. Uses pandas/openpyxl when available, else the
-    stdlib OOXML writer (sources/xlsx_lite.py) — no environment gate."""
+    stdlib OOXML writer (sources/xlsx_lite.py) — no environment gate.
+    ``path`` may be a filesystem path OR any binary file-like object (both
+    pd.ExcelWriter and the zipfile-backed lite writer accept either)."""
     import pandas as pd
 
     try:
@@ -57,6 +59,24 @@ def write_xlsx_driver_side(reports: dict[str, DataFrame], path: str) -> None:
                 rows.append([None if v is None else v for v in rec])
             sheets[sheet[:31]] = rows
         write_xlsx(path, sheets)
+
+
+def write_xlsx_bytes(reports: dict[str, DataFrame], out_dir: str | None = None, filename: str = "report.xlsx"):
+    """O7 in-memory form (reference outputs.py:9-20: save_xlsx renders each
+    workbook into a BytesIO FIRST — the UI serves downloads from the buffer —
+    and only optionally copies it to disk). Returns the rewound buffer;
+    passes it straight through write_xlsx_driver_side, so the engine
+    selection (openpyxl vs the stdlib OOXML writer) is shared."""
+    import io
+
+    buf = io.BytesIO()
+    write_xlsx_driver_side(reports, buf)
+    buf.seek(0)
+    if out_dir:
+        with open(os.path.join(out_dir, filename), "wb") as f:
+            f.write(buf.getbuffer())
+        buf.seek(0)
+    return buf
 
 
 def settings_sheet(config, spark) -> DataFrame:

@@ -435,8 +435,8 @@ def main() -> None:
         if gate:
             ok = ok and exponent <= MAX_EXPONENT
 
-    probe_phonetic("phonetic_vocab_pairs@unguarded", 30_000, None, False)
-    probe_phonetic("phonetic_vocab_pairs@guarded16", 30_000, 16, True)
+    probe_phonetic("phonetic_vocab_pairs@unguarded", 10_000, None, False)
+    probe_phonetic("phonetic_vocab_pairs@guarded16", 10_000, 16, True)
 
     # Adaptive-default index build + match (verdict #3 'done' check)
     name = "vector_index_adaptive_build_match"
