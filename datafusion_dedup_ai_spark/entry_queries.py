@@ -31,8 +31,9 @@ from __future__ import annotations
 # hand-picked. ROUND8_WINDOW below is the OUTPUT of the deterministic
 # staleness-first policy in rotation.py — a pure function of the committed
 # driver artifacts CORRECTNESS_r01..r07.json and the gated-entry set:
-# never-driver-validated entries first (the six: url/host ops, the two
-# quality composites, stateful streaming dedup, lateral_top_orders), then
+# never-driver-validated entries first (url/host ops, the two quality
+# composites, stateful streaming dedup, lateral_top_orders, and the
+# round-8 doc_substring_trimmed addition), then
 # oldest-validated tiers (relational r3 → curation/multimodal r5 → extras
 # r6), alphabetical within a tier, gated-only. An auditor re-derives the
 # list from the artifacts alone; tests/test_entry_contract.py asserts the
@@ -62,8 +63,12 @@ from datafusion_dedup_ai_spark.registry import (  # noqa: F401
 #    rotation.load_validation_history(through_round=7)) — do not hand-edit;
 #    test_entry_contract.py::test_window_matches_rotation_policy enforces it.
 ROUND8_WINDOW = [
-    # staleness tier 0: never driver-validated
+    # staleness tier 0: never driver-validated (incl. the round-8
+    # doc_substring_trimmed addition — the policy recomputes over the
+    # CURRENT registry, so a mid-round gated addition enters here and the
+    # alphabetical tail of the r6 tier yields a slot)
     "dedup_quality_representatives",
+    "doc_substring_trimmed",
     "host_url_stats",
     "lateral_top_orders",
     "source_quality_percentiles",
@@ -115,7 +120,6 @@ ROUND8_WINDOW = [
     "bloom_incremental_new_docs",
     "bloom_incremental_new_docs_wide",
     "bm25_retrieval_topk",
-    "bpe_pair_counts",
 ]
 
 promote_window(ROUND8_WINDOW)

@@ -353,27 +353,7 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_spread(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
-    n_starts = F.greatest(F.size("t") - F.lit(SPAN_GRAM - 1), F.lit(0))
-    starts = toks.select(
-        "doc_id",
-        "t",
-        F.explode(
-            F.when(n_starts > 0, F.sequence(F.lit(0), n_starts - 1)).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("pos"),
-    )
-    g = starts.select(
-        "doc_id",
-        "pos",
-        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("pos") + 1, SPAN_GRAM))).alias(
-            "gh"
-        ),
-    )
-    dup_grams = g.groupBy("gh").agg(F.count("*").alias("n")).where(
-        F.col("n") >= SPAN_MIN_COUNT
-    )
-    dup = g.join(dup_grams.select("gh"), "gh", "left_semi").select("doc_id", "pos")
+    dup = _dup_gram_starts(toks)
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     flagged = dup.select(
@@ -397,6 +377,148 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("span_tokens"),
     ).drop("island")
+
+
+def _dup_gram_starts(toks: DataFrame) -> DataFrame:
+    """(doc_id, pos): start positions of corpus-duplicated SPAN_GRAM-gram
+    runs — the shared detection core of q_duplicate_substring_spans (island
+    merge on top) and q_doc_substring_trimmed (coverage removal on top).
+    Expression-identical to the pre-refactor spans body, so the spans hash
+    gate is unaffected."""
+    n_starts = F.greatest(F.size("t") - F.lit(SPAN_GRAM - 1), F.lit(0))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.when(n_starts > 0, F.sequence(F.lit(0), n_starts - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+    )
+    g = starts.select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("pos") + 1, SPAN_GRAM))).alias(
+            "gh"
+        ),
+    )
+    dup_grams = g.groupBy("gh").agg(F.count("*").alias("n")).where(
+        F.col("n") >= SPAN_MIN_COUNT
+    )
+    return g.join(dup_grams.select("gh"), "gh", "left_semi").select("doc_id", "pos")
+
+
+# The trimmed-corpus oracle re-derives the SAME toks/starts/g/dup CTEs as the
+# spans oracle above (kept in lockstep by construction — both are generated
+# from SPAN_GRAM / SPAN_MIN_COUNT / _TOKS), then removes covered tokens and
+# reassembles the text in token order.
+_TRIM_DUP_CTES = f"""
+    toks AS (
+        SELECT doc_id, {{toks}} AS t FROM documents
+    ), starts AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {SPAN_GRAM} + 1, 0))) AS pos
+        FROM toks
+    ), g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(t[pos + 1 : pos + {SPAN_GRAM}], ' ')) AS gh
+        FROM starts
+    ), dup AS (
+        SELECT doc_id, pos FROM g
+        WHERE gh IN (
+            SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= {SPAN_MIN_COUNT})
+    )"""
+
+
+@register(
+    "doc_substring_trimmed",
+    f"""
+    WITH {_TRIM_DUP_CTES.format(toks=_TOKS)},
+    covered AS (
+        SELECT DISTINCT doc_id, pos + o AS tokpos
+        FROM dup CROSS JOIN (SELECT unnest(range(0, {SPAN_GRAM})) AS o)
+    ), tk AS (
+        SELECT doc_id, t, unnest(range(0, len(t))) AS tokpos FROM toks
+    ), tok AS (
+        SELECT doc_id, tokpos, t[tokpos + 1] AS tok FROM tk
+    ), kept AS (
+        SELECT o.doc_id, o.tokpos, o.tok FROM tok o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM covered c
+            WHERE c.doc_id = o.doc_id AND c.tokpos = o.tokpos)
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY tokpos) AS trimmed_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           CAST(len(t.t) AS BIGINT) - COALESCE(a.n_kept, CAST(0 AS BIGINT))
+               AS n_removed,
+           COALESCE(a.trimmed_text, '') AS trimmed_text
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_doc_substring_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup REMOVAL (Lee et al. 2022, arXiv:2107.06499 §4.1):
+    the transform that actually emits the trimmed corpus, not just the span
+    report — every token covered by a corpus-duplicated {SPAN_GRAM}-gram run
+    is cut from EVERY occurrence (the paper's documented choice: removing
+    all copies, not all-but-one, is what eliminates the memorization
+    surface), and the survivors reassemble in token order into
+    ``trimmed_text``. Counts travel alongside so downstream token budgets
+    see the loss.
+
+    Determinism / gate: token positions are explicit (posexplode), coverage
+    is a distinct (doc, pos) anti-join, and reassembly sorts by position
+    before joining with single spaces — the input text is single-space
+    normalized, so an untouched document round-trips byte-identically and
+    the whole output (including the string column) hash-gates cross-engine.
+
+    Scale shape: the gram-duplication core is shared with
+    duplicate_substring_spans (one shuffle on the gram hash, map-side
+    combined; hot boilerplate grams are the skew key, same max_df-style
+    guard applies). Removal adds one distinct on covered positions and one
+    (doc, pos) anti-join — both token-table-sized shuffles — and the
+    per-doc reassembly state is bounded by document length, never corpus
+    size. The tokenize projection is consumed three times (dup core,
+    positional explode, length base): a deliberate re-scan — at 100 TB a
+    cheap split over a column-pruned scan pipelines, where a persist of the
+    token table would pin corpus-sized storage."""
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    dup = _dup_gram_starts(toks)
+    covered = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_GRAM - 1))
+        ).alias("tokpos"),
+    ).distinct()
+    tokp = toks.select("doc_id", F.posexplode("t").alias("tokpos", "tok"))
+    kept = tokp.join(covered, ["doc_id", "tokpos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("trimmed_text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    base = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    zero = F.lit(0).cast("bigint")
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", zero).alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), zero))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+    )
 
 
 # ===========================================================================
