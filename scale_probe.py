@@ -57,6 +57,10 @@ PROBES = [
     "host_url_stats",
     "dedup_quality_representatives",
     "source_quality_percentiles",
+    # round-8: the ExactSubstr removal transform — gram-dup core (already
+    # probed via duplicate_substring_spans' family) + covered-position
+    # distinct + (doc, pos) anti-join + per-doc reassembly
+    "doc_substring_trimmed",
 ]
 # round-6: the embeddings pipeline gets its own 10x probe (exact copies:
 # each original gains 9 planted exact duplicates — same K10-family
