@@ -71,3 +71,31 @@ def compute_rotation_window(
     order."""
     candidates = sorted(n for n in registered if n in gated)
     return sorted(candidates, key=lambda n: (history.get(n, 0), n))[:size]
+
+
+def main() -> None:
+    """`python -m datafusion_dedup_ai_spark.rotation [through_round]`:
+    print the policy window for the NEXT round as a paste-ready literal —
+    what an auditor recomputes to check the pinned list, and what the next
+    round's rotation starts from (pass the latest completed round number;
+    default = every committed artifact)."""
+    import sys
+
+    import __spark_entry__ as entry_mod
+
+    through = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    history = load_validation_history(through_round=through)
+    win = compute_rotation_window(
+        list(entry_mod.queries()), set(entry_mod.oracle_sql()), history
+    )
+    tier = None
+    for name in win:
+        t = history.get(name, 0)
+        if t != tier:
+            tier = t
+            print(f"    # staleness tier {'0: never driver-validated' if t == 0 else f'r{t}'}")
+        print(f'    "{name}",')
+
+
+if __name__ == "__main__":
+    main()
