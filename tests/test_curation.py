@@ -270,3 +270,58 @@ def test_url_canonicalization_long_tracker_runs_idempotent(spark):
             f"SELECT {U.sql_canonical_url('u')} FROM (SELECT '{u}' AS u)"
         ).fetchone()
         assert duck == c1, f"{u}: duckdb {duck} vs spark {c1}"
+
+
+def test_url_canonicalization_grid_parity_and_idempotency(spark):
+    """Exhaustive adversarial grid (~1.3k URLs): every combination of
+    scheme case, www, explicit default/non-default port, path shape
+    (root / deep / trailing slash), query shape (none / kept / tracker
+    runs of 0,1,2,9,16 interleaved with kept params), and fragment.
+    One Spark pass asserts (a) DuckDB parity on every URL and (b)
+    idempotency canon(canon(u)) == canon(u) — the two contracts the
+    round-7 advice found violated on long tracker runs."""
+    import duckdb
+
+    from datafusion_dedup_ai_spark.functions import urls as U
+    from pyspark.sql import functions as F
+
+    def trackers(n):
+        return "&".join(f"utm_t{i}={i}" for i in range(n))
+
+    queries = ["", "?keep=1"]
+    for n in (1, 2, 9, 16):
+        run = trackers(n)
+        queries += [f"?{run}", f"?{run}&x=1", f"?a=0&{run}", f"?a=0&{run}&x=1"]
+    cases = []
+    for scheme in ("https", "HTTPS", "http"):
+        for www in ("", "WWW.", "www."):
+            default = ":443" if scheme.lower() == "https" else ":80"
+            for port in ("", default, ":8443"):
+                for path in ("", "/", "/A/b", "/A/b/"):
+                    for q in queries:
+                        for frag in ("", "#Frag"):
+                            cases.append(
+                                f"{scheme}://{www}Ex.COM{port}{path}{q}{frag}"
+                            )
+    once = U.canonical_url(F.col("u"))
+    rows = (
+        spark.createDataFrame([(u,) for u in cases], "u string")
+        .select("u", once.alias("c1"), U.canonical_url(once).alias("c2"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in cases])
+    duck = dict(
+        con.execute(f"SELECT u, {U.sql_canonical_url('u')} FROM t").fetchall()
+    )
+    bad_parity = [
+        (r["u"], r["c1"], duck[r["u"]]) for r in rows if r["c1"] != duck[r["u"]]
+    ]
+    assert not bad_parity, f"{len(bad_parity)} parity breaks; first: {bad_parity[0]}"
+    bad_idem = [(r["u"], r["c1"], r["c2"]) for r in rows if r["c1"] != r["c2"]]
+    assert not bad_idem, f"{len(bad_idem)} idempotency breaks; first: {bad_idem[0]}"
+    # spot ground truth: every tracker run must vanish entirely
+    got = {r["u"]: r["c1"] for r in rows}
+    assert got[f"https://Ex.COM/A/b?{trackers(16)}&x=1"] == "https://ex.com/A/b?x=1"
+    assert got[f"HTTPS://WWW.Ex.COM:443/?{trackers(9)}#Frag"] == "https://ex.com/"
