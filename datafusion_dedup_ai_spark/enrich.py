@@ -205,13 +205,20 @@ class LiveWebEnricher(Enricher):
         if self._llm is not None:
             # E4 seam: an LLM verifier may correct the canonical name per
             # reference agentic_research (engine.py:144-183) — snippets in,
-            # {"name", "reason"} out. Applied per distinct name, same
-            # rate-limited budget. The correction is emitted as
+            # {"name", "reason"} out. Applied per distinct name. The llm_fn
+            # issues its own backend search per name, so it draws from the
+            # SAME token-bucket budget via _throttle() (round-8 advisor:
+            # previously unthrottled). The correction is emitted as
             # verified_name, NOT written over canonical_name: that column is
             # the join key back to the cluster rows.
+            def _verified(n: str) -> str:
+                if not n:
+                    return n
+                self._throttle()
+                return (self._llm(n) or {}).get("name", n)
+
             out["verified_name"] = [
-                (self._llm(n) or {}).get("name", n) if n else n
-                for n in out["canonical_name"].fillna("")
+                _verified(n) for n in out["canonical_name"].fillna("")
             ]
         return out
 

@@ -259,3 +259,61 @@ def materialize_lsh_query_margins(spark: SparkSession, sf_dir: str) -> str:
 
 def lsh_query_margins_glob() -> str:
     return _glob(materialize_lsh_query_margins, lsh_query_margins_path)
+
+
+# ---------------------------------------------------------------------------
+# BPE piece-vocabulary fixture (tokenizer apply)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pieces_path(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT, ".materialized", sf_cache_key(sf_dir), "bpe_pieces.parquet"
+    )
+
+
+def materialize_bpe_pieces(spark: SparkSession, sf_dir: str) -> str:
+    """(piece): the frozen BPE piece vocabulary — corpus characters plus
+    operators/tokenizer.N_BPE_MERGES merge products, trained on the
+    documents word-frequency table (the same words/word_count statistic
+    bpe_pair_counts registers). Training collects the VOCABULARY-sized
+    table to the driver (31 rows on the testdata; Heaps-law-small on any
+    corpus — the documented driver-side-model exception, like the k-means
+    centroids). Fully deterministic (sorted inputs, count-then-lex merge
+    tiebreak), so any process rematerializes the identical fixture; both
+    the Spark query and the DuckDB oracle APPLY this frozen vocab with the
+    same greedy longest-match rule, making the apply step cross-engine
+    verified while the trained model is shared — exactly the centroid
+    contract of semantic_dedup."""
+    path = bpe_pieces_path(sf_dir)
+    if path not in _written:
+        from datafusion_dedup_ai_spark.operators import tokenizer as TK
+        from datafusion_dedup_ai_spark.sources.readers import load_table
+        from datafusion_dedup_ai_spark.materialize import (
+            atomic_parquet_overwrite,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        wc = (
+            d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+            .where(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        pieces = TK.bpe_vocab_pieces([(r["tok"], r["c"]) for r in wc])
+        atomic_parquet_overwrite(
+            spark.createDataFrame([(p,) for p in pieces], "piece string"), path
+        )
+        _written.add(path)
+    return path
+
+
+def bpe_pieces_glob() -> str:
+    return _glob(materialize_bpe_pieces, bpe_pieces_path)
+
+
+def load_bpe_pieces(spark: SparkSession, sf_dir: str) -> list[str]:
+    rows = spark.read.parquet(materialize_bpe_pieces(spark, sf_dir)).collect()
+    return sorted(r["piece"] for r in rows)
+

@@ -1,0 +1,131 @@
+"""Tokenizer TRAINING and APPLICATION (extension scope — the round-8
+verdict's task 8): the registry had BPE first-merge *statistics*
+(bpe_pair_counts) but no operator that applies a learned merge list to
+encode text and count real tokens, which is what every training-data
+budget actually uses (token-budget selection, mixture planning, packing
+all consume *tokenizer* token counts, not whitespace counts).
+
+Two halves, split the way a production pipeline splits them:
+
+* **Training** (`train_bpe_merges` / `bpe_vocab_pieces`): byte-pair
+  encoding over the corpus word-frequency table (Sennrich et al. 2016
+  §3 — count each DISTINCT word once, weight by corpus frequency; merge
+  the most frequent adjacent symbol pair, repeat). Pure deterministic
+  Python on the VOCABULARY-sized table: by Heaps' law the distinct-word
+  list is millions of rows where the corpus is billions, and every real
+  tokenizer trainer (GPT-2, SentencePiece) collects exactly this table —
+  the same documented driver-side-model exception as the k-means
+  centroid training in semantic_dedup (a sampled/tiny model input, never
+  corpus-sized).
+
+* **Application** (`greedy_token_count` / `encoded_word_lengths`):
+  greedy LONGEST-MATCH segmentation against the frozen piece vocabulary
+  (the WordPiece/BERT application rule — Wu et al. 2016 §4.1 — applied
+  to the BPE-trained vocab; integer-exact, no merge-rank state, and
+  therefore SQL-replayable, which merge-order BPE application is not
+  without carrying rank lists through the recursion). Each position
+  consumes the longest vocab piece that prefix-matches the remainder,
+  falling back to a single character; the token count is the number of
+  pieces consumed.
+
+Scale shape of the apply path: encode DISTINCT words only (vocabulary-
+sized Arrow-batched pandas_udf — the Python cost is O(|vocab|), not
+O(corpus)), then broadcast-join the per-word token counts back onto the
+corpus-sized word stream and aggregate JVM-side. At 100 TB the Python
+step still touches only the vocabulary; the corpus-sized work is one
+explode + one broadcast hash join + one partial-aggregated groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BPE_MERGES = 24  # pieces = corpus chars + up to 24 merges; at the
+# testdata's 31-word vocabulary this leaves both-sided traffic (frequent
+# words fully merged -> 1 token, rare words split -> up to len tokens)
+
+
+def train_bpe_merges(
+    word_counts: list[tuple[str, int]], n_merges: int = N_BPE_MERGES
+) -> list[tuple[str, str]]:
+    """Deterministic BPE training over (word, corpus_count) rows: each
+    round merges the adjacent symbol pair with the highest total weighted
+    count (ties broken by lexicographically smallest pair), rewriting each
+    word's symbol sequence leftmost-first non-overlapping. Returns the
+    ordered merge list. Pure Python — callers hand it the vocabulary-sized
+    frequency table, never corpus rows."""
+    seqs: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in sorted(word_counts) if w
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in seqs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        for syms, _ in seqs:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [merged]
+                i += 1
+    return merges
+
+
+def bpe_vocab_pieces(
+    word_counts: list[tuple[str, int]], n_merges: int = N_BPE_MERGES
+) -> list[str]:
+    """The frozen piece vocabulary: every character occurring in the
+    training words plus every merge product. Sorted for a deterministic
+    fixture regardless of input order."""
+    pieces = {ch for w, _ in word_counts for ch in w}
+    pieces.update(a + b for a, b in train_bpe_merges(word_counts, n_merges))
+    return sorted(pieces)
+
+
+def greedy_token_count(word: str, pieces: frozenset[str], max_len: int) -> int:
+    """Greedy longest-match encode length: at each position consume the
+    longest piece that prefix-matches the remainder (single-character
+    fallback for characters unseen in training). Mirrors the oracle's
+    recursive-CTE step EXACTLY: coalesce(max(len(piece)) matching
+    substr(word, pos, len(piece)), 1)."""
+    n = 0
+    i = 0
+    L = len(word)
+    while i < L:
+        step = 1
+        for k in range(min(max_len, L - i), 1, -1):
+            if word[i : i + k] in pieces:
+                step = k
+                break
+        # k=1 fallthrough: a single char counts once whether or not it is
+        # in the vocabulary (the oracle's coalesce(..., 1) does the same)
+        i += step
+        n += 1
+    return n
+
+
+def encoded_word_lengths(distinct_words: DataFrame, pieces: list[str]) -> DataFrame:
+    """(tok, n_bpe): greedy longest-match token count per DISTINCT word —
+    the vocabulary-sized Arrow-batched Python step. ``pieces`` is the
+    frozen vocab list (tiny; closure-captured, no broadcast variable
+    needed at vocab scale)."""
+    from pyspark.sql.types import LongType
+
+    pset = frozenset(pieces)
+    max_len = max((len(p) for p in pieces), default=1)
+    _count = F.pandas_udf(
+        lambda col: col.map(lambda w: greedy_token_count(w, pset, max_len)),
+        LongType(),
+    )
+    return distinct_words.select(
+        F.col("tok"), _count(F.col("tok")).alias("n_bpe")
+    )

@@ -194,3 +194,64 @@ def sql_connected_components(pairs_cte: str, universe_sql: str, id_col: str) -> 
         SELECT cluster_id, COUNT(*) AS cluster_size, MIN({id_col}) AS rep
         FROM fullset GROUP BY cluster_id
     )"""
+
+
+def sql_greedy_min_id_dropped(pairs_cte: str) -> str:
+    """CTE chain computing the ids DROPPED by sequential-by-id leader dedup
+    (greedy lexicographically-first maximal independent set) over the
+    undirected pair graph in ``pairs_cte`` (columns id_a, id_b) — the exact
+    semantics of operators/dedup.greedy_min_id_dropped, replayed as the same
+    parallel rounds: each round promotes every undecided vertex with no
+    SMALLER undecided neighbor to leader and drops the new leaders'
+    undecided neighbors. Requires the enclosing query to open with WITH
+    RECURSIVE.
+
+    A recursive CTE may reference itself only once, but each greedy round
+    needs the full decided/undecided sets on both sides of its joins — so
+    the state travels as ONE ROW PER ROUND with the sets as sorted BIGINT
+    lists, and the per-round set algebra runs in LATERAL subqueries over
+    ``unnest`` (the non-recursive ``g_edges`` CTE may be referenced freely).
+    Rounds = O(longest sequential dependency chain) — tiny for near-dup
+    graphs; per-round cost is |undecided| x degree list probes, fine at
+    oracle scale (the Spark side's shuffle-round formulation is the shape
+    that scales). Produces CTE ``gdropped(id)``; survivors = universe minus
+    gdropped."""
+    return f"""
+    g_edges AS (
+        SELECT id_a AS u, id_b AS v FROM {pairs_cte}
+        UNION ALL SELECT id_b, id_a FROM {pairs_cte}
+    ),
+    g_verts AS (SELECT DISTINCT u AS id FROM g_edges),
+    g_state(it, undecided, dropped) AS (
+        SELECT 0,
+               (SELECT coalesce(list(id ORDER BY id), CAST([] AS BIGINT[]))
+                FROM g_verts),
+               CAST([] AS BIGINT[])
+        UNION ALL
+        SELECT s.it + 1,
+               list_filter(s.undecided,
+                   x -> NOT list_contains(L.leaders, x)
+                    AND NOT list_contains(D.newly, x)),
+               list_concat(s.dropped, D.newly)
+        FROM g_state s,
+        LATERAL (
+            SELECT coalesce(list(x ORDER BY x), CAST([] AS BIGINT[])) AS leaders
+            FROM unnest(s.undecided) AS t(x)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM g_edges e
+                WHERE e.u = x AND e.v < x
+                  AND list_contains(s.undecided, e.v))
+        ) L,
+        LATERAL (
+            SELECT coalesce(list(y ORDER BY y), CAST([] AS BIGINT[])) AS newly
+            FROM unnest(s.undecided) AS t(y)
+            WHERE EXISTS (
+                SELECT 1 FROM g_edges e
+                WHERE e.u = y AND list_contains(L.leaders, e.v))
+        ) D
+        WHERE len(s.undecided) > 0
+    ),
+    gdropped AS (
+        SELECT unnest(dropped) AS id FROM g_state
+        WHERE it = (SELECT max(it) FROM g_state)
+    )"""

@@ -432,7 +432,70 @@ def q_skew_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_INGEST_DONE: set[str] = set()
 
 
-@register("streaming_near_dup_ingest", None)
+def _streaming_near_dup_ingest_oracle() -> str:
+    """SQL replay of the CONVERGED text-ingest survivor corpus. Why a pure
+    batch SQL expression equals a 4-batch stateful streaming process
+    (round-8 verdict #6 — the argument that upgraded this entry from
+    rows-only to hash-gated):
+
+    * Detection is batch-independent. A pair is detected iff the two docs
+      share an LSH band (signatures are per-doc functions of the text at
+      FIXED geometry — 64 hashes / 16 bands / seed 42 on BOTH the in-batch
+      path and the persisted index, minhash_index.py) AND exact Jaccard >=
+      0.5. Band collision and Jaccard depend only on the two documents, so
+      the same pair graph is seen whether the docs meet in one batch or
+      across the index.
+    * The replay's chunks are doc_id ranges ASCENDING, the index screen
+      drops a doc iff it matches an already-KEPT doc (earlier chunk), and
+      in-batch leader election processes ids ascending keeping a doc iff no
+      already-kept neighbor — composing to exactly the GLOBAL
+      sequential-by-id leader election over the detected pair graph
+      (dropped docs never enter the index, so they block no one — same
+      rule in both scopes).
+
+    So the oracle = minhash band candidates + exact-Jaccard verify from the
+    shingle-hash fixture (the text_dedup_clusters machinery) -> greedy
+    min-id leader election (oracles.sql_greedy_min_id_dropped, the same
+    parallel-rounds schedule as operators/dedup.greedy_min_id_dropped) ->
+    survivors. The sink's too-short-doc singleton-shingle fallback is
+    vacuous here: every testdata doc has >= 10 tokens at every sf (the
+    fallback itself is pinned in tests/test_streaming.py)."""
+    from datafusion_dedup_ai_spark import queries_dedup_ext as QD
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+    from datafusion_dedup_ai_spark.oracles import sql_greedy_min_id_dropped
+
+    g = HF.shingle_hashes_glob()
+    return f"""
+    WITH RECURSIVE {QD._minhash_mins_with(g)},
+    {QD._band_cands_with(g)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandkeys a JOIN bandkeys b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN '{g}' fa ON fa.doc_id = c.id_a
+        JOIN '{g}' fb ON fb.doc_id = c.id_b AND fb.shingle = fa.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT cm.id_a, cm.id_b
+        FROM common cm
+        JOIN sizes sa ON sa.doc_id = cm.id_a
+        JOIN sizes sb ON sb.doc_id = cm.id_b
+        WHERE CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common)
+              >= {NEAR_DUP_JACCARD}
+    ),
+    {sql_greedy_min_id_dropped("pairs")}
+    SELECT d.doc_id, md5(d.text) AS text_md5
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM gdropped)
+    """
+
+
+@register("streaming_near_dup_ingest", _streaming_near_dup_ingest_oracle)
 def q_streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The always-on near-dup ingest (streaming/ingest.py) driven to
     completion over a deterministic 4-chunk replay of `documents`, surfaced
@@ -441,10 +504,13 @@ def q_streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus and their signatures to the index; availableNow drains the
     staged chunks and stops.
 
-    Rows-only by design (foreachBatch + index state are not SQL-expressible);
-    replay idempotency and batch-vs-streaming equivalence are pinned in
-    tests/test_streaming.py. Registered past the driver window: it runs
-    under the committed full-registry audit (CORRECTNESS_FULL.json)."""
+    HASH-GATED as of round 9 (previously rows-only): the converged survivor
+    set equals the global sequential-by-id leader election over the
+    detected near-dup pair graph — see _streaming_near_dup_ingest_oracle
+    for the two-part argument (batch-independent detection at fixed index
+    geometry; id-ordered chunks + index screen + in-batch leader election =
+    global greedy). Replay idempotency and batch-vs-streaming equivalence
+    are additionally pinned in tests/test_streaming.py."""
     import os
     import shutil
 
@@ -1568,19 +1634,66 @@ def q_incremental_semantic_matches(spark: SparkSession, sf_dir: str) -> DataFram
 _SEM_INGEST_DONE: set[str] = set()
 
 
-@register("streaming_semantic_ingest", None)
+def _streaming_semantic_ingest_oracle() -> str:
+    """SQL replay of the CONVERGED semantic-ingest survivor corpus — the
+    embedding twin of _streaming_near_dup_ingest_oracle, same two-part
+    argument: (a) detection is batch-independent — a pair is detected iff
+    the two vectors share a hyperplane-LSH (table, bucket) at the FIXED
+    16x4 seed-7 geometry (the registered query pins index_n_bits=4, so the
+    in-batch lsh_near_pairs default and the persisted index agree) AND
+    exact cosine >= 0.35; (b) vec_id-ascending chunks + index screen +
+    in-batch leader election compose to the global sequential-by-id leader
+    election over that pair graph. Candidates come from the full-corpus
+    lsh_buckets fixture (per-vector codes are independent of the other
+    vectors, so one fixture serves both the in-batch and cross-index
+    paths); the zero-vector exact-dedup special case is vacuous on the
+    testdata (no zero-norm embeddings at any sf; the path itself is pinned
+    in tests/test_streaming.py)."""
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+    from datafusion_dedup_ai_spark.oracles import sql_greedy_min_id_dropped
+
+    g = HF.lsh_buckets_glob()
+    return f"""
+    WITH RECURSIVE cvec AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM '{g}' a JOIN '{g}' b
+          ON a."table" = b."table" AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT cd.id_a, cd.id_b
+        FROM cand cd
+        JOIN cvec va ON va.vec_id = cd.id_a
+        JOIN cvec vb ON vb.vec_id = cd.id_b
+        WHERE {_sql_cosine('va.v', 'vb.v')} >= {NEAR_DUP_THRESHOLD}
+    ),
+    {sql_greedy_min_id_dropped("pairs")}
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT id FROM gdropped)
+    """
+
+
+@register("streaming_semantic_ingest", _streaming_semantic_ingest_oracle)
 def q_streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The always-on SEMANTIC ingest (streaming/ingest.start_semantic_ingest)
     driven to completion over a deterministic 4-chunk replay of `embeddings`,
     surfaced as the post-ingest survivor corpus: (vec_id, label). Each
     micro-batch screens against the persisted vector index (cosine >= 0.35)
     and in-batch via leader dedup, then appends survivors to the corpus and
-    their codes to the index.
+    their codes to the index. The index geometry is pinned to 16x4 seed 7
+    (index_n_bits=4) — the fixed lsh_buckets fixture geometry, same
+    index-width doctrine as _vector_index_path; production sizes the width
+    for the TARGET corpus instead (start_semantic_ingest docstring).
 
-    Rows-only by design (foreachBatch + index state are not SQL-expressible);
-    replay idempotency and the pair-free survivor invariant are pinned in
-    tests/test_streaming.py. Registered past the driver window: it runs
-    under the committed full-registry audit (CORRECTNESS_FULL.json)."""
+    HASH-GATED as of round 9 (previously rows-only): the converged survivor
+    set equals the global sequential-by-id leader election over the
+    detected cosine>=0.35 pair graph — see _streaming_semantic_ingest_oracle.
+    Replay idempotency and the pair-free survivor invariant are additionally
+    pinned in tests/test_streaming.py."""
     import os
     import shutil
 
@@ -1605,6 +1718,7 @@ def q_streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(root, "index"),
             os.path.join(root, "ckpt"),
             available_now=True,
+            index_n_bits=4,
         )
         q.awaitTermination()
         _SEM_INGEST_DONE.add(root)
@@ -2160,6 +2274,99 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("p.sym_a", "p.sym_b", "word_count")
         .groupBy("sym_a", "sym_b")
         .agg(F.sum("word_count").cast("bigint").alias("pair_count"))
+    )
+
+
+def _tokenized_length_stats_oracle() -> str:
+    """SQL replay of the tokenizer APPLY step from the frozen piece fixture
+    (hash_fixtures.materialize_bpe_pieces — trained once, shared by both
+    engines like the semantic_dedup centroids): a recursive CTE walks each
+    distinct word left to right, each step consuming
+    coalesce(max(len(piece)) over pieces prefix-matching at pos, 1)
+    characters — exactly operators/tokenizer.greedy_token_count — then the
+    per-word counts join back onto the corpus word stream. All integer
+    arithmetic except the final exact-BIGINT-over-BIGINT division."""
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+
+    g = HF.bpe_pieces_glob()
+    return f"""
+    WITH RECURSIVE words AS (
+        SELECT DISTINCT tok FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+    ),
+    enc(tok, pos, n) AS (
+        SELECT tok, 1, 0 FROM words
+        UNION ALL
+        SELECT e.tok,
+               e.pos + coalesce(
+                   (SELECT max(len(p.piece)) FROM '{g}' p
+                    WHERE p.piece = substr(e.tok, e.pos, len(p.piece))), 1),
+               e.n + 1
+        FROM enc e WHERE e.pos <= len(e.tok)
+    ),
+    wordtok AS (SELECT tok, n AS n_bpe FROM enc WHERE pos > len(tok)),
+    occ AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    SELECT o.source,
+           CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(w.n_bpe) AS DOUBLE) / COUNT(*) AS bpe_tokens_per_word
+    FROM occ o JOIN wordtok w ON w.tok = o.tok
+    WHERE o.tok <> ''
+    GROUP BY o.source
+    """
+
+
+@register("tokenized_length_stats", _tokenized_length_stats_oracle)
+def q_tokenized_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-APPLY token accounting (round-8 verdict task 8): encode
+    the corpus with the frozen BPE-trained piece vocabulary via greedy
+    longest-match (operators/tokenizer.py — the WordPiece application rule
+    over a Sennrich-BPE vocab) and report per-source real token counts —
+    what token-budget selection, mixture planning and sequence packing
+    actually consume, where the registry previously had only whitespace
+    counts and first-merge statistics (bpe_pair_counts).
+
+    Columns: (source, n_docs, n_words, n_bpe_tokens, bpe_tokens_per_word).
+
+    Scale shape: the Python encode runs on DISTINCT words only (an Arrow
+    pandas_udf over the Heaps-law-small vocabulary — O(|vocab|), never
+    O(corpus)); the corpus-sized work is one explode, one BROADCAST hash
+    join of the per-word counts back onto the word stream, and one
+    partial-aggregated groupBy(source). Hash-gated: training is frozen
+    into the shared piece fixture; both engines replay the apply step
+    independently (greedy longest-match is deterministic integer
+    arithmetic), and the final ratio is one exact BIGINT/BIGINT divide."""
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+    from datafusion_dedup_ai_spark.operators import tokenizer as TK
+
+    pieces = HF.load_bpe_pieces(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    encoded = TK.encoded_word_lengths(occ.select("tok").distinct(), pieces)
+    return (
+        occ.join(F.broadcast(encoded), "tok")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+                "bpe_tokens_per_word"
+            ),
+        )
     )
 
 

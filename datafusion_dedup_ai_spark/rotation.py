@@ -19,7 +19,7 @@ and are replayed by full_correctness.py):
      order-independent of the registry's own import order — using registry
      order would let registration shuffles influence the window again).
 
-The per-round literal in entry_queries.py (ROUND8_WINDOW, ...) is the
+The per-round literal in entry_queries.py (ROUND9_WINDOW, ...) is the
 OUTPUT of this function pinned at rotation time;
 tests/test_entry_contract.py asserts literal == computed, so an auditor
 can re-derive the window from the committed artifacts alone and any
@@ -36,11 +36,32 @@ import re
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _row_is_green(row: object) -> bool:
+    """A driver row counts as VALIDATED only when it is fully green:
+    rows/schema/hash all matched and no error. A red or errored row must
+    NOT advance the entry's staleness stamp — under the staleness-first
+    policy that would deprioritize exactly the entry that most needs
+    re-validation (round-8 advisor item). Rows-only driver rows (no
+    oracle => hash_match never true) also don't stamp: if such an entry
+    later gains an oracle it re-enters the window as never-hash-validated,
+    which is the behavior we want for newly gated entries."""
+    if not isinstance(row, dict):
+        # pre-r2 artifacts used bare booleans; True meant fully green
+        return bool(row) is True
+    return (
+        bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and bool(row.get("hash_match"))
+        and not row.get("err")
+    )
+
+
 def load_validation_history(
     repo_root: str = _REPO_ROOT, through_round: int | None = None
 ) -> dict[str, int]:
     """name -> latest round whose committed CORRECTNESS_r{N}.json contains a
-    row for it (entries absent from every artifact are absent from the map).
+    fully GREEN row for it (entries absent from every artifact — or never
+    green — are absent from the map; see _row_is_green).
     ``through_round`` freezes the history at a given round so a pinned
     window stays reproducible after later artifacts land."""
     last: dict[str, int] = {}
@@ -55,8 +76,9 @@ def load_validation_history(
             rows = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
+        for name, row in rows.items():
+            if _row_is_green(row):
+                last[name] = max(last.get(name, 0), rnd)
     return last
 
 

@@ -279,6 +279,7 @@ def start_semantic_ingest(
     threshold: float = 0.35,
     available_now: bool = True,
     compact_max_files: int | None = None,
+    index_n_bits: int | None = None,
 ) -> StreamingQuery:
     """Always-on SEMANTIC near-duplicate screening over an embedding stream:
     the streaming form of the persisted-vector-index pipeline
@@ -316,6 +317,14 @@ def start_semantic_ingest(
       semi-join (which also covers replay) — the degenerate-input fallback
       playing the role the singleton-shingle fallback plays for too-short
       documents.
+
+    ``index_n_bits``: bucket width for the vector index. The default (None)
+    inherits build_vector_index's corpus-adaptive width — which for a
+    STREAMING index freezes at the FIRST batch's survivor count, usually
+    too narrow for the eventual corpus. Production should size it for the
+    TARGET corpus (lsh_bits_for(expected_N)); the hash-gated registry entry
+    pins 4 to match the fixed lsh_buckets oracle-fixture geometry (the same
+    index-width doctrine as queries_extras._vector_index_path).
     """
     from datafusion_dedup_ai_spark.operators import vector_index as VI
     from datafusion_dedup_ai_spark.operators.dedup import greedy_min_id_dropped
@@ -353,7 +362,11 @@ def start_semantic_ingest(
                 )
         else:
             VI.build_vector_index(
-                indexable, index_dir, id_col=id_col, vec_col=vec_col
+                indexable,
+                index_dir,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_bits=index_n_bits,
             )
         return True
 
@@ -427,7 +440,11 @@ def start_semantic_ingest(
                 )
             else:
                 VI.build_vector_index(
-                    indexable, index_dir, id_col=id_col, vec_col=vec_col
+                    indexable,
+                    index_dir,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    n_bits=index_n_bits,
                 )
             # Same small-files maintenance as the text sink: compact the
             # index in place once appends exceed the file threshold; a

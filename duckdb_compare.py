@@ -243,14 +243,21 @@ def full_workload_main() -> None:
     }
     already_full = ("bm25_retrieval_topk", "textrank_keywords")
 
-    def connect(data_dir: str):
+    def connect(data_dir: str, required: tuple[str, ...] = ()):
+        """required= names tables that must exist in data_dir — a partial
+        corpus (e.g. a 10x dir with documents but no embeddings) should be
+        reported per-query, not silently produce empty views that make a
+        full-workload query trivially fast (round-8 advisor)."""
         con = duckdb.connect()
+        present = set()
         for t in TESTDATA_TABLES:
             p = os.path.join(data_dir, f"{t}.parquet")
             if os.path.isdir(p) or os.path.exists(p):
                 src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
-        return con
+                present.add(t)
+        missing = [t for t in required if t not in present]
+        return con, missing
 
     def timed(con, sql: str):
         runs, rows = [], 0
@@ -260,33 +267,67 @@ def full_workload_main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         return sorted(runs)[len(runs) // 2], rows
 
+    # One malformed query (or one missing table) must cost only its own
+    # rows in the artifact, never the whole run (round-8 advisor; same
+    # per-query err contract as bench_full.py).
+    def timed_safe(con, sql: str):
+        try:
+            t, n = timed(con, sql)
+            return t, n, None
+        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
+            return None, None, f"{type(exc).__name__}: {exc}"[:300]
+
+    QUERY_TABLES = ("documents", "embeddings")
     load_before = os.getloadavg()
     report: dict[str, dict] = {}
-    con1 = connect(sf_dir)
+    con1, missing1 = connect(sf_dir, required=QUERY_TABLES)
+    if missing1:
+        print(f"  WARNING {sf_dir} missing tables: {missing1}", file=sys.stderr)
     for name in FULL_WORKLOAD_QUERIES:
         entry: dict = {"already_full_workload": name in already_full}
-        entry["replay_oracle_1x_s"], entry["replay_rows_1x"] = timed(
+        if missing1:
+            entry["err"] = f"missing tables in {sf_dir}: {missing1}"
+            report[name] = entry
+            continue
+        entry["replay_oracle_1x_s"], entry["replay_rows_1x"], err = timed_safe(
             con1, oracles[name]
         )
-        if name in already_full:
+        if err:
+            entry["err"] = err
+        elif name in already_full:
             entry["full_1x_s"] = entry["replay_oracle_1x_s"]
             entry["full_rows_1x"] = entry["replay_rows_1x"]
         else:
-            entry["full_1x_s"], entry["full_rows_1x"] = timed(
+            entry["full_1x_s"], entry["full_rows_1x"], err = timed_safe(
                 con1, full_sql[name]
             )
+            if err:
+                entry["err"] = err
         report[name] = entry
         print(f"  {name}: {entry}", file=sys.stderr)
     con1.close()
 
     has_10x = os.path.isdir(os.path.join(SCALE10_DIR, "documents.parquet"))
     if has_10x:
-        con10 = connect(SCALE10_DIR)
+        con10, missing10 = connect(SCALE10_DIR, required=QUERY_TABLES)
+        if missing10:
+            print(
+                f"  WARNING {SCALE10_DIR} missing tables: {missing10}",
+                file=sys.stderr,
+            )
         for name in FULL_WORKLOAD_QUERIES:
-            t, n = timed(con10, full_sql[name])
-            report[name]["full_10x_s"] = t
-            report[name]["full_rows_10x"] = n
-            print(f"  {name}@10x: {t}s {n} rows", file=sys.stderr)
+            if missing10:
+                report[name]["err_10x"] = (
+                    f"missing tables in {SCALE10_DIR}: {missing10}"
+                )
+                continue
+            t, n, err = timed_safe(con10, full_sql[name])
+            if err:
+                report[name]["err_10x"] = err
+            else:
+                report[name]["full_10x_s"] = t
+                report[name]["full_rows_10x"] = n
+            print(f"  {name}@10x: {t}s {n} rows err={err}", file=sys.stderr)
         con10.close()
     load_after = os.getloadavg()
 

@@ -83,13 +83,14 @@ DRIVER_WINDOW = 50
 
 
 def test_window_matches_rotation_policy():
-    """Round-8 change (round-7 advice, medium — window composition must not
-    be discretionary): the pinned ROUND8_WINDOW literal must equal the
+    """Since round 8 (round-7 advice, medium — window composition must not
+    be discretionary): the pinned ROUND9_WINDOW literal must equal the
     deterministic staleness-first rotation computed from the committed
-    CORRECTNESS_r01..r07.json artifacts (rotation.py). A hand-edit of the
-    window, a new artifact sneaking into the frozen history, or a policy
-    drift all fail here."""
-    from datafusion_dedup_ai_spark.entry_queries import ROUND8_WINDOW
+    CORRECTNESS_r01..r08.json artifacts (rotation.py, green-rows-only
+    history since the round-8 advisor fix). A hand-edit of the window, a
+    new artifact sneaking into the frozen history, or a policy drift all
+    fail here."""
+    from datafusion_dedup_ai_spark.entry_queries import ROUND9_WINDOW
     from datafusion_dedup_ai_spark.rotation import (
         compute_rotation_window,
         load_validation_history,
@@ -98,17 +99,17 @@ def test_window_matches_rotation_policy():
     registered = list(entry_mod.queries())
     gated = set(entry_mod.oracle_sql())
     computed = compute_rotation_window(
-        registered, gated, load_validation_history(through_round=7)
+        registered, gated, load_validation_history(through_round=8)
     )
-    assert ROUND8_WINDOW == computed, (
-        "ROUND8_WINDOW diverges from the rotation policy; first diff: "
-        + str(next((a, b) for a, b in zip(ROUND8_WINDOW, computed) if a != b))
+    assert ROUND9_WINDOW == computed, (
+        "ROUND9_WINDOW diverges from the rotation policy; first diff: "
+        + str(next((a, b) for a, b in zip(ROUND9_WINDOW, computed) if a != b))
     )
 
 
 def test_priority_packs_inside_driver_window():
     """The driver's correctness run evaluates only the first ~50 registered
-    queries (observed: exactly 50 rows in rounds 1-7). The ROUND8_WINDOW
+    queries (observed: exactly 50 rows in rounds 1-8). The ROUND9_WINDOW
     list (the policy-computed rotation — see
     test_window_matches_rotation_policy) must occupy the window exactly,
     and every window slot must carry a hash-gate oracle. Everything
@@ -119,7 +120,7 @@ def test_priority_packs_inside_driver_window():
     import subprocess
     import sys
 
-    from datafusion_dedup_ai_spark.entry_queries import ROUND8_WINDOW
+    from datafusion_dedup_ai_spark.entry_queries import ROUND9_WINDOW
 
     # Registration order must be measured the way the DRIVER sees it — a
     # fresh interpreter importing only __spark_entry__. Inside pytest the
@@ -140,20 +141,20 @@ def test_priority_packs_inside_driver_window():
         ).stdout.strip()
     )
     ordered, gated = out[0], set(out[1])
-    assert len(ROUND8_WINDOW) == DRIVER_WINDOW
-    assert ordered[:DRIVER_WINDOW] == ROUND8_WINDOW, (
-        "round-8 driver window drifted from ROUND8_WINDOW; first diff: "
+    assert len(ROUND9_WINDOW) == DRIVER_WINDOW
+    assert ordered[:DRIVER_WINDOW] == ROUND9_WINDOW, (
+        "round-9 driver window drifted from ROUND9_WINDOW; first diff: "
         + str(
             next(
                 (a, b)
-                for a, b in zip(ordered, ROUND8_WINDOW)
+                for a, b in zip(ordered, ROUND9_WINDOW)
                 if a != b
             )
         )
     )
-    ungated = [n for n in ROUND8_WINDOW if n not in gated]
+    ungated = [n for n in ROUND9_WINDOW if n not in gated]
     assert not ungated, (
-        f"round-8 window slots without a hash-gate oracle: {ungated}"
+        f"round-9 window slots without a hash-gate oracle: {ungated}"
     )
 
 
