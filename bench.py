@@ -72,10 +72,47 @@ HEADLINE = [
 ]
 
 
+# A 1-minute loadavg above this at bench start means another workload (or a
+# JVM still shutting down — the round-8 artifact read ~10% high exactly this
+# way) shares the box; the numbers would measure conditions, not plans.
+IDLE_LOADAVG_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+IDLE_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "120"))
+
+
+def _await_idle() -> tuple[list[float], bool]:
+    """Wait up to IDLE_WAIT_S for the 1-min loadavg to drop under
+    IDLE_LOADAVG_MAX (the round-8 verdict's conditions guard — BENCH_r08 was
+    produced while the bench_full JVM was shutting down and read +11% across
+    the board). Returns (loadavg at start of timing, warning flag). Never
+    refuses outright: the external driver runs this unattended and an absent
+    artifact is worse than a stamped-noisy one — the warning flag in the
+    JSON is the refusal the judge can see."""
+    deadline = time.time() + IDLE_WAIT_S
+    while True:
+        load = os.getloadavg()
+        if load[0] < IDLE_LOADAVG_MAX or time.time() >= deadline:
+            warned = load[0] >= IDLE_LOADAVG_MAX
+            if warned:
+                print(
+                    f"  WARNING: loadavg {load[0]:.2f} >= {IDLE_LOADAVG_MAX} "
+                    f"after waiting {IDLE_WAIT_S}s — timings will be stamped "
+                    "conditions_warning",
+                    file=sys.stderr,
+                )
+            return [round(v, 2) for v in load], warned
+        print(
+            f"  box not idle (loadavg {load[0]:.2f}); waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(10.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    load_start, load_warned = _await_idle()
 
     from datafusion_dedup_ai_spark.session import build_session
     import __spark_entry__ as entry_mod
@@ -157,17 +194,23 @@ def main() -> None:
     # run arrays exceeds that window (observed: BENCH_r05.json has
     # parsed=null because the oversized line was truncated).
     print(json.dumps({"runs": samples, "repeats": repeats}), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # conditions stamp (round-8 verdict #2): loadavg at bench start,
+        # so a noisy-box artifact is self-identifying. Kept to a few
+        # fields — the driver parses only the final ~2000 stdout chars.
+        "load1_start": load_start[0],
+        "load1_end": round(os.getloadavg()[0], 2),
+    }
+    if load_warned:
+        out["conditions_warning"] = "box not idle at start"
+    line = json.dumps(out)
+    assert len(line) < 1900, f"bench JSON line {len(line)} chars > driver window"
+    print(line)
     spark.stop()
 
 

@@ -12,10 +12,16 @@ window).
 
 Caveats recorded in the artifact:
 - the streaming replay queries memoize their converged parquet per
-  (process, sf); their first run pays the replay, later runs scan the
-  snapshot — the median reports the MEMOIZED cost (the registered query's
-  actual repeat-call behavior), and the first-run replay cost is visible in
-  the "runs" samples.
+  (process, sf); since round 9 the memo is CLEARED before every timed run
+  (queries_extras.reset_replay_memos — the round-8 verdict #1 fix: the
+  round-8 medians measured a snapshot scan, undercounting ~150s of real
+  replay work), so their medians are honest one-shot replay costs, flagged
+  "one_shot" in the artifact.
+- fixture-materializing queries (cluster_train_test_split,
+  media_frame_samples) still pay their fixture build in run 1 only — the
+  fixture is shared oracle plumbing, not the operator, so the median
+  correctly reports the operator with fixtures in place; run-1 spread stays
+  visible in "runs".
 - a query that errors at this sf is recorded with "err" instead of
   aborting the pass.
 """
@@ -36,6 +42,10 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
     import __spark_entry__ as entry_mod
+    from datafusion_dedup_ai_spark.queries_extras import (
+        STREAMING_REPLAY_ENTRIES,
+        reset_replay_memos,
+    )
     from datafusion_dedup_ai_spark.session import build_session
 
     spark = build_session(
@@ -66,12 +76,17 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             time.sleep(1.0)
+        one_shot = name in STREAMING_REPLAY_ENTRIES
         runs: list[float] = []
         try:
             for _ in range(repeats):
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 time.sleep(1.0)
+                if one_shot:
+                    # replay memo cleared -> every repeat re-drives the
+                    # stream; the median is the one-shot replay cost
+                    reset_replay_memos()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 runs.append(round(time.perf_counter() - t0, 3))
@@ -94,6 +109,7 @@ def main() -> None:
         "queries": timings,
         "runs": samples,
         "errors": errors,
+        "one_shot_queries": list(STREAMING_REPLAY_ENTRIES),
         "conditions": {
             "cpus": os.cpu_count(),
             "loadavg_end": [round(v, 2) for v in os.getloadavg()],

@@ -1,0 +1,165 @@
+"""End-to-end command-line entry point — the reference's batch journey
+(engine_test.py:6-30 run_dedup / app.py:80-126 process-all loop, minus the
+Streamlit UI), runnable without writing any Python:
+
+    python -m datafusion_dedup_ai_spark INPUT [INPUT ...]
+        [--column NAME] [--out DIR] [--hard 0.90] [--soft 0.85]
+        [--no-subsidiary-fold] [--order-column NAME]
+
+Per input file (csv/xlsx, format-dispatched like the reference):
+
+1. read it (sources.read_input), auto-detecting the company-name column as
+   the first string column when --column is omitted (reference
+   engine_test.py:14-16); a file missing the requested column is warned
+   about and skipped, not fatal (app.py:91-92);
+2. run the full dedup pipeline (plans.pipeline.dedup_pipeline);
+3. write the reference's three workbooks (outputs.py:22-59) into --out
+   (default: the input file's directory, engine_test.py:21-22):
+   company_duplicates_final.xlsx (clusters + canonical_summary + settings
+   sheets), golden_mapping.xlsx (mapping), high_confidence_review.xlsx
+   (review) — with one input the reference's exact filenames, with several
+   the per-file names app.py uses (dedup_final_<name>.xlsx, ...);
+4. print the stats quadruple (engine_test.py:25-28).
+
+``--order-column``: a unique numeric key making row_order deterministic
+without a global sort (mandatory at scale — see operators/blocking.py
+prepare_names). Without it, row_order falls back to the name-sorted rank:
+correct and deterministic, but a single-partition sort, fine only at
+CLI-file scale.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m datafusion_dedup_ai_spark",
+        description="Dedupe company names in csv/xlsx files into the "
+        "reference's three report workbooks.",
+    )
+    p.add_argument("inputs", nargs="+", help="input .csv/.xlsx file(s)")
+    p.add_argument("--column", help="company-name column (default: first string column)")
+    p.add_argument("--out", help="output directory (default: each input's directory)")
+    p.add_argument("--hard", type=float, default=0.90, help="hard match threshold")
+    p.add_argument("--soft", type=float, default=0.85, help="soft match threshold")
+    p.add_argument(
+        "--no-subsidiary-fold",
+        action="store_true",
+        help="disable the subsidiary-suffix folding step",
+    )
+    p.add_argument(
+        "--order-column",
+        help="unique numeric key column for deterministic row_order at scale",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI body. ``spark``: tests inject their shared session (then it is
+    NOT stopped here); the command line builds and owns one."""
+    args = _build_parser().parse_args(argv)
+
+    from datafusion_dedup_ai_spark.config import DedupConfig
+    from datafusion_dedup_ai_spark.plans.pipeline import (
+        canonical_summary,
+        dedup_pipeline,
+        golden_mapping,
+        high_confidence_review,
+        run_stats,
+    )
+    from datafusion_dedup_ai_spark.session import build_session
+    from datafusion_dedup_ai_spark.sources.readers import (
+        first_string_column,
+        read_input,
+    )
+    from datafusion_dedup_ai_spark.sources.sinks import (
+        settings_sheet,
+        write_xlsx_bytes,
+    )
+
+    config = DedupConfig(
+        hard_threshold=args.hard,
+        soft_threshold=args.soft,
+        no_subsidiary_fold=args.no_subsidiary_fold,
+    )
+    owns_session = spark is None
+    if owns_session:
+        spark = build_session(app_name="dedup-cli")
+    single = len(args.inputs) == 1
+    rc = 0
+    try:
+        for path in args.inputs:
+            print(f"Loading file: {path}")
+            df = read_input(spark, path)
+            column = args.column or first_string_column(df)
+            if column not in df.columns:
+                print(
+                    f"Skipping {path}: column {column!r} not found.",
+                    file=sys.stderr,
+                )
+                rc = 1
+                continue
+            clusters = dedup_pipeline(
+                df, column, config, order_col=args.order_column
+            )
+            # Reference clusters-sheet projection (outputs.py:23-24) —
+            # block_key is internal and stays out of the workbook.
+            sheet_cols = [
+                "row_order",
+                "original_name",
+                "normalized_name",
+                "base_name",
+                "cluster_id",
+                "cluster_size",
+                "canonical_name",
+                "confidence",
+                "reason",
+            ]
+            out_dir = args.out or os.path.dirname(os.path.abspath(path))
+            os.makedirs(out_dir, exist_ok=True)
+            stem = os.path.basename(path)
+            names = (
+                ("company_duplicates_final.xlsx", "golden_mapping.xlsx",
+                 "high_confidence_review.xlsx")
+                if single
+                else (f"dedup_final_{stem}.xlsx", f"golden_{stem}.xlsx",
+                      f"review_{stem}.xlsx")
+            )
+            write_xlsx_bytes(
+                {
+                    "clusters": clusters.select(*sheet_cols),
+                    "canonical_summary": canonical_summary(clusters),
+                    "settings": settings_sheet(config, spark),
+                },
+                out_dir,
+                names[0],
+            )
+            write_xlsx_bytes(
+                {"mapping": golden_mapping(clusters)}, out_dir, names[1]
+            )
+            write_xlsx_bytes(
+                {"review": high_confidence_review(clusters).select(*sheet_cols)},
+                out_dir,
+                names[2],
+            )
+            s = run_stats(clusters).collect()[0]
+            print("\nProcessing Complete!")
+            print(f"Total Rows: {s['total_rows']}")
+            print(f"Total Clusters: {s['total_clusters']}")
+            print(f"Multi-record Clusters: {s['multi_record_clusters']}")
+            print(
+                f"High-confidence Review Rows: {s['high_confidence_review_rows']}"
+            )
+            print(f"Reports written to: {out_dir}")
+    finally:
+        if owns_session:
+            spark.stop()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -90,14 +90,16 @@ EVENT_PROBES = [
 # Queries whose registered fn memoizes a per-(process, sf) side effect (the
 # streaming replays cache their converged parquet): reset before EVERY timed
 # run or the probe would measure a parquet re-scan, not the operator.
-def _reset_stateful():
+# Central hook shared with bench_full.py since round 9
+# (queries_extras.reset_replay_memos).
+def _reset_replays():
     from datafusion_dedup_ai_spark import queries_extras as QE
 
-    QE._STATEFUL_DEDUP_DONE.clear()
+    QE.reset_replay_memos()
 
 
 RESET_HOOKS = {
-    "streaming_stateful_first_events": _reset_stateful,
+    "streaming_stateful_first_events": _reset_replays,
 }
 MAX_EXPONENT = 1.35  # fail the probe if wall time grows super-linearly
 

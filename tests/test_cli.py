@@ -1,0 +1,137 @@
+"""End-to-end CLI (`python -m datafusion_dedup_ai_spark`, round-8 verdict
+task 5): the module main on the 8-row golden fixture must reproduce the
+deterministic columns of company_duplicates_final.xlsx plus the other two
+workbooks and the stats quadruple — the reference engine_test.py:6-30 /
+app.py:80-126 journey minus the UI."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from datafusion_dedup_ai_spark.__main__ import main
+from datafusion_dedup_ai_spark.sources.xlsx_lite import read_xlsx
+from tests.test_pipeline_golden import GOLDEN, GOLDEN_INPUT
+
+
+@pytest.fixture(scope="module")
+def cli_outputs(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    inp = tmp / "companies.csv"
+    with open(inp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["idx", "company_name"])
+        for i, name in enumerate(GOLDEN_INPUT):
+            w.writerow([i, name])
+    out_dir = tmp / "reports"
+    rc = main(
+        [
+            str(inp),
+            "--column",
+            "company_name",
+            "--order-column",
+            "idx",
+            "--out",
+            str(out_dir),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    return out_dir
+
+
+def test_cli_writes_three_workbooks(cli_outputs):
+    assert sorted(os.listdir(cli_outputs)) == [
+        "company_duplicates_final.xlsx",
+        "golden_mapping.xlsx",
+        "high_confidence_review.xlsx",
+    ]
+
+
+def _sheet_dicts(path, sheet):
+    rows = read_xlsx(str(path))[sheet]
+    header, body = rows[0], rows[1:]
+    return [dict(zip(header, r)) for r in body]
+
+
+def test_cli_final_workbook_golden(cli_outputs):
+    recs = _sheet_dicts(
+        cli_outputs / "company_duplicates_final.xlsx", "clusters"
+    )
+    assert len(recs) == len(GOLDEN)
+    by_order = {int(r["row_order"]): r for r in recs}
+    by_cluster: dict[int, set] = {}
+    for ro, r in by_order.items():
+        by_cluster.setdefault(r["cluster_id"], set()).add(ro)
+    for ro, (norm, base, comp, size, canon, conf, reason) in GOLDEN.items():
+        r = by_order[ro]
+        assert r["original_name"] == GOLDEN_INPUT[ro]
+        assert r["normalized_name"] == norm
+        # empty base_name round-trips as an empty cell -> None in the
+        # lite reader; normalize for the one empty-base golden row
+        assert (r["base_name"] or "") == base
+        assert by_cluster[r["cluster_id"]] == set(comp)
+        assert int(r["cluster_size"]) == size
+        assert r["canonical_name"] == canon
+        assert float(r["confidence"]) == pytest.approx(conf)
+        assert r["reason"] == reason
+    # reference sheet projection (outputs.py:23-24): block_key stays internal
+    assert "block_key" not in recs[0]
+
+
+def test_cli_final_workbook_summary_and_settings(cli_outputs):
+    summary = _sheet_dicts(
+        cli_outputs / "company_duplicates_final.xlsx", "canonical_summary"
+    )
+    assert {(r["canonical_name"], int(r["count"])) for r in summary} == {
+        ("IBM", 2),
+        ("TATA CONSULTANCY SERVICES", 2),
+        ("GOOGLE", 1),
+        ("ALPHABET", 1),
+        ("MICROSOFT", 1),
+        ("LTD", 1),
+    }
+    settings = _sheet_dicts(
+        cli_outputs / "company_duplicates_final.xlsx", "settings"
+    )
+    as_map = {r["Setting"]: r["Value"] for r in settings}
+    assert as_map["hard_threshold"] == "0.9"
+    assert as_map["soft_threshold"] == "0.85"
+
+
+def test_cli_golden_mapping_workbook(cli_outputs):
+    recs = _sheet_dicts(cli_outputs / "golden_mapping.xlsx", "mapping")
+    got = {(r["original_name"], r["canonical_name"]) for r in recs}
+    assert got == {(GOLDEN_INPUT[ro], g[4]) for ro, g in GOLDEN.items()}
+
+
+def test_cli_review_workbook(cli_outputs):
+    recs = _sheet_dicts(cli_outputs / "high_confidence_review.xlsx", "review")
+    assert [int(r["row_order"]) for r in recs] == [0, 2]
+
+
+def test_cli_missing_column_skips_with_nonzero_rc(spark, tmp_path):
+    inp = tmp_path / "bad.csv"
+    inp.write_text("a,b\n1,2\n")
+    rc = main(
+        [str(inp), "--column", "company_name", "--out", str(tmp_path / "o")],
+        spark=spark,
+    )
+    assert rc == 1
+    assert not (tmp_path / "o").exists() or not os.listdir(tmp_path / "o")
+
+
+def test_cli_autodetects_string_column(spark, tmp_path):
+    inp = tmp_path / "auto.csv"
+    with open(inp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["idx", "company_name"])
+        w.writerow([0, "IBM"])
+        w.writerow([1, "IBM India Pvt Ltd"])
+    out_dir = tmp_path / "o"
+    rc = main([str(inp), "--out", str(out_dir)], spark=spark)
+    assert rc == 0
+    recs = _sheet_dicts(out_dir / "company_duplicates_final.xlsx", "clusters")
+    assert {r["base_name"] for r in recs} == {"IBM"}
