@@ -8,10 +8,12 @@ Scale notes
 * The blocking key IS the shuffle key: the J1 self-join is an equi-join on
   ``block_key`` so Catalyst/AQE picks the physical join and splits skewed
   blocks across tasks.
-* ``max_block_size`` (DedupConfig) sub-splits oversized blocks by extending the
-  key with extra leading characters of the base name — a semantic restriction
-  (pairs across sub-blocks are skipped) used as a guard against quadratic
-  blow-up on adversarial keys; off by default for reference parity.
+* ``max_block_size`` (DedupConfig) sub-splits oversized blocks: first by
+  extending the key with extra leading characters of the base name, then —
+  for blocks a shared first token keeps hot through that refinement — by
+  hash-salting into ceil(n/cap) sub-blocks on the full base name. A semantic
+  restriction (pairs across sub-blocks are skipped) used as a guard against
+  quadratic blow-up on adversarial keys; off by default for reference parity.
 """
 
 from __future__ import annotations
@@ -71,20 +73,49 @@ def prepare_names(
         .withColumn("reason", F.lit(REASON_DEFAULT))
     )
     if config.max_block_size is not None:
-        # Sub-split hot blocks: extend the key with more leading chars so each
-        # sub-block's expected size drops below the cap. Approximation tier —
-        # flagged by the distinct key suffix so outputs are auditable.
+        # Sub-split hot blocks in two stages. Stage 1 extends the key with
+        # more leading base-name chars, which preserves every pair whose
+        # members agree on the first 8 chars (the cheap, recall-friendly
+        # refinement). Stage 2 (round 9, motivated by the Zipf-skew probe):
+        # a block can stay hot AFTER stage 1 when its members share a first
+        # token — thousands of "MEGACORP <suffix>" variants all carry the
+        # same 8-char prefix, so the prefix refinement is a no-op on exactly
+        # the hot-key shape it exists for. Those residual blocks hash-salt
+        # into ceil(n / max_block_size) sub-blocks keyed on the FULL
+        # base_name, which bounds expected sub-block size at the cap while
+        # keeping identical base names (the token-key/exact tier) in one
+        # sub-block. Cross-sub-block fuzzy pairs are the sacrificed
+        # approximation — flagged by the distinct key suffixes ("#p" prefix
+        # stage, "#s" salt stage) so outputs stay auditable.
+        cap = F.lit(config.max_block_size)
         w_cnt = Window.partitionBy("block_key")
         out = out.withColumn("_block_n", F.count("*").over(w_cnt)).withColumn(
             "block_key",
             F.when(
-                (F.col("_block_n") > F.lit(config.max_block_size))
-                & (F.col("base_name") != ""),
+                (F.col("_block_n") > cap) & (F.col("base_name") != ""),
                 F.concat_ws(
-                    "#", F.col("block_key"), F.substring(F.col("base_name"), 1, 8)
+                    "#p", F.col("block_key"), F.substring(F.col("base_name"), 1, 8)
                 ),
             ).otherwise(F.col("block_key")),
-        ).drop("_block_n")
+        )
+        n_sub = F.ceil(F.col("_block_n2") / cap).cast("bigint")
+        out = (
+            out.withColumn("_block_n2", F.count("*").over(w_cnt))
+            .withColumn(
+                "block_key",
+                F.when(
+                    (F.col("_block_n2") > cap) & (F.col("base_name") != ""),
+                    F.concat_ws(
+                        "#s",
+                        F.col("block_key"),
+                        F.pmod(F.xxhash64(F.col("base_name")), n_sub).cast(
+                            "string"
+                        ),
+                    ),
+                ).otherwise(F.col("block_key")),
+            )
+            .drop("_block_n", "_block_n2")
+        )
     return out.select(
         "row_order",
         "original_name",

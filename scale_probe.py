@@ -61,6 +61,12 @@ PROBES = [
     # probed via duplicate_substring_spans' family) + covered-position
     # distinct + (doc, pos) anti-join + per-doc reassembly
     "doc_substring_trimmed",
+    # round-9: tokenizer APPLY (verdict task 8's probe row). The Python
+    # encode runs on DISTINCT words only (Heaps-law-small), corpus-sized
+    # work is one explode + broadcast join + partial-agg groupBy; the
+    # frozen piece fixture materializes once per corpus in the warm run,
+    # so timed runs price the apply path the query claims is vocab-bound.
+    "tokenized_length_stats",
 ]
 # round-6: the embeddings pipeline gets its own 10x probe (exact copies:
 # each original gains 9 planted exact duplicates — same K10-family
@@ -271,6 +277,163 @@ def time_adaptive_index_match(spark, sf_dir: str, tag: str) -> float:
     return dt
 
 
+def build_scaled_zipf_hosts(spark, src_sf: str, dst: str, factor: int) -> None:
+    """Zipf-skew 10x documents corpus for the HOST-keyed operators (round-9
+    verdict #7): identical rows to build_scaled's uniform corpus except
+    copies i > 0 overwrite ``source`` with one hot value, so ~90% of rows
+    canonicalize into a single host group — the one-site-dominates-the-crawl
+    shape a real 100 TB url table always has."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(src_sf, "documents.parquet"))
+    n = docs.count()
+    out = None
+    for i in range(factor):
+        copy = docs.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            "text",
+            "lang",
+            (F.col("source") if i == 0 else F.lit("zipfhot")).alias("source"),
+            "n_chars",
+        )
+        out = copy if out is None else out.unionByName(copy)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "documents.parquet")
+    )
+
+
+def probe_host_skew(spark, qs, dst_uniform: str, dst_zipf: str, report) -> bool:
+    """host_url_stats on the one-hot-host corpus vs the uniform 10x corpus
+    (same row count): the host groupBy partial-aggregates map-side (and the
+    countDistinct expands to a two-phase (host, url) aggregate), so one mega
+    host group must NOT serialize into a straggler reduce task. Gated on the
+    skew/uniform wall RATIO (<= 2.0) rather than an exponent — the corpora
+    are the same size; only the key distribution differs."""
+
+    def one(sf_dir):
+        return time_query(qs, "host_url_stats", spark, sf_dir)
+
+    one(dst_uniform)
+    one(dst_zipf)
+    t_u = min(one(dst_uniform) for _ in range(2))
+    t_z = min(one(dst_zipf) for _ in range(2))
+    ratio = t_z / max(t_u, 1e-6)
+    report["host_url_stats@zipfhost"] = {
+        "t_uniform10x_s": round(t_u, 3),
+        "t_zipf10x_s": round(t_z, 3),
+        "skew_ratio": round(ratio, 3),
+        "gated": True,
+    }
+    return ratio <= 2.0
+
+
+# The session's skew-split byte thresholds (session.py: 32m/8m via
+# SPARK_GRAFT_SKEW_*) are sized to the bench corpus's task granularity; the
+# mega-block probe's hot shuffle partition holds ~100k short strings that
+# lz4 compresses to tens of KB (AQE sizes partitions by COMPRESSED map
+# output), so the probe scales the thresholds down in proportion — a real
+# deployment sizes them to executor memory, and the MECHANISM (AQE
+# OptimizeSkewedJoin splitting the hot block's SMJ partition, `skew=true`
+# in the executed plan) is what's under probe. Broadcast is disabled
+# because the probe name table is KB-sized while the 100 TB name table
+# this models is not: SMJ is the physical join whose skew behavior matters.
+_SKEW_PROBE_CONFS = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32768",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def megablock_candidate_agg(spark, v: int, cap):
+    """The J1 candidate self-join + JVM Levenshtein scoring over a Zipf
+    name table: 10% of v rows share the first token MEGACORP (one block —
+    the prefix refinement is a NO-OP on it, every member agrees on the
+    first 8 base chars), the rest are singleton blocks. Returns the
+    aggregate DataFrame; pair count is output-quadratic in the hot block
+    unless ``cap`` (DedupConfig.max_block_size) hash-salts it."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dedup_ai_spark.config import DedupConfig
+    from datafusion_dedup_ai_spark.operators.blocking import (
+        candidate_pairs,
+        prepare_names,
+    )
+
+    names = spark.range(v).selectExpr(
+        "id",
+        "CASE WHEN id % 10 = 0 THEN "
+        "concat('MEGACORP ', lpad(cast(id AS string), 8, '0')) "
+        "ELSE concat('UNIQ', lpad(cast(id AS string), 8, '0'), "
+        "' WHOLESALE') END AS name",
+    )
+    prepared = prepare_names(
+        names, "name", DedupConfig(max_block_size=cap), order_col="id"
+    )
+    pairs = candidate_pairs(prepared)
+    lev = F.levenshtein(F.col("base_a"), F.col("base_b"))
+    denom = F.greatest(F.length("base_a"), F.length("base_b"), F.lit(1))
+    return pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.lit(1.0) - lev.cast("double") / denom).alias("s"),
+    )
+
+
+def probe_megablock(spark, factor: int, report) -> bool:
+    """Mega-block skew probe (round-9 verdict #7): drive the dedup
+    candidate join with one hot block_key and record (a) whether AQE's
+    skew-join split fires on the hot SMJ partition (executed-plan marker)
+    and (b) that the max_block_size hash-salt guard holds the wall-time
+    exponent. Unguarded is OUTPUT-quadratic by construction (hot-block
+    pairs grow factor^2) — recorded ungated with pair counts, like
+    @templated and phonetic@unguarded."""
+    import math
+
+    def one(v, cap):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+        agg = megablock_candidate_agg(spark, v, cap)
+        t0 = time.time()
+        row = agg.collect()[0]
+        dt = time.time() - t0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        fired = ("skew=true" in plan) or ("skewed" in plan)
+        return dt, row["n"], fired
+
+    v1 = 10_000
+    ok = True
+    prev = {k: spark.conf.get(k, None) for k in _SKEW_PROBE_CONFS}
+    for k, v in _SKEW_PROBE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        for tag, cap, gate in [("unguarded", None, False), ("guarded64", 64, True)]:
+            one(v1, cap)
+            one(v1 * factor, cap)
+            t1, n1, _ = min((one(v1, cap) for _ in range(2)), key=lambda x: x[0])
+            t10, n10, fired = min(
+                (one(v1 * factor, cap) for _ in range(2)), key=lambda x: x[0]
+            )
+            exponent = math.log(max(t10, 1e-6) / max(t1, 1e-6)) / math.log(factor)
+            report[f"megablock_candidate_pairs@{tag}"] = {
+                "t_1x_s": round(t1, 3),
+                "t_10x_s": round(t10, 3),
+                "exponent": round(exponent, 3),
+                "pairs_1x": n1,
+                "pairs_10x": n10,
+                "aqe_skew_split_10x": fired,
+                "gated": gate,
+            }
+            if gate:
+                ok = ok and exponent <= MAX_EXPONENT
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return ok
+
+
 def time_query(qs, name, spark, sf_dir) -> float:
     """One steady-state UNCACHED measurement — clear the cache and drain
     the cleaner before timing, exactly like bench.py. Without the clear,
@@ -291,14 +454,38 @@ def time_query(qs, name, spark, sf_dir) -> float:
 
 
 def main() -> None:
+    import argparse
     import math
 
     import __spark_entry__ as entry_mod
     from datafusion_dedup_ai_spark.session import build_session
 
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated probe/report names — iteration aid; the "
+        "committed SCALE_PROBE.json comes from a full no-args run",
+    )
+    ap.add_argument(
+        "--x100",
+        action="store_true",
+        help="run the deep 100x probes instead (prints the SCALE100.json "
+        "line; round-9 verdict #4)",
+    )
+    args = ap.parse_args()
+    if args.x100:
+        main_x100()
+        return
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name: str) -> bool:
+        return only is None or name in only
+
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = "/tmp/spark_graft_scale10"
     dst_const = "/tmp/spark_graft_scale10_constdup"
+    dst_zipf = "/tmp/spark_graft_scale10_zipfhosts"
     factor = 10
     spark = build_session(app_name="scale-probe")
     if os.path.isdir(dst):
@@ -306,14 +493,15 @@ def main() -> None:
     if os.path.isdir(dst_const):
         shutil.rmtree(dst_const)
     build_scaled(spark, src, dst, factor)
-    build_scaled_constdup(spark, src, dst_const, factor)
+    if want("minhash_near_dup_pairs@constdup"):
+        build_scaled_constdup(spark, src, dst_const, factor)
     build_scaled_embeddings(spark, src, dst, factor)
     build_scaled_events(spark, src, dst, factor)
 
     qs = entry_mod.queries()
     report = {}
     ok = True
-    for name in PROBES + EMB_PROBES + EVENT_PROBES:
+    for name in [n for n in PROBES + EMB_PROBES + EVENT_PROBES if want(n)]:
         # warm BOTH shapes (codegen, Python workers, AQE stats) before
         # timing, so t1 and t10 measure the same steady-uncached regime
         time_query(qs, name, spark, src)
@@ -366,19 +554,39 @@ def main() -> None:
         if gate:
             ok = ok and exponent <= MAX_EXPONENT
 
-    probe_minhash("minhash_near_dup_pairs@constdup", dst_const, None, True)
+    if want("minhash_near_dup_pairs@constdup"):
+        probe_minhash("minhash_near_dup_pairs@constdup", dst_const, None, True)
     # Templated-boilerplate stress PAIR: the default config's documented
     # failure mode (ambient-Jaccard candidate mass — expected superlinear,
     # excluded from the gate) and the max_df guard that restores the
     # exponent (gated).
     dst_tmpl = "/tmp/spark_graft_scale10_templated"
-    if os.path.isdir(dst_tmpl):
-        shutil.rmtree(dst_tmpl)
-    build_scaled_templated(spark, src, dst_tmpl, factor)
-    probe_minhash("minhash_near_dup_pairs@templated", dst_tmpl, None, False)
-    probe_minhash(
-        "minhash_near_dup_pairs@templated_maxdf", dst_tmpl, 0.05, True
-    )
+    if want("minhash_near_dup_pairs@templated") or want(
+        "minhash_near_dup_pairs@templated_maxdf"
+    ):
+        if os.path.isdir(dst_tmpl):
+            shutil.rmtree(dst_tmpl)
+        build_scaled_templated(spark, src, dst_tmpl, factor)
+    if want("minhash_near_dup_pairs@templated"):
+        probe_minhash("minhash_near_dup_pairs@templated", dst_tmpl, None, False)
+    if want("minhash_near_dup_pairs@templated_maxdf"):
+        probe_minhash(
+            "minhash_near_dup_pairs@templated_maxdf", dst_tmpl, 0.05, True
+        )
+
+    # Round-9 (round-8 verdict #7): deliberate Zipf-skew probes — one hot
+    # host for the host-keyed groupBy, one mega block for the dedup
+    # candidate join (with the AQE skew-split observation and the
+    # hash-salt guard added to blocking.py this round).
+    if want("host_url_stats@zipfhost"):
+        if os.path.isdir(dst_zipf):
+            shutil.rmtree(dst_zipf)
+        build_scaled_zipf_hosts(spark, src, dst_zipf, factor)
+        ok = probe_host_skew(spark, qs, dst, dst_zipf, report) and ok
+    if want("megablock_candidate_pairs@unguarded") or want(
+        "megablock_candidate_pairs@guarded64"
+    ):
+        ok = probe_megablock(spark, factor, report) and ok
 
     # Round-8 (round-7 verdict #3): phonetic blocking's within-code
     # quadratic. soundex has only ~9k effective codes, so distinct-token
@@ -441,27 +649,165 @@ def main() -> None:
         if gate:
             ok = ok and exponent <= MAX_EXPONENT
 
-    probe_phonetic("phonetic_vocab_pairs@unguarded", 10_000, None, False)
-    probe_phonetic("phonetic_vocab_pairs@guarded16", 10_000, 16, True)
+    if want("phonetic_vocab_pairs@unguarded"):
+        probe_phonetic("phonetic_vocab_pairs@unguarded", 10_000, None, False)
+    if want("phonetic_vocab_pairs@guarded16"):
+        probe_phonetic("phonetic_vocab_pairs@guarded16", 10_000, 16, True)
 
     # Adaptive-default index build + match (verdict #3 'done' check)
     name = "vector_index_adaptive_build_match"
-    time_adaptive_index_match(spark, src, "warm1")
-    time_adaptive_index_match(spark, dst, "warm10")
-    t1 = min(time_adaptive_index_match(spark, src, "t1") for _ in range(2))
-    t10 = min(time_adaptive_index_match(spark, dst, "t10") for _ in range(2))
-    exponent = math.log(max(t10, 1e-6) / max(t1, 1e-6)) / math.log(factor)
-    report[name] = {
-        "t_1x_s": round(t1, 3),
-        "t_10x_s": round(t10, 3),
-        "exponent": round(exponent, 3),
-    }
-    ok = ok and exponent <= MAX_EXPONENT
+    if want(name):
+        time_adaptive_index_match(spark, src, "warm1")
+        time_adaptive_index_match(spark, dst, "warm10")
+        t1 = min(time_adaptive_index_match(spark, src, "t1") for _ in range(2))
+        t10 = min(
+            time_adaptive_index_match(spark, dst, "t10") for _ in range(2)
+        )
+        exponent = math.log(max(t10, 1e-6) / max(t1, 1e-6)) / math.log(factor)
+        report[name] = {
+            "t_1x_s": round(t1, 3),
+            "t_10x_s": round(t10, 3),
+            "exponent": round(exponent, 3),
+        }
+        ok = ok and exponent <= MAX_EXPONENT
     print(
         json.dumps(
             {
                 "metric": "scale_probe_10x",
                 "factor": factor,
+                "max_exponent": MAX_EXPONENT,
+                "all_linearish": ok,
+                "queries": report,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_x100() -> None:
+    """Deep 100x spot-check (round-8 verdict #4) for the two steepest gated
+    10x exponents — minhash_near_dup_pairs (0.874) and
+    incremental_cluster_update (0.863) — to rule out hidden log factors.
+    Two corpus families:
+
+    * constdup (factor 100): the density-controlled construction — within-
+      copy near-dup pairs are bijectively preserved per stratum, so TRUE
+      pair output grows exactly linearly and the measured 10x->100x wall
+      exponent isolates the candidate machinery. GATED on the exponent.
+    * planted (build_scaled — the verdict's literal corpus): every original
+      gains 99 near-dup copies, so pair OUTPUT grows ~C(100,2)/C(10,2) =
+      110x from 10x to 100x BY CONSTRUCTION; a wall exponent there measures
+      planted density, so this row gates on PER-OUTPUT-PAIR cost instead
+      (t/pairs at 100x must stay within 2x of 10x).
+
+    Prints one JSON line; committed as SCALE100.json and summarized in
+    SCALE.md. Expect ~20-30 min wall (the planted 100x corpus verifies
+    ~25M candidate pairs per run — warm + single timed run there).
+    """
+    import math
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from datafusion_dedup_ai_spark.functions import text as T
+    from datafusion_dedup_ai_spark.operators import dedup as D
+    from datafusion_dedup_ai_spark.session import build_session
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    d10 = "/tmp/spark_graft_scale10"
+    d100 = "/tmp/spark_graft_scale100"
+    c10 = "/tmp/spark_graft_scale10_constdup"
+    c100 = "/tmp/spark_graft_scale100_constdup"
+    spark = build_session(app_name="scale-probe-100x")
+    for d in (d10, d100, c10, c100):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    build_scaled(spark, src, d10, 10)
+    build_scaled(spark, d10, d100, 10)
+    build_scaled_constdup(spark, src, c10, 10)
+    build_scaled_constdup(spark, src, c100, 100)
+
+    qs = entry_mod.queries()
+    report = {}
+    ok = True
+
+    def clear():
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+
+    def minhash_once(sf_dir):
+        clear()
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        sh = docs.select(
+            "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
+        )
+        t0 = time.time()
+        n = D.minhash_near_dup_pairs(sh, threshold=0.5).count()
+        return time.time() - t0, n
+
+    def incr_once(sf_dir):
+        clear()
+        t0 = time.time()
+        n = qs["incremental_cluster_update"](spark, sf_dir).count()
+        return time.time() - t0, n
+
+    def best(fn, sf_dir, runs):
+        fn(sf_dir)  # warm: codegen, Python workers, AQE stats
+        return min((fn(sf_dir) for _ in range(runs)), key=lambda x: x[0])
+
+    # 1) minhash, density-controlled: gate the 10x->100x wall exponent
+    t10, n10 = best(minhash_once, c10, 2)
+    t100, n100 = best(minhash_once, c100, 2)
+    exp = math.log(max(t100, 1e-6) / max(t10, 1e-6)) / math.log(10)
+    report["minhash_near_dup_pairs@constdup_10x_to_100x"] = {
+        "t_10x_s": round(t10, 3),
+        "t_100x_s": round(t100, 3),
+        "exponent": round(exp, 3),
+        "pairs_10x": n10,
+        "pairs_100x": n100,
+        "gated": True,
+    }
+    ok = ok and exp <= MAX_EXPONENT
+
+    # 2) incremental maintenance, density-controlled: same gate
+    t10, n10 = best(incr_once, c10, 2)
+    t100, n100 = best(incr_once, c100, 2)
+    exp = math.log(max(t100, 1e-6) / max(t10, 1e-6)) / math.log(10)
+    report["incremental_cluster_update@constdup_10x_to_100x"] = {
+        "t_10x_s": round(t10, 3),
+        "t_100x_s": round(t100, 3),
+        "exponent": round(exp, 3),
+        "rows_10x": n10,
+        "rows_100x": n100,
+        "gated": True,
+    }
+    ok = ok and exp <= MAX_EXPONENT
+
+    # 3) minhash, planted: output grows ~110x by construction — gate the
+    # per-output-pair cost, record the wall exponent ungated for honesty
+    t10, n10 = best(minhash_once, d10, 2)
+    t100, n100 = best(minhash_once, d100, 1)
+    exp = math.log(max(t100, 1e-6) / max(t10, 1e-6)) / math.log(10)
+    cost10 = t10 / max(n10, 1)
+    cost100 = t100 / max(n100, 1)
+    report["minhash_near_dup_pairs@planted_10x_to_100x"] = {
+        "t_10x_s": round(t10, 3),
+        "t_100x_s": round(t100, 3),
+        "wall_exponent_ungated": round(exp, 3),
+        "pairs_10x": n10,
+        "pairs_100x": n100,
+        "s_per_1k_pairs_10x": round(1000 * cost10, 4),
+        "s_per_1k_pairs_100x": round(1000 * cost100, 4),
+        "gated": "per_pair_cost",
+    }
+    ok = ok and cost100 <= 2.0 * cost10
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_100x",
+                "factors": "10x (50k docs) -> 100x (500k docs) over sf0.1",
                 "max_exponent": MAX_EXPONENT,
                 "all_linearish": ok,
                 "queries": report,

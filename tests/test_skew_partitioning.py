@@ -64,3 +64,88 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # and the pruned read returns exactly the filtered rows
     want = events.where(F.col("event_type") == "click").count()
     assert back.count() == want
+
+
+def test_max_block_size_salts_shared_prefix_mega_block(spark):
+    """Round-9 guard stage: 200 names sharing one first token ("MEGACORP
+    <d4>") defeat the prefix refinement — every member carries the same
+    first 8 base chars, so stage 1 rewrites the key identically for all of
+    them. The hash-salt stage must still bound every sub-block near the
+    cap, keep identical base names co-located (the exact/token tier), and
+    leave under-cap blocks' keys untouched."""
+    from datafusion_dedup_ai_spark.config import DedupConfig
+    from datafusion_dedup_ai_spark.operators.blocking import prepare_names
+
+    rows = [(i, f"MEGACORP {i:04d}") for i in range(200)]
+    rows += [(1000 + i, f"ZEDIFF{i} WHOLESALE") for i in range(5)]
+    rows += [(2000, "MEGACORP 0001")]  # duplicate base name
+    df = spark.createDataFrame(rows, ["cid", "name"])
+    prepared = prepare_names(
+        df, "name", DedupConfig(max_block_size=16), order_col="cid"
+    ).persist()
+
+    hot = prepared.where(F.col("base_name").startswith("MEGACORP"))
+    sizes = [r["n"] for r in hot.groupBy("block_key").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) >= 8, f"salt produced only {len(sizes)} sub-blocks"
+    assert max(sizes) <= 4 * 16, f"residual hot sub-block of {max(sizes)}"
+    # identical base names share a sub-block (same xxhash64 salt)
+    dup_keys = {
+        r["block_key"]
+        for r in prepared.where(F.col("base_name") == "MEGACORP 0001")
+        .select("block_key")
+        .collect()
+    }
+    assert len(dup_keys) == 1
+    # small blocks keep their un-suffixed reference keys
+    cold = prepared.where(~F.col("base_name").startswith("MEGACORP"))
+    assert all("#" not in r["block_key"] for r in cold.select("block_key").collect())
+    prepared.unpersist()
+
+
+def test_aqe_skew_split_fires_on_mega_block_join(spark):
+    """The J1 candidate self-join's declared scale story is "AQE splits
+    skewed blocks across tasks" (blocking.py header). Machine-assert it:
+    one hot block_key (10% of 30k names share a first token), byte
+    thresholds scaled to the probe corpus's COMPRESSED shuffle sizes, and
+    the executed (AQE-final) plan must carry the skew=true SMJ marker.
+    scale_probe.py times the same shape; this pins the mechanism."""
+    from datafusion_dedup_ai_spark.config import DedupConfig
+    from datafusion_dedup_ai_spark.operators.blocking import (
+        candidate_pairs,
+        prepare_names,
+    )
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the test session runs 8 shuffle partitions; with so few, the hot
+        # partition is < 2x the median (skewedPartitionFactor) and the
+        # split legitimately stays off — spread the cold keys thin so the
+        # hot block stands out the way it does at the probe/bench width
+        "spark.sql.shuffle.partitions": "64",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        names = spark.range(30_000).selectExpr(
+            "id",
+            "CASE WHEN id % 10 = 0 THEN "
+            "concat('MEGACORP ', lpad(cast(id AS string), 8, '0')) "
+            "ELSE concat('UNIQ', lpad(cast(id AS string), 8, '0'), "
+            "' WHOLESALE') END AS name",
+        )
+        prepared = prepare_names(names, "name", DedupConfig(), order_col="id")
+        cnt = candidate_pairs(prepared).groupBy().count()
+        n = cnt.collect()[0][0]
+        plan = cnt._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # 3k-row hot block: C(3000,2) pairs plus the singleton-block residue
+    assert n >= 3000 * 2999 // 2
+    assert "skew=true" in plan, "AQE skew-join split did not fire"
