@@ -38,11 +38,12 @@ from __future__ import annotations
 # tests/test_entry_contract.py asserts the pinned literal equals the
 # computed rotation, so a hand-edit breaks the build.
 #
-# ROUND9_WINDOW = the three round-9 gated additions (the two streaming
-# ingest replays upgraded from rows-only to hash-gated + the new
-# tokenizer-apply entry) in tier 0, then the r6-validated extras tier (42
-# entries — every gated entry is now driver-validated, so staleness
-# rotates oldest-first), then the alphabetical head of the r7 tier.
+# ROUND9_WINDOW = the five round-9 gated additions (the two streaming
+# ingest replays upgraded from rows-only to hash-gated, the new
+# tokenizer-apply entry, and the two html-extraction entries) in tier 0,
+# then the r6-validated extras tier (42 entries — every gated entry is now
+# driver-validated, so staleness rotates oldest-first), then the
+# alphabetical head of the r7 tier.
 #
 # The overflow packs are still independently REPRODUCIBLE every round:
 # `python full_correctness.py` replays the driver's exact per-query record
@@ -71,6 +72,8 @@ ROUND9_WINDOW = [
     # additions — the policy recomputes over the CURRENT registry, so
     # mid-round gates enter here and the r7 tier's alphabetical tail
     # yields the slots)
+    "boilerplate_source_stats",
+    "html_text_extraction",
     "streaming_near_dup_ingest",
     "streaming_semantic_ingest",
     "tokenized_length_stats",
@@ -121,8 +124,6 @@ ROUND9_WINDOW = [
     "ab_test_report",
     "ann_lsh_topk_gated",
     "candidate_pairs",
-    "canonical_mapping",
-    "canonical_summary",
 ]
 
 promote_window(ROUND9_WINDOW)

@@ -879,3 +879,189 @@ def q_source_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "quality", "q_pct_rank", "selected")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate removal (functions/html.py) — the extraction step BEFORE
+# every layer above: raw crawl pages are mostly markup, and quality ratios,
+# dedup shingles and token budgets are all computed on the visible text.
+# The synthetic page wraps each document's text in deterministic,
+# adversarial-enough chrome (nav, style+script blocks with '<'/'>' inside,
+# comments, the six standard entities, a case-varied SCRIPT, &nbsp; runs)
+# derived from (doc_id, source, text) — the _RAW_URL_SQL convention: both
+# engines build the SAME page from the shared template, then extract
+# independently through their own regexp engines.
+# ---------------------------------------------------------------------------
+
+_HTML_TEMPLATE = (
+    "<!DOCTYPE html><html><head><title>@TITLE@</title>"
+    '<style type="text/css">nav ul{list-style:none} .main{color:#333}</style>'
+    "<script>var t=1; if (t<2) { t = t+1; }</script></head>"
+    '<body><nav><ul><li><a href="/">Home</a></li>'
+    '<li><a href="/about">About &amp; Contact</a></li></ul></nav>'
+    "@EXTRA_BR@@EXTRA_SCRIPT@"
+    '<div class="main"><h1>@TITLE@</h1><p>@BODY1@</p><p>@BODY2@</p></div>'
+    "<!-- doc @DOCID@ rendered -->"
+    "<footer>Terms&nbsp;&amp;&nbsp;Conditions &#39;@SOURCE@&#39; "
+    "&lt;@DOCID@&gt;</footer></body></html>"
+)
+
+# per-slot expressions, kept in visual lockstep (VARCHAR/STRING is the one
+# dialect split, same as _RAW_URL_SQL vs _raw_url_col)
+_HTML_SLOTS_SQL = {
+    "TITLE": "substr(text, 1, 40)",
+    "BODY1": "substr(text, 1, 200)",
+    "BODY2": "substr(text, 201)",
+    "DOCID": "CAST(doc_id AS VARCHAR)",
+    "SOURCE": "source",
+    "EXTRA_BR": (
+        "CASE WHEN doc_id % 3 = 0 THEN '<br/><BR/>&nbsp;&nbsp;' "
+        "ELSE '' END"
+    ),
+    "EXTRA_SCRIPT": (
+        "CASE WHEN doc_id % 4 = 0 THEN "
+        "'<SCRIPT lang=\"js\">if (2>1) { track(\"p&q\"); }</SCRIPT>' "
+        "ELSE '' END"
+    ),
+}
+
+
+def _html_slot_cols() -> dict[str, Column]:
+    return {
+        "TITLE": F.expr("substr(text, 1, 40)"),
+        "BODY1": F.expr("substr(text, 1, 200)"),
+        "BODY2": F.expr("substr(text, 201)"),
+        "DOCID": F.col("doc_id").cast("string"),
+        "SOURCE": F.col("source"),
+        "EXTRA_BR": F.when(
+            F.col("doc_id") % 3 == 0, F.lit("<br/><BR/>&nbsp;&nbsp;")
+        ).otherwise(""),
+        "EXTRA_SCRIPT": F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit('<SCRIPT lang="js">if (2>1) { track("p&q"); }</SCRIPT>'),
+        ).otherwise(""),
+    }
+
+
+def _html_template_pieces() -> list[str]:
+    import re
+
+    return [p for p in re.split(r"(@[A-Z0-9_]+@)", _HTML_TEMPLATE) if p]
+
+
+def _raw_html_col() -> Column:
+    slots = _html_slot_cols()
+    parts = []
+    for piece in _html_template_pieces():
+        if piece.startswith("@") and piece[1:-1] in slots:
+            parts.append(slots[piece[1:-1]])
+        else:
+            parts.append(F.lit(piece))
+    return F.concat(*parts)
+
+
+def _raw_html_sql() -> str:
+    parts = []
+    for piece in _html_template_pieces():
+        if piece.startswith("@") and piece[1:-1] in _HTML_SLOTS_SQL:
+            parts.append(_HTML_SLOTS_SQL[piece[1:-1]])
+        else:
+            parts.append("'" + piece.replace("'", "''") + "'")
+    return "(" + " || ".join(parts) + ")"
+
+
+def _html_extraction_oracle() -> str:
+    from datafusion_dedup_ai_spark.functions import html as H
+
+    return f"""
+    WITH raw AS (
+        SELECT doc_id, source, {_raw_html_sql()} AS raw_html FROM documents
+    ), ext AS (
+        SELECT doc_id, source, raw_html,
+               {H.sql_page_title('raw_html')} AS page_title,
+               {H.sql_visible_text('raw_html')} AS visible_text
+        FROM raw
+    )
+    SELECT doc_id, source, page_title, visible_text,
+           CAST(length(raw_html) AS BIGINT) AS n_html_chars,
+           CAST(length(visible_text) AS BIGINT) AS n_text_chars,
+           1.0 - CAST(length(visible_text) AS DOUBLE) / length(raw_html)
+               AS boilerplate_ratio
+    FROM ext
+    """
+
+
+@register("html_text_extraction", _html_extraction_oracle)
+def q_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible text (functions/html.py): comment/script/style
+    blocks removed wholesale, tags replaced by spaces, the six standard
+    entities decoded AFTER tag removal, whitespace collapsed — plus the
+    <title> and the per-page boilerplate ratio (1 - text/html chars).
+
+    Hash-gated END-TO-END through two independent regexp engines: the
+    extracted STRINGS (not just counts) must agree byte-for-byte between
+    Spark's Java regex and DuckDB's RE2 on every page — the urls.py
+    lockstep argument, now over lazy-dot-all block patterns and entity
+    decode ordering.
+
+    Scale shape: one projection over the documents scan — no shuffle, no
+    UDF, fully inside whole-stage codegen; at 100 TB this runs at scan
+    speed and is the cheapest stage of the pipeline it feeds."""
+    from datafusion_dedup_ai_spark.functions import html as H
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "source", _raw_html_col().alias("raw_html"))
+    ext = raw.select(
+        "doc_id",
+        "source",
+        "raw_html",
+        H.page_title(F.col("raw_html")).alias("page_title"),
+        H.visible_text(F.col("raw_html")).alias("visible_text"),
+    )
+    return ext.select(
+        "doc_id",
+        "source",
+        "page_title",
+        "visible_text",
+        F.length("raw_html").cast("bigint").alias("n_html_chars"),
+        F.length("visible_text").cast("bigint").alias("n_text_chars"),
+        (
+            F.lit(1.0)
+            - F.length("visible_text").cast("double") / F.length("raw_html")
+        ).alias("boilerplate_ratio"),
+    )
+
+
+def _boilerplate_stats_oracle() -> str:
+    from datafusion_dedup_ai_spark.registry import get_oracle
+
+    return f"""
+    WITH ext AS ({get_oracle("html_text_extraction")})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_html_chars) AS BIGINT) AS html_chars,
+           CAST(SUM(n_text_chars) AS BIGINT) AS text_chars,
+           1.0 - CAST(SUM(n_text_chars) AS DOUBLE) / SUM(n_html_chars)
+               AS boilerplate_ratio
+    FROM ext GROUP BY source
+    """
+
+
+@register("boilerplate_source_stats", _boilerplate_stats_oracle)
+def q_boilerplate_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source markup overhead — the table a crawl pipeline reads to
+    budget extraction costs and flag template-heavy sources (a source
+    whose pages are 95% chrome wants a different extractor before it
+    wastes tokenizer budget). Exact integer sums into one final divide,
+    nested on the html_text_extraction oracle CTE so the policy layer is
+    gated through the extraction layer it composes."""
+    ext = q_html_text_extraction(spark, sf_dir)
+    return ext.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_html_chars").cast("bigint").alias("html_chars"),
+        F.sum("n_text_chars").cast("bigint").alias("text_chars"),
+        (
+            F.lit(1.0)
+            - F.sum("n_text_chars").cast("double") / F.sum("n_html_chars")
+        ).alias("boilerplate_ratio"),
+    )
