@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
 
 PROBES = [
@@ -67,6 +68,9 @@ PROBES = [
     # frozen piece fixture materializes once per corpus in the warm run,
     # so timed runs price the apply path the query claims is vocab-bound.
     "tokenized_length_stats",
+    # round-9: html visible-text extraction — one regexp projection over
+    # the scan (no shuffle, no UDF); the probe pins the scan-speed claim.
+    "html_text_extraction",
 ]
 # round-6: the embeddings pipeline gets its own 10x probe (exact copies:
 # each original gains 9 planted exact duplicates — same K10-family
@@ -695,14 +699,20 @@ def main_x100() -> None:
       pair output grows exactly linearly and the measured 10x->100x wall
       exponent isolates the candidate machinery. GATED on the exponent.
     * planted (build_scaled — the verdict's literal corpus): every original
-      gains 99 near-dup copies, so pair OUTPUT grows ~C(100,2)/C(10,2) =
-      110x from 10x to 100x BY CONSTRUCTION; a wall exponent there measures
-      planted density, so this row gates on PER-OUTPUT-PAIR cost instead
-      (t/pairs at 100x must stay within 2x of 10x).
+      gains factor-1 near-dup copies, so TRUE pair output grows
+      ~C(factor,2) BY CONSTRUCTION. At planted-100x that is ~24.75M
+      verified pairs whose verify join carries two shingle payloads per
+      candidate — ~70+ GB of shuffle spill, which EXCEEDED this box's disk
+      (the first x100 attempt died on ENOSPC in the verify stage; the
+      failure is recorded in the output as evidence of the corpus's
+      output mass, not of operator work). The planted row therefore runs
+      10x -> 30x (pair output still grows ~9.7x vs the 10x corpus) and
+      gates on PER-OUTPUT-PAIR cost (t/pairs at 30x within 2x of 10x);
+      the 100x gate is carried by the density-controlled constdup rows.
 
-    Prints one JSON line; committed as SCALE100.json and summarized in
-    SCALE.md. Expect ~20-30 min wall (the planted 100x corpus verifies
-    ~25M candidate pairs per run — warm + single timed run there).
+    Per-phase results flush to stderr as they land (a late-phase failure
+    must not lose the earlier measurements — the ENOSPC lesson); the final
+    stdout line is committed as SCALE100.json and summarized in SCALE.md.
     """
     import math
 
@@ -715,15 +725,15 @@ def main_x100() -> None:
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     d10 = "/tmp/spark_graft_scale10"
-    d100 = "/tmp/spark_graft_scale100"
+    d30 = "/tmp/spark_graft_scale30"
     c10 = "/tmp/spark_graft_scale10_constdup"
     c100 = "/tmp/spark_graft_scale100_constdup"
     spark = build_session(app_name="scale-probe-100x")
-    for d in (d10, d100, c10, c100):
+    for d in (d10, d30, c10, c100):
         if os.path.isdir(d):
             shutil.rmtree(d)
     build_scaled(spark, src, d10, 10)
-    build_scaled(spark, d10, d100, 10)
+    build_scaled(spark, src, d30, 30)
     build_scaled_constdup(spark, src, c10, 10)
     build_scaled_constdup(spark, src, c100, 100)
 
@@ -756,6 +766,9 @@ def main_x100() -> None:
         fn(sf_dir)  # warm: codegen, Python workers, AQE stats
         return min((fn(sf_dir) for _ in range(runs)), key=lambda x: x[0])
 
+    def flush_phase(name):
+        print(f"phase done: {name} -> {report[name]}", file=sys.stderr, flush=True)
+
     # 1) minhash, density-controlled: gate the 10x->100x wall exponent
     t10, n10 = best(minhash_once, c10, 2)
     t100, n100 = best(minhash_once, c100, 2)
@@ -769,6 +782,7 @@ def main_x100() -> None:
         "gated": True,
     }
     ok = ok and exp <= MAX_EXPONENT
+    flush_phase("minhash_near_dup_pairs@constdup_10x_to_100x")
 
     # 2) incremental maintenance, density-controlled: same gate
     t10, n10 = best(incr_once, c10, 2)
@@ -783,31 +797,39 @@ def main_x100() -> None:
         "gated": True,
     }
     ok = ok and exp <= MAX_EXPONENT
+    flush_phase("incremental_cluster_update@constdup_10x_to_100x")
 
-    # 3) minhash, planted: output grows ~110x by construction — gate the
-    # per-output-pair cost, record the wall exponent ungated for honesty
+    # 3) minhash, planted 10x -> 30x: output grows ~9.7x by construction —
+    # gate the per-output-pair cost, record the wall exponent ungated
     t10, n10 = best(minhash_once, d10, 2)
-    t100, n100 = best(minhash_once, d100, 1)
-    exp = math.log(max(t100, 1e-6) / max(t10, 1e-6)) / math.log(10)
+    t30, n30 = best(minhash_once, d30, 2)
+    exp = math.log(max(t30, 1e-6) / max(t10, 1e-6)) / math.log(3)
     cost10 = t10 / max(n10, 1)
-    cost100 = t100 / max(n100, 1)
-    report["minhash_near_dup_pairs@planted_10x_to_100x"] = {
+    cost30 = t30 / max(n30, 1)
+    report["minhash_near_dup_pairs@planted_10x_to_30x"] = {
         "t_10x_s": round(t10, 3),
-        "t_100x_s": round(t100, 3),
+        "t_30x_s": round(t30, 3),
         "wall_exponent_ungated": round(exp, 3),
         "pairs_10x": n10,
-        "pairs_100x": n100,
+        "pairs_30x": n30,
         "s_per_1k_pairs_10x": round(1000 * cost10, 4),
-        "s_per_1k_pairs_100x": round(1000 * cost100, 4),
+        "s_per_1k_pairs_30x": round(1000 * cost30, 4),
         "gated": "per_pair_cost",
     }
-    ok = ok and cost100 <= 2.0 * cost10
+    ok = ok and cost30 <= 2.0 * cost10
+    flush_phase("minhash_near_dup_pairs@planted_10x_to_30x")
 
     print(
         json.dumps(
             {
                 "metric": "scale_probe_100x",
-                "factors": "10x (50k docs) -> 100x (500k docs) over sf0.1",
+                "factors": "constdup 10x->100x (gated); planted 10x->30x "
+                "(per-pair-cost gate)",
+                "planted_100x_note": "attempted; the verify join's ~24.75M "
+                "candidate pairs x two shingle payloads exceeded the box's "
+                "disk (ENOSPC) — the corpus construction's O(factor^2) TRUE "
+                "pair mass, not operator work; the 100x machinery gate is "
+                "the density-controlled constdup rows",
                 "max_exponent": MAX_EXPONENT,
                 "all_linearish": ok,
                 "queries": report,
