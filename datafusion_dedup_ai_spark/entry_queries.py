@@ -17,7 +17,7 @@ Importing this module populates the registry from the per-domain packs.
 
 from __future__ import annotations
 
-# Registration order = ROUND9_WINDOW first, then import order. KNOWN
+# Registration order = ROUND10_WINDOW first, then import order. KNOWN
 # HARNESS LIMITATION (flagged for the harness owners; see also README
 # "Correctness verification"): the external driver's correctness run
 # evaluates only the first ~50 registered queries, so with 150 registered
@@ -37,13 +37,6 @@ from __future__ import annotations
 # re-derives the list from the artifacts alone;
 # tests/test_entry_contract.py asserts the pinned literal equals the
 # computed rotation, so a hand-edit breaks the build.
-#
-# ROUND9_WINDOW = the five round-9 gated additions (the two streaming
-# ingest replays upgraded from rows-only to hash-gated, the new
-# tokenizer-apply entry, and the two html-extraction entries) in tier 0,
-# then the r6-validated extras tier (42 entries — every gated entry is now
-# driver-validated, so staleness rotates oldest-first), then the
-# alphabetical head of the r7 tier.
 #
 # The overflow packs are still independently REPRODUCIBLE every round:
 # `python full_correctness.py` replays the driver's exact per-query record
@@ -65,68 +58,71 @@ from datafusion_dedup_ai_spark.registry import (  # noqa: F401
 )
 
 # == rotation.compute_rotation_window(registered, gated,
-#    rotation.load_validation_history(through_round=8)) — do not hand-edit;
+#    rotation.load_validation_history(through_round=9)) — do not hand-edit;
 #    test_entry_contract.py::test_window_matches_rotation_policy enforces it.
-ROUND9_WINDOW = [
-    # staleness tier 0: never green-driver-validated (the round-9 gated
-    # additions — the policy recomputes over the CURRENT registry, so
-    # mid-round gates enter here and the r7 tier's alphabetical tail
-    # yields the slots)
-    "boilerplate_source_stats",
-    "html_text_extraction",
-    "streaming_near_dup_ingest",
-    "streaming_semantic_ingest",
-    "tokenized_length_stats",
-    # staleness tier r6: extras pack (gated members last green r6)
-    "bpe_pair_counts",
-    "chunk_dedup_stats",
-    "cluster_balanced_sample",
-    "cms_term_frequencies",
-    "cross_source_priority_dedup",
-    "doc_char_diversity",
-    "doc_containment_pairs",
-    "doc_token_commonness",
-    "dsir_importance_weights",
-    "dup_graph_metrics",
-    "ensemble_dedup_decisions",
-    "event_funnel",
-    "event_transition_matrix",
-    "fuzzy_benchmark_contamination",
-    "gopher_quality_flags",
-    "hard_negative_mining",
-    "incremental_semantic_matches",
-    "kmv_distinct_sketch",
-    "kn_doc_scores",
-    "langid_confusion_matrix",
-    "length_bucket_batches",
-    "linear_quality_scores",
-    "media_near_dup_pairs",
-    "media_nibble_histograms",
-    "multimodal_curation_decisions",
-    "near_dup_tier_agreement",
-    "ngram_lm_counts",
-    "per_source_quality_filter",
-    "semantic_dedup_embeddings",
-    "source_datasheet",
-    "source_mixture_sample",
-    "source_overlap_matrix",
-    "source_upsampling_plan",
-    "streaming_sliding_counts",
-    "text_dedup_clusters",
-    "text_dedup_clusters_star",
-    "textrank_keywords",
-    "token_budget_selection",
-    "user_retention_cohorts",
-    "value_outliers_mad",
-    "vocab_oov_rate",
-    "weighted_doc_sample",
-    # staleness tier r7: alphabetical head
-    "ab_test_report",
-    "ann_lsh_topk_gated",
-    "candidate_pairs",
+#
+# ROUND10_WINDOW = tier 0 (the round-10 gated addition
+# minhash_two_phase_pairs, never driver-validated), then the r7-staleness
+# tier (47 entries — round 9 stamped the r7 tier's alphabetical head plus
+# its own tier-0 gates, leaving the rest of the r7 tier as the stalest
+# gated entries), then the alphabetical head of the r8 tier.
+ROUND10_WINDOW = [
+    # staleness tier 0: never driver-validated
+    "minhash_two_phase_pairs",
+    # staleness tier r7
+    "canonical_mapping",
+    "canonical_summary",
+    "clean_corpus",
+    "cluster_b3_metrics",
+    "cluster_review",
+    "cluster_stats",
+    "collocation_scores",
+    "company_base_names",
+    "corpus_top_terms",
+    "cosine_topk",
+    "dedup_cluster_partition",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_repetition_stats",
+    "doc_tfidf_topterms",
+    "doc_token_stats",
+    "duplicate_substring_spans",
+    "embedding_dedup_clusters",
+    "embedding_near_pairs",
+    "enriched_clusters",
+    "exact_dedup_documents",
+    "exact_dedup_events",
+    "heavy_hitter_terms",
+    "hourly_value_ohlc",
+    "incremental_cluster_update",
+    "incremental_exact_new_docs",
+    "incremental_near_dup_matches",
+    "industry_classification",
+    "kmv_distinct_by_type",
+    "label_centroid_drift",
+    "levenshtein_matched_pairs",
+    "lsh_width_report",
+    "matched_pairs",
+    "minhash_estimate_report",
+    "minhash_near_dup_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "normalize_names",
+    "phonetic_blocked_pairs",
+    "positional_index",
+    "rrf_fused_ranking",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "streaming_attribution_join",
+    "token_cluster_canonical",
+    "user_event_features",
+    # staleness tier r8
+    "acctbal_close_suppliers",
+    "benchmark_contamination",
 ]
 
-promote_window(ROUND9_WINDOW)
+promote_window(ROUND10_WINDOW)
 
 # re-export the flagship for __spark_entry__.entry()
 from datafusion_dedup_ai_spark.queries_dedup import q_dedup_clusters  # noqa: F401

@@ -24,7 +24,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-MERSENNE_61 = (1 << 61) - 1
+# MinHash modulus: the largest 32-bit prime (2^32 - 5). The family is
+# h_i(x) = (a_i * x + b_i) mod MINHASH_P with a_i < 2^31, x < 2^32 — products
+# stay under 2^63 (exact in BIGINT in Spark AND DuckDB), while a_i * x wraps
+# the modulus ~a_i (~2^30) times across the x range, so the induced order is
+# thoroughly scrambled. Through round 9 the modulus was 2^61 - 1: products
+# (< 2^63 ~ 4p) wrapped AT MOST THREE times, leaving h_i order-preserving in
+# x on huge segments — the per-doc min collapsed to "the doc's smallest
+# xxhash64-low32 shingle" for most of the 64 functions, signatures of J=0.03
+# pairs agreed on ~50/64 positions, and E[agreement] was nowhere near J
+# (found while building the two-phase verify; pinned by
+# tests/test_dedup_ext.py::test_minhash_estimate_is_unbiased).
+MINHASH_P = 4294967291
 _MASK32 = (1 << 32) - 1
 
 
@@ -85,7 +96,7 @@ def drop_hot_shingles(
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31))
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, MINHASH_P))
         for _ in range(num_hashes)
     ]
 
@@ -98,9 +109,10 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — sig[i] = min over shingles of
-    ``(a_i * x32 + b_i) mod (2^61-1)`` with x32 the low 32 bits of
+    ``(a_i * x32 + b_i) mod MINHASH_P`` with x32 the low 32 bits of
     xxhash64(shingle). a_i < 2^31 and x32 < 2^32 keep products under 2^63
-    (no wraparound), so values are exact.
+    (exact in BIGINT); the 32-bit prime modulus makes each function wrap
+    ~a_i times so mins are NOT dominated by small x (see MINHASH_P note).
 
     Physical shape: explode shingles -> one hash column -> groupBy(id) with 64
     partial-aggregated mins. One shuffle, map-side combine does most work.
@@ -112,7 +124,7 @@ def minhash_signatures(
         F.col(id_col), F.xxhash64(F.col("s")).bitwiseAND(F.lit(_MASK32)).alias("x")
     )
     mins = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"h{i}")
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
     agged = ex.groupBy(id_col).agg(*mins)
@@ -248,6 +260,153 @@ def minhash_near_dup_pairs(
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, rows_per_band)
     return verify_jaccard(cands, shingled, id_col, shingles_col, threshold)
+
+
+def min_agree_cut(x: float, num_hashes: int) -> int:
+    """Smallest integer k with k/num_hashes >= x under IEEE-double division —
+    the integer routing cutoff for the two-phase verify. Computed by exact
+    float probing around ceil(x*num_hashes) so the cutoff is faithful to the
+    double comparison it replaces at the boundary."""
+    import math
+
+    k = max(0, math.ceil(x * num_hashes))
+    while k > 0 and (k - 1) / num_hashes >= x:
+        k -= 1
+    while k / num_hashes < x:
+        k += 1
+    return k
+
+
+def hashed_shingle_sets(
+    shingled: DataFrame, id_col: str = "doc_id", shingles_col: str = "shingles"
+) -> DataFrame:
+    """(id, shingles: array<bigint>) — each shingle replaced by its xxhash64,
+    deduplicated. Jaccard over the hashed sets equals Jaccard over the string
+    sets modulo a ~2^-64 per-pair xxhash64 collision — the SAME caveat the
+    LSH band buckets already carry (band_buckets docstring) — while the
+    verify-join payload drops from ~30-60 bytes per shingle string to a flat
+    8 bytes. This is the scale lever for exact verification: at planted-100x
+    the all-string verify join spilled past the box's disk (ENOSPC,
+    SCALE100.json round 9)."""
+    return shingled.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(F.col(shingles_col), lambda s: F.xxhash64(s))
+        ).alias(shingles_col),
+    )
+
+
+def minhash_near_dup_pairs_two_phase(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.2,
+    seed: int = 42,
+    eps: float = 0.15,
+    max_df: float | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """MinHash -> LSH -> TWO-PHASE verify: the 100 TB shape of
+    ``minhash_near_dup_pairs``, bounding the verify join's shuffle mass.
+
+    Phase 1 screens every LSH candidate pair with the signature-agreement
+    Jaccard estimate (matching positions / num_hashes — E[est] = J, the
+    MinHash theorem; fidelity self-graded by minhash_estimate_report).
+    The payload per doc is the already-persisted signature (num_hashes
+    longs, ~0.5 KiB) instead of the full shingle set:
+
+    * est <  threshold - eps  -> dropped, no payload ever fetched;
+    * est >= threshold + eps  -> accepted on the estimate (emitted
+      ``jaccard`` IS the estimate; ``decided_by = 'signature'``);
+    * otherwise (borderline)  -> phase 2: exact verification, joining only
+      these pairs to per-doc HASHED shingle sets (8 bytes/shingle,
+      ``hashed_shingle_sets``); accepted iff exact J >= threshold
+      (``decided_by = 'exact'``, emitted ``jaccard`` is exact).
+
+    Why this survives 100 TB where the all-exact path dies: true-duplicate
+    mass (est far above threshold) never touches shingle payloads — at
+    planted-100x that was ~24.75M pairs x two full string arrays, ~70 GB of
+    shuffle spill (round-9 SCALE100 ENOSPC). Routing error is bounded by
+    Hoeffding: P(|est - J| >= eps) <= 2*exp(-2*num_hashes*eps^2) (~0.6% per
+    pair at eps=0.2, 64 hashes); pairs inside the +-eps band are ALWAYS
+    exact-verified, so only pairs whose estimate is off by more than eps can
+    be mis-routed. Set-equality with the all-exact pipeline is pinned on
+    fixed-seed corpora in tests/test_dedup_ext.py.
+
+    Output: (id_a, id_b, n_agree, jaccard_est, decided_by, jaccard).
+    Hash-gated end-to-end as ``minhash_two_phase_pairs`` — the oracle
+    replays signatures -> banding -> agreement -> routing -> borderline
+    exact verify in SQL from the xxhash64 shingle fixture.
+    """
+    from pyspark import StorageLevel
+
+    rows_per_band = num_hashes // bands
+    if max_df is not None:
+        shingled = drop_hot_shingles(shingled, max_df, id_col, shingles_col)
+    if persist:
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(shingled, id_col, shingles_col, num_hashes, seed)
+    if persist:
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, rows_per_band)
+
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    ).cast("bigint")
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_agree.alias("n_agree"),
+            (F.col("n_agree").cast("double") / F.lit(float(num_hashes))).alias(
+                "jaccard_est"
+            ),
+        )
+    )
+    if persist:
+        # est feeds both routing branches; 4 scalar columns per pair.
+        est = est.persist(StorageLevel.MEMORY_AND_DISK)
+    # Routing compares the INTEGER agreement count against precomputed
+    # cutoffs (smallest k with k/num_hashes >= threshold +- eps) rather than
+    # the double estimate — bit-identical in any engine, so the SQL oracle
+    # replays the routing with integer comparisons instead of re-deriving
+    # float thresholds under DuckDB's decimal-literal parsing.
+    hi, lo = min_agree_cut(threshold + eps, num_hashes), min_agree_cut(
+        threshold - eps, num_hashes
+    )
+    accepted = est.where(F.col("n_agree") >= hi).select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        "jaccard_est",
+        F.lit("signature").alias("decided_by"),
+        F.col("jaccard_est").alias("jaccard"),
+    )
+    border = est.where((F.col("n_agree") >= lo) & (F.col("n_agree") < hi))
+    hashed = hashed_shingle_sets(shingled, id_col, shingles_col)
+    exact = verify_jaccard(
+        border.select("id_a", "id_b"), hashed, id_col, shingles_col, threshold
+    )
+    verified = (
+        exact.join(border, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            "jaccard_est",
+            F.lit("exact").alias("decided_by"),
+            "jaccard",
+        )
+    )
+    return accepted.unionByName(verified)
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,7 @@ _MAX_HAMMING = 6
 def _minhash_mins_with(glob: str) -> str:
     """CTE fragment: the 64 hash-family parameters (same seed-42 stream as
     operators/dedup.py::_hash_params) and the per-(doc, family) min —
-    ``(a*x+b) mod (2^61-1)`` replayed on the fixture's xxhash64 low-32 bits.
+    ``(a*x+b) mod MINHASH_P`` replayed on the fixture's xxhash64 low-32 bits.
     Products stay under 2^63 (a < 2^31, x < 2^32), exactly as on the Spark
     side, so every value is exact in BIGINT."""
     params = D._hash_params(_NUM_HASHES, seed=42)
@@ -42,7 +42,7 @@ def _minhash_mins_with(glob: str) -> str:
     params(i, a, b) AS (VALUES {values}),
     mins AS (
         SELECT f.doc_id, p.i,
-               MIN((p.a * f.x + p.b) % {D.MERSENNE_61}) AS hv
+               MIN((p.a * f.x + p.b) % {D.MINHASH_P}) AS hv
         FROM '{glob}' f CROSS JOIN params p
         GROUP BY f.doc_id, p.i
     )"""
@@ -95,6 +95,67 @@ def _minhash_near_pairs_oracle() -> str:
     FROM common cm
     JOIN sizes sa ON sa.doc_id = cm.id_a
     JOIN sizes sb ON sb.doc_id = cm.id_b
+    WHERE CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common)
+          >= {_JACCARD_T}
+    """
+
+
+_TWO_PHASE_EPS = 0.15
+
+
+def _minhash_two_phase_oracle() -> str:
+    """Replays the full two-phase pipeline in SQL: signatures -> banding ->
+    candidates -> signature-agreement estimate -> integer-cutoff routing ->
+    borderline-only exact verify. The routing cutoffs are the SAME Python
+    integers the Spark plan uses (D.min_agree_cut), so the oracle needs no
+    float-literal threshold parsing."""
+    g = HF.shingle_hashes_glob()
+    hi = D.min_agree_cut(_JACCARD_T + _TWO_PHASE_EPS, _NUM_HASHES)
+    lo = D.min_agree_cut(_JACCARD_T - _TWO_PHASE_EPS, _NUM_HASHES)
+    return f"""
+    WITH {_minhash_mins_with(g)},
+    {_band_cands_with(g)},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandkeys a JOIN bandkeys b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CASE WHEN ma.hv = mb.hv THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM cand c
+        JOIN mins ma ON ma.doc_id = c.id_a
+        JOIN mins mb ON mb.doc_id = c.id_b AND mb.i = ma.i
+        GROUP BY c.id_a, c.id_b
+    ),
+    est AS (
+        SELECT id_a, id_b, n_agree,
+               CAST(n_agree AS DOUBLE) / {_NUM_HASHES} AS jaccard_est
+        FROM agree
+    ),
+    border AS (
+        SELECT * FROM est WHERE n_agree >= {lo} AND n_agree < {hi}
+    ),
+    common AS (
+        SELECT b.id_a, b.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM border b
+        JOIN '{g}' fa ON fa.doc_id = b.id_a
+        JOIN '{g}' fb ON fb.doc_id = b.id_b AND fb.shingle = fa.shingle
+        GROUP BY b.id_a, b.id_b
+    )
+    SELECT id_a, id_b, n_agree, jaccard_est,
+           'signature' AS decided_by, jaccard_est AS jaccard
+    FROM est WHERE n_agree >= {hi}
+    UNION ALL
+    SELECT b.id_a, b.id_b, b.n_agree, b.jaccard_est,
+           'exact' AS decided_by,
+           CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common)
+               AS jaccard
+    FROM border b
+    JOIN common cm ON cm.id_a = b.id_a AND cm.id_b = b.id_b
+    JOIN sizes sa ON sa.doc_id = b.id_a
+    JOIN sizes sb ON sb.doc_id = b.id_b
     WHERE CAST(cm.n_common AS DOUBLE) / (sa.n + sb.n - cm.n_common)
           >= {_JACCARD_T}
     """
@@ -292,6 +353,20 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-gated: the oracle replays signature -> banding -> candidate ->
     verify entirely in SQL from the shingle-hash fixture."""
     return D.minhash_near_dup_pairs(_shingled_docs(spark, sf_dir))
+
+
+@register("minhash_two_phase_pairs", _minhash_two_phase_oracle)
+def q_minhash_two_phase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup verify shape (round-9 verdict #2): LSH candidates
+    screened by the signature-agreement estimate, with ONLY the borderline
+    band (|est - threshold| < eps) joined to hashed shingle sets for exact
+    verification — true-duplicate mass never carries shingle payloads, which
+    is what let the planted-100x probe finish within disk (SCALE100.json).
+    Hash-gated: the oracle replays estimate, integer routing, and borderline
+    exact verify in SQL from the xxhash64 shingle fixture."""
+    return D.minhash_near_dup_pairs_two_phase(
+        _shingled_docs(spark, sf_dir), eps=_TWO_PHASE_EPS
+    )
 
 
 # ===========================================================================

@@ -109,7 +109,7 @@ def _minhash_full_sql() -> str:
     params(i, a, b) AS (VALUES {values}),
     mins AS (
         SELECT f.doc_id, p.i,
-               MIN((p.a * f.x + p.b) % {D.MERSENNE_61}) AS hv
+               MIN((p.a * f.x + p.b) % {D.MINHASH_P}) AS hv
         FROM fx f CROSS JOIN params p
         GROUP BY f.doc_id, p.i
     ),

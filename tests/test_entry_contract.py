@@ -84,13 +84,13 @@ DRIVER_WINDOW = 50
 
 def test_window_matches_rotation_policy():
     """Since round 8 (round-7 advice, medium — window composition must not
-    be discretionary): the pinned ROUND9_WINDOW literal must equal the
+    be discretionary): the pinned ROUND10_WINDOW literal must equal the
     deterministic staleness-first rotation computed from the committed
     CORRECTNESS_r01..r08.json artifacts (rotation.py, green-rows-only
     history since the round-8 advisor fix). A hand-edit of the window, a
     new artifact sneaking into the frozen history, or a policy drift all
     fail here."""
-    from datafusion_dedup_ai_spark.entry_queries import ROUND9_WINDOW
+    from datafusion_dedup_ai_spark.entry_queries import ROUND10_WINDOW
     from datafusion_dedup_ai_spark.rotation import (
         compute_rotation_window,
         load_validation_history,
@@ -99,17 +99,17 @@ def test_window_matches_rotation_policy():
     registered = list(entry_mod.queries())
     gated = set(entry_mod.oracle_sql())
     computed = compute_rotation_window(
-        registered, gated, load_validation_history(through_round=8)
+        registered, gated, load_validation_history(through_round=9)
     )
-    assert ROUND9_WINDOW == computed, (
-        "ROUND9_WINDOW diverges from the rotation policy; first diff: "
-        + str(next((a, b) for a, b in zip(ROUND9_WINDOW, computed) if a != b))
+    assert ROUND10_WINDOW == computed, (
+        "ROUND10_WINDOW diverges from the rotation policy; first diff: "
+        + str(next((a, b) for a, b in zip(ROUND10_WINDOW, computed) if a != b))
     )
 
 
 def test_priority_packs_inside_driver_window():
     """The driver's correctness run evaluates only the first ~50 registered
-    queries (observed: exactly 50 rows in rounds 1-8). The ROUND9_WINDOW
+    queries (observed: exactly 50 rows in rounds 1-9). The ROUND10_WINDOW
     list (the policy-computed rotation — see
     test_window_matches_rotation_policy) must occupy the window exactly,
     and every window slot must carry a hash-gate oracle. Everything
@@ -120,7 +120,7 @@ def test_priority_packs_inside_driver_window():
     import subprocess
     import sys
 
-    from datafusion_dedup_ai_spark.entry_queries import ROUND9_WINDOW
+    from datafusion_dedup_ai_spark.entry_queries import ROUND10_WINDOW
 
     # Registration order must be measured the way the DRIVER sees it — a
     # fresh interpreter importing only __spark_entry__. Inside pytest the
@@ -141,18 +141,18 @@ def test_priority_packs_inside_driver_window():
         ).stdout.strip()
     )
     ordered, gated = out[0], set(out[1])
-    assert len(ROUND9_WINDOW) == DRIVER_WINDOW
-    assert ordered[:DRIVER_WINDOW] == ROUND9_WINDOW, (
-        "round-9 driver window drifted from ROUND9_WINDOW; first diff: "
+    assert len(ROUND10_WINDOW) == DRIVER_WINDOW
+    assert ordered[:DRIVER_WINDOW] == ROUND10_WINDOW, (
+        "round-9 driver window drifted from ROUND10_WINDOW; first diff: "
         + str(
             next(
                 (a, b)
-                for a, b in zip(ordered, ROUND9_WINDOW)
+                for a, b in zip(ordered, ROUND10_WINDOW)
                 if a != b
             )
         )
     )
-    ungated = [n for n in ROUND9_WINDOW if n not in gated]
+    ungated = [n for n in ROUND10_WINDOW if n not in gated]
     assert not ungated, (
         f"round-9 window slots without a hash-gate oracle: {ungated}"
     )
