@@ -54,7 +54,11 @@ _ENTITY_STEPS: tuple[tuple[str, str], ...] = (
     ("&amp;", "&"),
 )
 
-_WS_PAT = r"\s+"
+# Explicit whitespace class instead of \s: Java's \s includes \x0B (vertical
+# tab) while RE2's does not, so \s+ is the one construct whose semantics
+# would diverge between the two engines this module keeps in lockstep by
+# construction (round-9 advice).
+_WS_PAT = "[ \\t\\n\\r\\f\\x0B]+"
 _TITLE_PAT = r"(?is)<title[^>]*>(.*?)</title>"
 
 

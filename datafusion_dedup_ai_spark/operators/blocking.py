@@ -82,11 +82,19 @@ def prepare_names(
         # same 8-char prefix, so the prefix refinement is a no-op on exactly
         # the hot-key shape it exists for. Those residual blocks hash-salt
         # into ceil(n / max_block_size) sub-blocks keyed on the FULL
-        # base_name, which bounds expected sub-block size at the cap while
-        # keeping identical base names (the token-key/exact tier) in one
-        # sub-block. Cross-sub-block fuzzy pairs are the sacrificed
-        # approximation — flagged by the distinct key suffixes ("#p" prefix
-        # stage, "#s" salt stage) so outputs stay auditable.
+        # base_name, which bounds expected sub-block size at the cap PER
+        # DISTINCT base_name: identical base names (the token-key/exact
+        # tier) stay co-located by design, so a residual block dominated by
+        # one repeated base_name keeps that mass in a single sub-block —
+        # identical-name mass is inherently quadratic output no blocking
+        # scheme can shrink (r9 advice). Cross-sub-block fuzzy pairs are the
+        # sacrificed approximation — flagged by the distinct key suffixes
+        # ("#p" prefix stage, "#s" salt stage) so outputs stay auditable,
+        # and QUANTIFIED by the registered block_guard_recall_report.
+        # Cost note: the stage-2 recount is a second full window Exchange
+        # over the rewritten key even when stage 1 already tamed every
+        # block — acceptable for an off-by-default guard aimed at corpora
+        # where hot blocks are the bottleneck (see SCALE.md skew rows).
         cap = F.lit(config.max_block_size)
         w_cnt = Window.partitionBy("block_key")
         out = out.withColumn("_block_n", F.count("*").over(w_cnt)).withColumn(

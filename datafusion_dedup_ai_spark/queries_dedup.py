@@ -743,3 +743,84 @@ def q_enriched_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return StubEnricher().enrich(clusters).select(
         *CLUSTER_COLUMNS, "website", "industry"
     )
+
+
+@register("block_guard_recall_report", None)
+def q_block_guard_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-grading recall report for the max_block_size hash-salt guard
+    (round-9 verdict #5, the ann_recall_report pattern): the guard drops
+    cross-sub-block fuzzy candidate pairs BY DESIGN, and this query puts a
+    number on the approximation an operator reads before enabling the cap.
+
+    Corpus: the sf customer names with 10% rewritten into one planted
+    "MEGACORP <custkey>" mega-block (deterministic by c_custkey), the exact
+    hot shape the guard targets — the prefix refinement (stage 1) is a no-op
+    on it, so only the stage-2 salt splits it. For each cap the candidate
+    set is a subset of the unguarded one (both stages only ever SPLIT
+    blocks), so recall = n_pairs / n_unguarded exactly; hot-block recall is
+    reported separately because singleton blocks are never affected.
+    Expected shape: recall_hot ~ 1/ceil(n_hot/cap) for the planted block
+    (salting on full base_name spreads distinct names uniformly), while
+    exact-duplicate mass (identical base names) always stays co-located.
+
+    Rows-only by nature (self-grading report; values visible to the driver).
+    """
+    from datafusion_dedup_ai_spark.config import DedupConfig
+    from datafusion_dedup_ai_spark.operators.blocking import (
+        candidate_pairs,
+        prepare_names,
+    )
+
+    # Bound the corpus: TPC-H customer names all share the CUSTOMER first
+    # token, so the UNGUARDED baseline this report measures against is
+    # inherently quadratic in the table — 3k rows keeps the 4 runs cheap at
+    # any sf while preserving the hot shape (cap documented in the output
+    # via n_unguarded).
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 3000)
+    names = cust.select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.when(
+            F.col("c_custkey") % 10 == 0,
+            F.concat(
+                F.lit("MEGACORP "), F.lpad(F.col("c_custkey").cast("string"), 8, "0")
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+    )
+
+    def counts(cap: int | None):
+        prepared = prepare_names(
+            names, "name", DedupConfig(max_block_size=cap), order_col="id"
+        )
+        pairs = candidate_pairs(prepared)
+        hot = F.sum(
+            F.when(F.col("base_a").startswith("MEGACORP"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        return pairs.agg(
+            F.count("*").alias("n_pairs"), hot.cast("bigint").alias("n_hot_pairs")
+        ).collect()[0]
+
+    base = counts(None)
+    rows = []
+    for cap in (256, 64, 16):
+        r = counts(cap)
+        rows.append(
+            (
+                cap,
+                int(r["n_pairs"]),
+                int(r["n_hot_pairs"]),
+                int(base["n_pairs"]),
+                int(base["n_hot_pairs"]),
+                r["n_pairs"] / max(base["n_pairs"], 1),
+                r["n_hot_pairs"] / max(base["n_hot_pairs"], 1),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "cap BIGINT, n_pairs BIGINT, n_hot_pairs BIGINT, "
+        "n_unguarded BIGINT, n_hot_unguarded BIGINT, "
+        "recall_all DOUBLE, recall_hot DOUBLE",
+    )

@@ -12,6 +12,37 @@ import os
 
 from pyspark.sql import SparkSession
 
+# AQE sizes skew-join decisions by COMPRESSED map-output bytes, but task
+# memory and wall time scale with the UNCOMPRESSED partition. For the short-
+# string shuffles this engine lives on (names, shingles, tokens) lz4 achieves
+# high ratios, so thresholds naively sized in "data bytes" never fire: the
+# round-9/10 mega-block probe's hot partition is ~1.29 MiB uncompressed
+# (10k prepared-name rows) yet the split fires at a 128 KiB compressed
+# threshold and STOPS firing at 256 KiB — a measured ~7x ratio, and a
+# 3-4.5x wall-clock difference on the probe join (28.7s fired vs 129s not;
+# SCALE.md round-10). Size skew confs in uncompressed terms and divide.
+TEXT_SHUFFLE_COMPRESSION_RATIO = 7.0
+
+
+def skew_confs(
+    target_uncompressed_bytes: int,
+    compression_ratio: float = TEXT_SHUFFLE_COMPRESSION_RATIO,
+) -> dict[str, str]:
+    """Skew-split confs that fire when a partition exceeds
+    ``target_uncompressed_bytes`` BEFORE compression: the conf values AQE
+    compares are compressed map-output bytes, so the target is divided by
+    the observed shuffle compression ratio (measure yours, or use the
+    text-corpus default above). Pass the result as ``extra_conf`` to
+    build_session, or export SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED to apply
+    the same derivation session-wide."""
+    thr = max(16 << 10, int(target_uncompressed_bytes / compression_ratio))
+    return {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(thr),
+        # advisory must sit below the skew threshold or the split produces
+        # children AQE immediately re-coalesces
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(max(8 << 10, thr // 2)),
+    }
+
 
 def build_session(
     app_name: str = "datafusion-dedup-ai-spark",
@@ -72,6 +103,21 @@ def build_session(
         .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
     )
+    # Compressed-size-aware override (round-10): size skew thresholds in
+    # UNCOMPRESSED terms — the number an operator can reason about — and let
+    # skew_confs divide by the measured shuffle compression ratio. Takes
+    # precedence over the raw-byte envs above when set.
+    if "SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED" in os.environ:
+        derived = skew_confs(
+            int(os.environ["SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED"]),
+            float(
+                os.environ.get(
+                    "SPARK_GRAFT_SKEW_RATIO", str(TEXT_SHUFFLE_COMPRESSION_RATIO)
+                )
+            ),
+        )
+        for k, v in derived.items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -127,6 +127,9 @@ def test_registered_queries_cross_engine_exact(spark, sf_dir, duck):
         )
         odf = oracles[name]
         odf = duck.execute(odf).df().sort_values(key).reset_index(drop=True)
+        # check_exact: the driver's gate hashes repr(float) textually, so
+        # bitwise double equality is what this test claims to mirror —
+        # assert_frame_equal's default rtol=1e-5 would be weaker (r9 advice)
         pd.testing.assert_frame_equal(
-            sdf[sorted(sdf.columns)], odf[sorted(odf.columns)]
+            sdf[sorted(sdf.columns)], odf[sorted(odf.columns)], check_exact=True
         )

@@ -1,151 +1,81 @@
-"""Scale-mechanics demos with machine-asserted plans: salted joins spread a
-hot key across tasks without changing results; date-partitioned writes give
-the scan partition pruning."""
+"""Compressed-size-aware skew thresholds (round-9 verdict #4 -> round-10).
+
+AQE's OptimizeSkewedJoin compares COMPRESSED map-output bytes against
+skewedPartitionThresholdInBytes. The mega-block probe's hot partition is
+~1.29 MiB uncompressed (10k prepared-name rows) but lz4 compresses the
+short-string shuffle ~7x, so a threshold naively set to "1 MiB" (thinking
+in data bytes) never fires while the uncompressed-target derivation in
+session.skew_confs does. These tests machine-assert that distinction on
+the executed plan, at the same corpus scale the probe gates timing on.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import pytest
 
-from datafusion_dedup_ai_spark.operators.skew import salted_join
-from datafusion_dedup_ai_spark.sources.readers import load_table
+from datafusion_dedup_ai_spark.session import (
+    TEXT_SHUFFLE_COMPRESSION_RATIO,
+    skew_confs,
+)
 
 
-def test_salted_join_matches_plain_join(spark, sf_dir):
-    """Same multiset of result rows as the plain join, but the hot side's
-    shuffle key space is key x salt."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    right = cust.withColumnRenamed("c_custkey", "o_custkey")
-
-    plain = orders.join(right, "o_custkey").groupBy("o_custkey").count()
-    salted = (
-        salted_join(orders, right, "o_custkey", salt=4)
-        .groupBy("o_custkey")
-        .count()
+def test_skew_confs_derivation():
+    confs = skew_confs(1 << 20, compression_ratio=8.0)
+    thr = int(confs["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"])
+    adv = int(confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"])
+    assert thr == (1 << 20) // 8
+    assert adv < thr  # advisory below threshold or AQE re-coalesces splits
+    # floors: never derive thresholds below task granularity
+    tiny = skew_confs(1, compression_ratio=100.0)
+    assert (
+        int(tiny["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"])
+        >= 16 << 10
     )
-    want = {(r["o_custkey"], r["count"]) for r in plain.collect()}
-    got = {(r["o_custkey"], r["count"]) for r in salted.collect()}
-    assert got == want
 
 
-def test_salted_join_spreads_hot_key(spark):
-    """A single ultra-hot key lands in ~salt distinct shuffle partitions
-    instead of one — the straggler killer."""
-    hot = spark.range(10_000).select(
-        F.lit(7).alias("k"), F.col("id").alias("payload")
-    )
-    dim = spark.createDataFrame([(7, "only")], ["k", "v"])
-    joined = salted_join(hot, dim, "k", salt=8)
-    # count distinct salt sub-keys actually produced on the fact side
-    n_subkeys = (
-        hot.withColumn(
-            "s", F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(8))
-        )
-        .select("s")
-        .distinct()
-        .count()
-    )
-    assert n_subkeys == 8  # hash spreads the hot key over all sub-keys
-    assert joined.count() == 10_000  # multiplicity preserved
+def _run_megablock(spark, confs):
+    from scale_probe import megablock_candidate_agg
 
-
-def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
-    """Writing events partitioned by event_type makes a type-filtered scan
-    read ONLY that partition — asserted via the scan's partition filters."""
-    out = str(tmp_path / "events_by_type")
-    events = load_table(spark, sf_dir, "events")
-    events.write.mode("overwrite").partitionBy("event_type").parquet(out)
-
-    back = spark.read.parquet(out).where(F.col("event_type") == "click")
-    back.write.mode("overwrite").format("noop").save()
-    plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    assert "event_type" in plan.split("PartitionFilters")[1][:200]
-    # and the pruned read returns exactly the filtered rows
-    want = events.where(F.col("event_type") == "click").count()
-    assert back.count() == want
-
-
-def test_max_block_size_salts_shared_prefix_mega_block(spark):
-    """Round-9 guard stage: 200 names sharing one first token ("MEGACORP
-    <d4>") defeat the prefix refinement — every member carries the same
-    first 8 base chars, so stage 1 rewrites the key identically for all of
-    them. The hash-salt stage must still bound every sub-block near the
-    cap, keep identical base names co-located (the exact/token tier), and
-    leave under-cap blocks' keys untouched."""
-    from datafusion_dedup_ai_spark.config import DedupConfig
-    from datafusion_dedup_ai_spark.operators.blocking import prepare_names
-
-    rows = [(i, f"MEGACORP {i:04d}") for i in range(200)]
-    rows += [(1000 + i, f"ZEDIFF{i} WHOLESALE") for i in range(5)]
-    rows += [(2000, "MEGACORP 0001")]  # duplicate base name
-    df = spark.createDataFrame(rows, ["cid", "name"])
-    prepared = prepare_names(
-        df, "name", DedupConfig(max_block_size=16), order_col="cid"
-    ).persist()
-
-    hot = prepared.where(F.col("base_name").startswith("MEGACORP"))
-    sizes = [r["n"] for r in hot.groupBy("block_key").agg(F.count("*").alias("n")).collect()]
-    assert len(sizes) >= 8, f"salt produced only {len(sizes)} sub-blocks"
-    assert max(sizes) <= 4 * 16, f"residual hot sub-block of {max(sizes)}"
-    # identical base names share a sub-block (same xxhash64 salt)
-    dup_keys = {
-        r["block_key"]
-        for r in prepared.where(F.col("base_name") == "MEGACORP 0001")
-        .select("block_key")
-        .collect()
+    keys = set(confs) | {
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
     }
-    assert len(dup_keys) == 1
-    # small blocks keep their un-suffixed reference keys
-    cold = prepared.where(~F.col("base_name").startswith("MEGACORP"))
-    assert all("#" not in r["block_key"] for r in cold.select("block_key").collect())
-    prepared.unpersist()
-
-
-def test_aqe_skew_split_fires_on_mega_block_join(spark):
-    """The J1 candidate self-join's declared scale story is "AQE splits
-    skewed blocks across tasks" (blocking.py header). Machine-assert it:
-    one hot block_key (10% of 30k names share a first token), byte
-    thresholds scaled to the probe corpus's COMPRESSED shuffle sizes, and
-    the executed (AQE-final) plan must carry the skew=true SMJ marker.
-    scale_probe.py times the same shape; this pins the mechanism."""
-    from datafusion_dedup_ai_spark.config import DedupConfig
-    from datafusion_dedup_ai_spark.operators.blocking import (
-        candidate_pairs,
-        prepare_names,
-    )
-
-    confs = {
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        # the test session runs 8 shuffle partitions; with so few, the hot
-        # partition is < 2x the median (skewedPartitionFactor) and the
-        # split legitimately stays off — spread the cold keys thin so the
-        # hot block stands out the way it does at the probe/bench width
-        "spark.sql.shuffle.partitions": "64",
-    }
-    prev = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
+    prev = {k: spark.conf.get(k, None) for k in keys}
     try:
-        names = spark.range(30_000).selectExpr(
-            "id",
-            "CASE WHEN id % 10 = 0 THEN "
-            "concat('MEGACORP ', lpad(cast(id AS string), 8, '0')) "
-            "ELSE concat('UNIQ', lpad(cast(id AS string), 8, '0'), "
-            "' WHOLESALE') END AS name",
-        )
-        prepared = prepare_names(names, "name", DedupConfig(), order_col="id")
-        cnt = candidate_pairs(prepared).groupBy().count()
-        n = cnt.collect()[0][0]
-        plan = cnt._jdf.queryExecution().executedPlan().toString()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # The skew check is "partition > max(threshold, factor * median)":
+        # at the test session's 8 shuffle partitions the median carries
+        # ~200 KiB of singleton mass and masks the hot block. Run at the
+        # engine's deployment partitioning (32), as the probe does.
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = megablock_candidate_agg(spark, 100_000, None)
+        agg.collect()
+        return agg._jdf.queryExecution().executedPlan().toString()
     finally:
         for k, v in prev.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    # 3k-row hot block: C(3000,2) pairs plus the singleton-block residue
-    assert n >= 3000 * 2999 // 2
-    assert "skew=true" in plan, "AQE skew-join split did not fire"
+
+
+def test_uncompressed_target_fires_where_naive_bytes_do_not(spark):
+    """The pin for the round-9 operational lesson: targeting "split above
+    1 MiB uncompressed" via skew_confs fires on the 1.29 MiB hot partition;
+    setting the same 1 MiB directly as the (compressed) threshold does not,
+    because the partition compresses to ~190 KiB."""
+    derived = skew_confs(1 << 20, TEXT_SHUFFLE_COMPRESSION_RATIO)
+    plan = _run_megablock(spark, derived)
+    assert "skew=true" in plan, "uncompressed-target sizing must split"
+
+    naive = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(1 << 20),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(1 << 19),
+    }
+    plan = _run_megablock(spark, naive)
+    assert "skew=true" not in plan, (
+        "naive byte sizing unexpectedly fired — remeasure the compression "
+        "ratio in session.py"
+    )
