@@ -26,6 +26,14 @@ without a global sort (mandatory at scale — see operators/blocking.py
 prepare_names). Without it, row_order falls back to the name-sorted rank:
 correct and deterministic, but a single-partition sort, fine only at
 CLI-file scale.
+
+Subcommand — the LLM-pipeline journey (round-10):
+
+    python -m datafusion_dedup_ai_spark curate DOCS.parquet [--out DIR]
+
+runs the oracle-gated clean_corpus -> deterministic split -> manifest
+composition over a (doc_id, text) parquet and writes manifest.parquet +
+stats.json (see curate_main).
 """
 
 from __future__ import annotations
@@ -58,9 +66,104 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _build_curate_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m datafusion_dedup_ai_spark curate",
+        description="Curate a (doc_id, text) parquet corpus into a training "
+        "manifest: quality/language filter -> exact dedup -> near-dup "
+        "removal -> deterministic 80/10/10 split -> chunk counts.",
+    )
+    p.add_argument("docs", help="input parquet with doc_id BIGINT, text STRING")
+    p.add_argument(
+        "--out",
+        help="output directory (default: <docs dir>/curated); writes "
+        "manifest.parquet + stats.json",
+    )
+    return p
+
+
+def curate_main(argv: list[str], spark=None) -> int:
+    """The LLM-pipeline counterpart of the dedup journey (round-9 verdict
+    #8): run the registered clean_corpus -> split -> manifest composition
+    (queries_curation.training_manifest_frame, every stage oracle-gated)
+    over a user parquet, no Python required. Writes manifest.parquet and a
+    per-split stats.json, prints the stats table."""
+    import json
+
+    from datafusion_dedup_ai_spark.queries_curation import (
+        training_manifest_frame,
+    )
+    from datafusion_dedup_ai_spark.session import build_session
+
+    args = _build_curate_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        spark = build_session(app_name="curate-cli")
+    try:
+        docs = spark.read.parquet(args.docs)
+        missing = {"doc_id", "text"} - set(docs.columns)
+        if missing:
+            print(
+                f"{args.docs}: missing required column(s) {sorted(missing)}",
+                file=sys.stderr,
+            )
+            return 1
+        out_dir = args.out or os.path.join(
+            os.path.dirname(os.path.abspath(args.docs)), "curated"
+        )
+        manifest = training_manifest_frame(docs)
+        manifest.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "manifest.parquet")
+        )
+        from pyspark.sql import functions as F
+
+        written = spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+        stats_rows = (
+            written.groupBy("split")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("n_chunks").alias("n_chunks"),
+            )
+            .orderBy("split")
+            .collect()
+        )
+        n_in = docs.count()
+        stats = {
+            "input_docs": n_in,
+            "kept_docs": sum(r["n_docs"] for r in stats_rows),
+            "splits": {
+                r["split"]: {
+                    "n_docs": r["n_docs"],
+                    "n_tokens": int(r["n_tokens"]),
+                    "n_chunks": int(r["n_chunks"]),
+                }
+                for r in stats_rows
+            },
+        }
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2, sort_keys=True)
+        print("\nCuration Complete!")
+        print(f"Input Docs: {stats['input_docs']}")
+        print(f"Kept Docs: {stats['kept_docs']}")
+        for split, s in stats["splits"].items():
+            print(
+                f"  {split}: {s['n_docs']} docs, {s['n_tokens']} tokens, "
+                f"{s['n_chunks']} chunks"
+            )
+        print(f"Manifest written to: {out_dir}")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     """CLI body. ``spark``: tests inject their shared session (then it is
     NOT stopped here); the command line builds and owns one."""
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "curate":
+        return curate_main(argv[1:], spark)
     args = _build_parser().parse_args(argv)
 
     from datafusion_dedup_ai_spark.config import DedupConfig

@@ -580,10 +580,22 @@ def q_training_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream stage is itself oracle-gated, and the composition reuses the
     registered clean_corpus plan/SQL on both sides so the layers cannot
     drift."""
-    from datafusion_dedup_ai_spark.queries_text import q_clean_corpus
+    from datafusion_dedup_ai_spark.sources.readers import load_spread
 
-    kept = q_clean_corpus(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # load_spread, not load_table: clean_corpus_frame's quality/language
+    # char folds are CPU-bound and the local single-row-group parquet would
+    # otherwise run them on one partition (same choice as q_clean_corpus)
+    return training_manifest_frame(load_spread(spark, sf_dir, "documents"))
+
+
+def training_manifest_frame(docs: DataFrame) -> DataFrame:
+    """Library form over an arbitrary (doc_id, text, ...) frame — the
+    `curate` CLI subcommand runs this on a user parquet; the registered
+    q_training_dataset_manifest binds it to the sf documents table."""
+    from datafusion_dedup_ai_spark.queries_text import clean_corpus_frame
+
+    kept = clean_corpus_frame(docs)
+    d = docs.select("doc_id", "text")
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     split = (
         F.when(prefix < SPLIT_TRAIN_HEX, "train")

@@ -664,7 +664,13 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimization. At cluster scale the near-dup stage swaps to the
     MinHash-LSH tier (same victim rule over minhash_near_dup_pairs).
     """
-    d = load_spread(spark, sf_dir, "documents")
+    return clean_corpus_frame(load_spread(spark, sf_dir, "documents"))
+
+
+def clean_corpus_frame(d: DataFrame) -> DataFrame:
+    """Library form of clean_corpus over an arbitrary (doc_id, text, ...)
+    frame — the `curate` CLI subcommand runs this on a user parquet; the
+    registered q_clean_corpus binds it to the sf documents table."""
     scored = d.select(
         "doc_id",
         "text",

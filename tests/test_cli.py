@@ -135,3 +135,72 @@ def test_cli_autodetects_string_column(spark, tmp_path):
     assert rc == 0
     recs = _sheet_dicts(out_dir / "company_duplicates_final.xlsx", "clusters")
     assert {r["base_name"] for r in recs} == {"IBM"}
+
+
+# ---------------------------------------------------------------------------
+# curate subcommand (round-9 verdict #8): clean_corpus -> split -> manifest
+# ---------------------------------------------------------------------------
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """`python -m datafusion_dedup_ai_spark curate docs.parquet --out DIR`
+    over a small fixture corpus with a planted exact duplicate, a near
+    duplicate, and a junk doc: the manifest keeps exactly the survivors the
+    gated clean_corpus keeps, the split labels are the deterministic md5
+    buckets, and stats.json aggregates the manifest."""
+    import json
+
+    from datafusion_dedup_ai_spark.queries_curation import (
+        training_manifest_frame,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the river bank every morning"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # exact duplicate of 0 -> dropped
+            (2, base + " tonight"),  # near duplicate of 0 -> dropped
+            (3, "zzz !!!! ####"),  # junk -> quality/language filtered
+            (4, "a completely different sentence about ships and harbors "
+                "sailing across the open sea under a clear northern sky"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    from datafusion_dedup_ai_spark.__main__ import main
+
+    out_dir = str(tmp_path / "curated")
+    rc = main(["curate", inp, "--out", out_dir], spark=spark)
+    assert rc == 0
+
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+    rows = {r["doc_id"]: r for r in manifest.collect()}
+    assert set(rows) == {0, 4}, "survivors must be the clean_corpus set"
+    want = {
+        r["doc_id"]: r
+        for r in training_manifest_frame(docs).collect()
+    }
+    for doc_id, r in rows.items():
+        w = want[doc_id]
+        assert (r["split"], r["n_tokens"], r["n_chunks"]) == (
+            w["split"], w["n_tokens"], w["n_chunks"],
+        )
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["input_docs"] == 5
+    assert stats["kept_docs"] == 2
+    assert sum(s["n_docs"] for s in stats["splits"].values()) == 2
+    assert all(k in ("train", "val", "test") for k in stats["splits"])
+
+
+def test_cli_curate_missing_column_rc1(spark, tmp_path):
+    inp = str(tmp_path / "bad.parquet")
+    spark.range(3).write.parquet(inp)
+    from datafusion_dedup_ai_spark.__main__ import main
+
+    assert main(["curate", inp, "--out", str(tmp_path / "o")], spark=spark) == 1
