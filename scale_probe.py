@@ -71,6 +71,12 @@ PROBES = [
     # round-9: html visible-text extraction — one regexp projection over
     # the scan (no shuffle, no UDF); the probe pins the scan-speed claim.
     "html_text_extraction",
+    # round-10 (r9 verdict #3): simhash fingerprints — explode + 64
+    # partial-agg bit votes, one shuffle on doc_id; the missing probe row
+    # for the one headline query without one. (simhash_near_pairs stays
+    # deliberately unprobed with the exact-Jaccard family above: its
+    # chunk-equality candidates grow with the planted true-pair mass.)
+    "simhash_fingerprints",
 ]
 # round-6: the embeddings pipeline gets its own 10x probe (exact copies:
 # each original gains 9 planted exact duplicates — same K10-family
@@ -221,6 +227,45 @@ def build_scaled_embeddings(spark, src_sf: str, dst: str, factor: int) -> None:
         copy = emb.select(
             (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
             "embedding",
+            "label",
+        )
+        out = copy if out is None else out.unionByName(copy)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet")
+    )
+
+
+def build_scaled_embeddings_constdup(
+    spark, src_sf: str, dst: str, factor: int
+) -> None:
+    """Density-controlled embeddings corpus (round-9 verdict #6): copy i > 0
+    multiplies each vector by a copy-specific deterministic SIGN-FLIP mask.
+    A sign flip per dimension is an orthogonal transform, so WITHIN-copy
+    cosines are preserved exactly (the 1x corpus's intrinsic near-pairs
+    exist once per copy: true output grows exactly linearly), while any
+    cross-copy pair's cosine is a +-mixed dot whose magnitude concentrates
+    near zero at these dimensions — far below the dedup taus, so ambient
+    candidate mass stays flat. The embedding analog of
+    build_scaled_constdup's bijective shingle rewrite."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(src_sf, "embeddings.parquet"))
+    n = emb.count()
+
+    def _flip(i):
+        # closure, not a default arg: transform inspects the lambda's arity
+        return lambda x, j: F.when(
+            F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)) == 0, x
+        ).otherwise(-x)
+
+    out = None
+    for i in range(factor):
+        flipped = (
+            F.col("embedding") if i == 0 else F.transform(F.col("embedding"), _flip(i))
+        )
+        copy = emb.select(
+            (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+            flipped.alias("embedding"),
             "label",
         )
         out = copy if out is None else out.unionByName(copy)
@@ -710,6 +755,13 @@ def main_x100() -> None:
       gates on PER-OUTPUT-PAIR cost (t/pairs at 30x within 2x of 10x);
       the 100x gate is carried by the density-controlled constdup rows.
 
+    Round-10 additions: (4) the TWO-PHASE verify on the planted corpus at
+    the full 10x -> 100x — the run whose all-exact form hit ENOSPC —
+    gated on per-output-pair cost and on completing at all; (5, 6) the
+    embedding lane (semantic_dedup_embeddings, embedding_dedup_clusters)
+    at a density-controlled 10x -> 100x built by per-copy sign-flip masks
+    (build_scaled_embeddings_constdup), gated on the wall exponent.
+
     Per-phase results flush to stderr as they land (a late-phase failure
     must not lose the earlier measurements — the ENOSPC lesson); the final
     stdout line is committed as SCALE100.json and summarized in SCALE.md.
@@ -726,16 +778,22 @@ def main_x100() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     d10 = "/tmp/spark_graft_scale10"
     d30 = "/tmp/spark_graft_scale30"
+    d100 = "/tmp/spark_graft_scale100"
     c10 = "/tmp/spark_graft_scale10_constdup"
     c100 = "/tmp/spark_graft_scale100_constdup"
+    e10 = "/tmp/spark_graft_scale10_embconst"
+    e100 = "/tmp/spark_graft_scale100_embconst"
     spark = build_session(app_name="scale-probe-100x")
-    for d in (d10, d30, c10, c100):
+    for d in (d10, d30, d100, c10, c100, e10, e100):
         if os.path.isdir(d):
             shutil.rmtree(d)
     build_scaled(spark, src, d10, 10)
     build_scaled(spark, src, d30, 30)
+    build_scaled(spark, src, d100, 100)
     build_scaled_constdup(spark, src, c10, 10)
     build_scaled_constdup(spark, src, c100, 100)
+    build_scaled_embeddings_constdup(spark, src, e10, 10)
+    build_scaled_embeddings_constdup(spark, src, e100, 100)
 
     qs = entry_mod.queries()
     report = {}
@@ -819,17 +877,79 @@ def main_x100() -> None:
     ok = ok and cost30 <= 2.0 * cost10
     flush_phase("minhash_near_dup_pairs@planted_10x_to_30x")
 
+    # 4) TWO-PHASE verify at planted 10x -> 100x (round-9 verdict #2: the
+    # all-exact verify died on disk here — ~24.75M true pairs x two full
+    # shingle payloads. The signature-screened path never fetches payloads
+    # for clear-accept mass, so the same corpus must now COMPLETE within
+    # the box's disk). Output grows ~C(factor,2): gate per-output-pair cost.
+    def two_phase_once(sf_dir):
+        clear()
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        sh = docs.select(
+            "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
+        )
+        t0 = time.time()
+        n = D.minhash_near_dup_pairs_two_phase(sh, threshold=0.5).count()
+        return time.time() - t0, n
+
+    t10, n10 = best(two_phase_once, d10, 2)
+    t100, n100 = min((two_phase_once(d100) for _ in range(2)), key=lambda x: x[0])
+    cost10 = t10 / max(n10, 1)
+    cost100 = t100 / max(n100, 1)
+    report["minhash_two_phase_pairs@planted_10x_to_100x"] = {
+        "t_10x_s": round(t10, 3),
+        "t_100x_s": round(t100, 3),
+        "pairs_10x": n10,
+        "pairs_100x": n100,
+        "s_per_1k_pairs_10x": round(1000 * cost10, 4),
+        "s_per_1k_pairs_100x": round(1000 * cost100, 4),
+        "completed_within_disk": True,
+        "gated": "per_pair_cost",
+    }
+    ok = ok and cost100 <= 2.0 * cost10
+    flush_phase("minhash_two_phase_pairs@planted_10x_to_100x")
+
+    # 5+6) embedding lane at constdup 10x -> 100x (round-9 verdict #6):
+    # sign-flip strata preserve within-copy cosines, so true output grows
+    # linearly and the exponent isolates the cell/bucket machinery.
+    def emb_once(name):
+        def run(sf_dir):
+            clear()
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            return time.time() - t0, n
+
+        return run
+
+    for name in ("semantic_dedup_embeddings", "embedding_dedup_clusters"):
+        t10, n10 = best(emb_once(name), e10, 2)
+        t100, n100 = min(
+            (emb_once(name)(e100) for _ in range(2)), key=lambda x: x[0]
+        )
+        exp = math.log(max(t100, 1e-6) / max(t10, 1e-6)) / math.log(10)
+        report[f"{name}@embconst_10x_to_100x"] = {
+            "t_10x_s": round(t10, 3),
+            "t_100x_s": round(t100, 3),
+            "exponent": round(exp, 3),
+            "rows_10x": n10,
+            "rows_100x": n100,
+            "gated": True,
+        }
+        ok = ok and exp <= MAX_EXPONENT
+        flush_phase(f"{name}@embconst_10x_to_100x")
+
     print(
         json.dumps(
             {
                 "metric": "scale_probe_100x",
                 "factors": "constdup 10x->100x (gated); planted 10x->30x "
                 "(per-pair-cost gate)",
-                "planted_100x_note": "attempted; the verify join's ~24.75M "
-                "candidate pairs x two shingle payloads exceeded the box's "
-                "disk (ENOSPC) — the corpus construction's O(factor^2) TRUE "
-                "pair mass, not operator work; the 100x machinery gate is "
-                "the density-controlled constdup rows",
+                "planted_100x_note": "the ALL-EXACT verify died on disk "
+                "here in round 9 (~24.75M true pairs x two shingle "
+                "payloads, ENOSPC); the round-10 two-phase verify runs the "
+                "same planted-100x corpus to completion "
+                "(minhash_two_phase_pairs@planted_10x_to_100x row); the "
+                "all-exact planted row stays 10x->30x",
                 "max_exponent": MAX_EXPONENT,
                 "all_linearish": ok,
                 "queries": report,
