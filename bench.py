@@ -69,6 +69,10 @@ HEADLINE = [
     "text_dedup_clusters",
     "embedding_dedup_clusters",
     "semantic_dedup_embeddings",
+    # round-10: the two-phase verify — the 100 TB near-dup shape (signature
+    # screen + borderline-only payload fetch) gets a tracked wall-time next
+    # to the all-exact minhash_near_dup_pairs it bounds.
+    "minhash_two_phase_pairs",
 ]
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_dedup_ai_spark.operators.dedup import (
+    MINHASH_P,
     band_buckets,
     minhash_signatures,
 )
@@ -74,8 +75,17 @@ def _check_meta(path: str, num_hashes: int, bands: int, seed: int) -> None:
             "with build_minhash_index (index_exists() treats this state as "
             "'no index', so self-healing callers rebuild automatically)"
         ) from None
-    want = {"num_hashes": num_hashes, "bands": bands, "seed": seed}
-    got = {k: meta[k] for k in want}
+    want = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "seed": seed,
+        "modulus": MINHASH_P,
+    }
+    # .get: a sidecar written before the modulus was recorded (round-9
+    # indexes, built with the order-degenerate 2^61-1 family) reads as
+    # modulus=None != MINHASH_P — exactly the rebuild-forcing mismatch we
+    # want, since cross-modulus signatures never match each other.
+    got = {k: meta.get(k) for k in want}
     if got != want:
         raise ValueError(
             f"minhash index at {path} was built with {got}; "
@@ -110,7 +120,13 @@ def build_minhash_index(
     # Meta-without-data is safe (index_exists() is false, callers rebuild and
     # the rebuild overwrites the sidecar).
     _write_meta(
-        path, {"num_hashes": num_hashes, "bands": bands, "seed": seed}
+        path,
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "seed": seed,
+            "modulus": MINHASH_P,
+        },
     )
     sigs = minhash_signatures(shingled, id_col, shingles_col, num_hashes, seed)
     out = shingled.select(F.col(id_col), F.col(shingles_col)).join(sigs, id_col)

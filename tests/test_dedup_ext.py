@@ -737,3 +737,23 @@ def test_minhash_estimate_is_unbiased(spark, shingled):
     for r in rows:
         if r["jaccard"] < 0.1:
             assert r["est"] < 0.5, (r["jaccard"], r["est"])
+
+
+def test_index_meta_records_modulus(spark, shingled, tmp_path):
+    """The sidecar pins the hash-family MODULUS too (round-10: the family
+    changed from 2^61-1 to the 32-bit prime; an old index's signatures can
+    never match new ones). A sidecar lacking the field — a round-9 index —
+    must be rejected on append exactly like any parameter mismatch."""
+    import json
+
+    from datafusion_dedup_ai_spark.operators import minhash_index as MI
+
+    path = str(tmp_path / "idx")
+    MI.build_minhash_index(shingled, path)
+    meta = MI._read_meta(path)
+    assert meta["modulus"] == D.MINHASH_P
+    legacy = {k: v for k, v in meta.items() if k != "modulus"}
+    with open(MI._meta_path(path), "w") as f:
+        json.dump(legacy, f)
+    with pytest.raises(ValueError, match="signature generations"):
+        MI.append_minhash_index(shingled, path)
