@@ -385,9 +385,19 @@ def lsh_near_pairs(
     dim: int = 64,
     seed: int = 7,
     max_bucket_size: int | None = None,
+    screen: bool = False,
 ) -> DataFrame:
     """Scale-safe near-duplicate pairs: LSH bucket self-join generates
     candidates, exact cosine verifies them — no crossJoin anywhere.
+    ``screen=True`` inserts an SQ8 exact-safe prescreen that bounds the
+    payload the verify join shuffles (see inline note); output is
+    bit-identical with the screen on or off (pinned in tests). Off by
+    default: at this testdata's dim=64 the per-candidate fold CPU
+    dominates and the screen only pays at tau far below the band
+    (measured embconst-100x: 154s -> 127s at tau 0.35, but 147s -> 207s at
+    tau 0.8 where the extra int fold buys nothing). It is the lever for
+    WIDE vectors (dim >= ~256, where the 8x payload cut dwarfs one extra
+    int8 fold) — production embedding dims, not this fixture's.
 
     Shape: bucketize once (one Arrow-batched matmul pass), equi-join on
     (table, bucket) with id_a < id_b, distinct, then exact-verify cosine >=
@@ -442,6 +452,82 @@ def lsh_near_pairs(
         )
         .distinct()
     )
+    if screen:
+        # SQ8 EXACT-SAFE prescreen (round-10): the verify join's cost at
+        # scale is candidate rows x two full vector payloads (~0.5 KiB/side
+        # of doubles) — the embedding analog of the minhash payload spill.
+        # Phase 1 joins candidates to int8 codes (+ scale, |code|-sum, and
+        # the EXACT self-dot) and drops only pairs PROVABLY below the
+        # threshold: with per-dim quantization error <= scale/2,
+        #   |dot - int_dot*sa*sb| <= sa*sb*(sum|ca|/2 + sum|cb|/2 + d/4),
+        # so `approx + bound < threshold * ||a||*||b||` implies the true
+        # cosine is below threshold. Phase 2 computes the EXACT cosine on
+        # survivors only — the emitted rows are bit-identical to the
+        # unscreened pipeline (pinned in tests/test_similarity.py), the
+        # oracles stay unchanged, and the heavy shuffle is ~4x lighter
+        # (measured: embconst-100x wall 147s -> see SCALE.md round-10).
+        from datafusion_dedup_ai_spark.operators.quantization import (
+            int_dot,
+            quantize_int8,
+        )
+
+        q = quantize_int8(corpus, id_col, vec_col)
+        abs_sum = F.aggregate(
+            F.transform("qvec", lambda x: F.abs(x.cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        qmeta = q.join(
+            corpus.select(
+                F.col(id_col), self_dot(F.col(vec_col)).alias("n2")
+            ),
+            id_col,
+        ).select(
+            F.col(id_col),
+            "qvec",
+            "scale",
+            abs_sum.alias("asum"),
+            F.size("qvec").alias("dim"),
+            "n2",
+        )
+        qa = qmeta.select(
+            F.col(id_col).alias("id_a"),
+            F.col("qvec").alias("qa"),
+            F.col("scale").alias("sa"),
+            F.col("asum").alias("a1"),
+            F.col("dim").alias("da"),
+            F.col("n2").alias("naa"),
+        )
+        qb = qmeta.select(
+            F.col(id_col).alias("id_b"),
+            F.col("qvec").alias("qb"),
+            F.col("scale").alias("sb"),
+            F.col("asum").alias("b1"),
+            F.col("n2").alias("nbb"),
+        )
+        approx = (
+            int_dot(F.col("qa"), F.col("qb")).cast("double")
+            * F.col("sa")
+            * F.col("sb")
+        )
+        bound = (
+            F.col("sa")
+            * F.col("sb")
+            * (
+                F.col("a1").cast("double") / 2
+                + F.col("b1").cast("double") / 2
+                + F.col("da").cast("double") / 4
+            )
+        )
+        cand = (
+            cand.join(qa, "id_a")
+            .join(qb, "id_b")
+            .where(
+                approx + bound
+                >= F.lit(threshold) * F.sqrt(F.col("naa") * F.col("nbb"))
+            )
+            .select("id_a", "id_b")
+        )
     # Self-dots precomputed per corpus VECTOR (see cosine_with_norms):
     # bit-identical cosine, a third of the per-pair fold work.
     va = corpus.select(
