@@ -328,3 +328,25 @@ def test_adaptive_fixture_and_composite_agree_on_bits(spark, sf_dir):
     assert rows[0] == n * 16  # one code per (vec, table)
     assert rows[1] < 2**bits
     assert rows[1] >= 2 ** (bits - 1)  # top bit actually used somewhere
+
+
+def test_lsh_near_pairs_screen_is_exact_safe(spark, emb):
+    """The SQ8 prescreen (round-10) must be invisible in the output: it may
+    drop only pairs PROVABLY below threshold (quantization error bound), so
+    screened and unscreened runs emit the identical (pair -> exact cosine)
+    map at any threshold — including one low enough that borderline pairs
+    abound."""
+    from datafusion_dedup_ai_spark.operators import similarity_search as S
+
+    for tau in (0.2, 0.35, 0.8):
+        off = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in S.lsh_near_pairs(emb, threshold=tau, screen=False).collect()
+        }
+        on = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in S.lsh_near_pairs(emb, threshold=tau, screen=True).collect()
+        }
+        assert on == off, f"screen changed output at tau={tau}"
+        if tau <= 0.35:
+            assert off, "fixture should have pairs at the low thresholds"
