@@ -82,6 +82,104 @@ HEADLINE = [
 IDLE_LOADAVG_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
 IDLE_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "120"))
 
+# Calibration probe (round-10 verdict #2): loadavg gating is proven
+# insufficient — BENCH_r10 passed the <4.0 guard at load 3.63 yet read a
+# UNIFORM 1.3x slower than a load-3.74 run, including sub-second relational
+# queries untouched since round 3. So measure the box directly: time three
+# pinned floor-class queries (stable plans, scheduling-floor-bound, never
+# hot-path-edited) against their trailing committed medians and stamp the
+# ratio as `conditions_factor`. Round-over-round comparisons divide by it;
+# a factor near 1.0 certifies the run, a 1.3 explains itself.
+CALIBRATION = ["pricing_summary", "doc_token_stats", "region_order_stats"]
+CALIB_DRIFT_RETRY = float(os.environ.get("SPARK_GRAFT_CALIB_RETRY_ABOVE", "1.2"))
+CALIB_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_CALIB_ATTEMPTS", "3"))
+
+
+def _calibration_reference(sf: float | None) -> dict[str, float]:
+    """Per-calibration-query trailing median over the last <=5 committed
+    BENCH_r*.json artifacts that parsed AT THE SAME SF (a sf0.001 smoke run
+    must not be 'calibrated' against sf0.1 medians). Median-of-5 is robust
+    to one inflated artifact (r10's own calibration rows read 1.6-1.8x
+    their trailing medians — the drift this probe exists to catch)."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, list[float]] = {q: [] for q in CALIBRATION}
+    for p in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed") or {}
+            queries = parsed.get("queries") or {}
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if parsed.get("sf") != sf:
+            continue
+        for q in CALIBRATION:
+            v = queries.get(q)
+            if isinstance(v, (int, float)) and v > 0:
+                hist[q].append(float(v))
+    ref: dict[str, float] = {}
+    for q, vals in hist.items():
+        tail = vals[-5:]
+        if tail:
+            ref[q] = sorted(tail)[len(tail) // 2]
+    return ref
+
+
+def _run_calibration(spark, qs, sf_dir: str, repeats: int) -> dict[str, float]:
+    """Median wall over `repeats` runs per calibration query, same
+    clearCache+GC protocol as the main timing loop."""
+    meds: dict[str, float] = {}
+    for name in CALIBRATION:
+        runs = []
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        meds[name] = sorted(runs)[len(runs) // 2]
+    return meds
+
+
+def _conditions_factor(
+    spark, qs, sf_dir: str, repeats: int, sf: float | None
+) -> tuple[float | None, int]:
+    """Geometric-mean ratio of observed calibration medians to their trailing
+    committed medians. Retries (with a settle wait) while the factor exceeds
+    CALIB_DRIFT_RETRY — transient contention (a JVM shutting down, async
+    cleanup) settles; a genuinely busy box stamps its final factor rather
+    than refusing, because the external driver runs unattended and an absent
+    artifact is worse than a self-identifying one."""
+    import math
+
+    ref = _calibration_reference(sf)
+    if not ref:
+        return None, 0
+    attempts = 0
+    factor = None
+    while attempts < CALIB_MAX_ATTEMPTS:
+        attempts += 1
+        meds = _run_calibration(spark, qs, sf_dir, repeats)
+        ratios = {q: meds[q] / ref[q] for q in ref if q in meds}
+        factor = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+        print(
+            f"  calibration attempt {attempts}: factor {factor:.3f} "
+            f"({ {q: round(r, 2) for q, r in ratios.items()} } vs trailing "
+            f"medians { {q: round(v, 3) for q, v in ref.items()} })",
+            file=sys.stderr,
+        )
+        if factor <= CALIB_DRIFT_RETRY:
+            break
+        if attempts < CALIB_MAX_ATTEMPTS:
+            print(
+                f"  drift > {CALIB_DRIFT_RETRY}; settling 45s and retrying",
+                file=sys.stderr,
+            )
+            time.sleep(45.0)
+    return (round(factor, 3) if factor is not None else None), attempts
+
 
 def _await_idle() -> tuple[list[float], bool]:
     """Wait up to IDLE_WAIT_S for the 1-min loadavg to drop under
@@ -159,11 +257,15 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(3.0)
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
+    conditions_factor, calib_attempts = _conditions_factor(
+        spark, qs, sf_dir, repeats, sf
+    )
+
     # 5 repeats: controlled A/B runs showed the outliers are NOT cold-start
     # (a slow run appears as often on run 2 as run 1 — asynchronous cleanup
     # and single-JVM scheduling noise, see SCALE.md "Bench variance") so a
     # deeper median is the honest stabilizer, not more pre-warming.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -210,6 +312,13 @@ def main() -> None:
         "load1_start": load_start[0],
         "load1_end": round(os.getloadavg()[0], 2),
     }
+    if conditions_factor is not None:
+        # conditions_factor: observed/committed-trailing-median ratio on the
+        # pinned floor-class calibration trio — divide `value` by it before
+        # comparing rounds. value_normalized carries the division.
+        out["conditions_factor"] = conditions_factor
+        out["value_normalized"] = round(total / conditions_factor, 3)
+        out["calib_attempts"] = calib_attempts
     if load_warned:
         out["conditions_warning"] = "box not idle at start"
     line = json.dumps(out)

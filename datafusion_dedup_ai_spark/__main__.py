@@ -79,6 +79,13 @@ def _build_curate_parser() -> argparse.ArgumentParser:
         help="output directory (default: <docs dir>/curated); writes "
         "manifest.parquet + stats.json",
     )
+    p.add_argument(
+        "--bpe-tokens",
+        action="store_true",
+        help="train a BPE piece vocabulary on the input corpus and add "
+        "real-tokenizer n_bpe_tokens per doc (token-budget planning "
+        "consumes these; whitespace n_tokens is the cheap default)",
+    )
     return p
 
 
@@ -111,22 +118,41 @@ def curate_main(argv: list[str], spark=None) -> int:
         out_dir = args.out or os.path.join(
             os.path.dirname(os.path.abspath(args.docs)), "curated"
         )
-        manifest = training_manifest_frame(docs)
+        bpe_pieces = None
+        if args.bpe_tokens:
+            # Train on the input corpus itself (the hash_fixtures shape:
+            # word counts -> deterministic count-then-lex merges). The
+            # vocabulary-sized collect is the documented driver-side-model
+            # exception — Heaps-law-small on any corpus.
+            from pyspark.sql import functions as F
+
+            from datafusion_dedup_ai_spark.functions import text as T
+            from datafusion_dedup_ai_spark.operators import tokenizer as TK
+
+            wc = (
+                docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+                .where(F.col("tok") != "")
+                .groupBy("tok")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            bpe_pieces = TK.bpe_vocab_pieces([(r["tok"], r["c"]) for r in wc])
+        manifest = training_manifest_frame(docs, bpe_pieces=bpe_pieces)
         manifest.write.mode("overwrite").parquet(
             os.path.join(out_dir, "manifest.parquet")
         )
         from pyspark.sql import functions as F
 
         written = spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+        aggs = [
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chunks").alias("n_chunks"),
+        ]
+        if "n_bpe_tokens" in written.columns:
+            aggs.append(F.sum("n_bpe_tokens").alias("n_bpe_tokens"))
         stats_rows = (
-            written.groupBy("split")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_tokens").alias("n_tokens"),
-                F.sum("n_chunks").alias("n_chunks"),
-            )
-            .orderBy("split")
-            .collect()
+            written.groupBy("split").agg(*aggs).orderBy("split").collect()
         )
         n_in = docs.count()
         stats = {
@@ -137,6 +163,11 @@ def curate_main(argv: list[str], spark=None) -> int:
                     "n_docs": r["n_docs"],
                     "n_tokens": int(r["n_tokens"]),
                     "n_chunks": int(r["n_chunks"]),
+                    **(
+                        {"n_bpe_tokens": int(r["n_bpe_tokens"])}
+                        if "n_bpe_tokens" in r.asDict()
+                        else {}
+                    ),
                 }
                 for r in stats_rows
             },

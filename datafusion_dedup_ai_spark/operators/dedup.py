@@ -342,6 +342,14 @@ def minhash_near_dup_pairs_two_phase(
     """
     from pyspark import StorageLevel
 
+    if eps < 0:
+        # A negative eps flips hi < lo: the borderline band empties and
+        # below-threshold estimates would be emitted as 'signature'-accepted
+        # with no exact check (round-10 advisor finding).
+        raise ValueError(
+            f"eps must be >= 0 (got {eps}); a negative band would route "
+            "below-threshold pairs to signature acceptance"
+        )
     rows_per_band = num_hashes // bands
     if max_df is not None:
         shingled = drop_hot_shingles(shingled, max_df, id_col, shingles_col)

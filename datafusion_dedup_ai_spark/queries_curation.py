@@ -588,10 +588,21 @@ def q_training_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_manifest_frame(load_spread(spark, sf_dir, "documents"))
 
 
-def training_manifest_frame(docs: DataFrame) -> DataFrame:
+def training_manifest_frame(
+    docs: DataFrame, bpe_pieces: list[str] | None = None
+) -> DataFrame:
     """Library form over an arbitrary (doc_id, text, ...) frame — the
     `curate` CLI subcommand runs this on a user parquet; the registered
-    q_training_dataset_manifest binds it to the sf documents table."""
+    q_training_dataset_manifest binds it to the sf documents table.
+
+    ``bpe_pieces`` (round-10 verdict #4): when a frozen BPE piece vocabulary
+    is supplied, the manifest additionally carries ``n_bpe_tokens`` — REAL
+    tokenizer counts per doc (greedy longest-match over the trained vocab,
+    operators/tokenizer.py), which is what token-budget planning actually
+    consumes. Whitespace ``n_tokens`` stays the cheap default: the BPE
+    column costs one corpus-side explode plus a vocabulary-sized Arrow
+    encode and a broadcast join (the q_tokenized_length_stats shape — the
+    Python step is O(|vocab|) by Heaps' law, never O(corpus))."""
     from datafusion_dedup_ai_spark.queries_text import clean_corpus_frame
 
     kept = clean_corpus_frame(docs)
@@ -605,7 +616,7 @@ def training_manifest_frame(docs: DataFrame) -> DataFrame:
     n_chunks = F.ceil(
         F.greatest(F.length("text"), F.lit(1)).cast("double") / CHUNK_STRIDE
     ).cast("bigint")
-    return (
+    base = (
         kept.join(d, "doc_id")
         .select(
             "doc_id",
@@ -614,6 +625,97 @@ def training_manifest_frame(docs: DataFrame) -> DataFrame:
             "quality",
             n_chunks.alias("n_chunks"),
         )
+    )
+    if bpe_pieces is None:
+        return base
+    from datafusion_dedup_ai_spark.functions import text as T
+    from datafusion_dedup_ai_spark.operators import tokenizer as TK
+
+    occ = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    encoded = TK.encoded_word_lengths(occ.select("tok").distinct(), bpe_pieces)
+    docbpe = (
+        occ.join(F.broadcast(encoded), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"))
+    )
+    return base.join(docbpe, "doc_id", "left").withColumn(
+        "n_bpe_tokens",
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0).cast("bigint")),
+    )
+
+
+def _manifest_bpe_oracle() -> str:
+    """The training manifest JOINED with real-tokenizer per-doc counts: the
+    clean_corpus -> split -> chunk SQL verbatim, plus the recursive-CTE
+    greedy longest-match replay from the frozen BPE piece fixture (the
+    q_tokenized_length_stats apply step, re-aggregated per doc_id instead
+    of per source). All integer arithmetic — hash-gates exactly."""
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+
+    g = HF.bpe_pieces_glob()
+    return f"""
+    WITH RECURSIVE kept AS (
+        SELECT * FROM ({_clean_corpus_sql()})
+    ),
+    words AS (
+        SELECT DISTINCT tok FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+    ),
+    enc(tok, pos, n) AS (
+        SELECT tok, 1, 0 FROM words
+        UNION ALL
+        SELECT e.tok,
+               e.pos + coalesce(
+                   (SELECT max(len(p.piece)) FROM '{g}' p
+                    WHERE p.piece = substr(e.tok, e.pos, len(p.piece))), 1),
+               e.n + 1
+        FROM enc e WHERE e.pos <= len(e.tok)
+    ),
+    wordtok AS (SELECT tok, n AS n_bpe FROM enc WHERE pos > len(tok)),
+    occ AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    docbpe AS (
+        SELECT o.doc_id, CAST(SUM(w.n_bpe) AS BIGINT) AS n_bpe_tokens
+        FROM occ o JOIN wordtok w ON w.tok = o.tok
+        WHERE o.tok <> ''
+        GROUP BY o.doc_id
+    )
+    SELECT k.doc_id,
+           CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4)
+                     < '{SPLIT_TRAIN_HEX}' THEN 'train'
+                WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4)
+                     < '{SPLIT_VAL_HEX}' THEN 'val'
+                ELSE 'test' END AS split,
+           k.n_tokens, k.quality,
+           CAST(CEIL(CAST(greatest(length(d.text), 1) AS DOUBLE)
+                     / {CHUNK_STRIDE}) AS BIGINT) AS n_chunks,
+           coalesce(b.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+    FROM kept k
+    JOIN documents d ON k.doc_id = d.doc_id
+    LEFT JOIN docbpe b ON k.doc_id = b.doc_id
+    """
+
+
+@register("training_manifest_bpe", _manifest_bpe_oracle)
+def q_training_manifest_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training_dataset_manifest with REAL tokenizer counts (round-10
+    verdict #4): the same curation composition, plus per-doc
+    ``n_bpe_tokens`` encoded with the frozen BPE piece fixture — the number
+    a token-budget plan actually consumes, where whitespace ``n_tokens`` is
+    only a cheap proxy (measured ~1.3-2x apart on the testdata corpus).
+    Scale shape: encode runs on DISTINCT words only (Arrow pandas_udf over
+    the Heaps-law vocabulary), corpus-side work is one explode + broadcast
+    join + per-doc sum. Hash-gated: the oracle replays the greedy
+    longest-match from the shared piece fixture in a recursive CTE."""
+    from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
+
+    return training_manifest_frame(
+        load_spread(spark, sf_dir, "documents"),
+        bpe_pieces=HF.load_bpe_pieces(spark, sf_dir),
     )
 
 

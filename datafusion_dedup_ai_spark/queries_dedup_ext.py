@@ -363,7 +363,15 @@ def q_minhash_two_phase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification — true-duplicate mass never carries shingle payloads, which
     is what let the planted-100x probe finish within disk (SCALE100.json).
     Hash-gated: the oracle replays estimate, integer routing, and borderline
-    exact verify in SQL from the xxhash64 shingle fixture."""
+    exact verify in SQL from the xxhash64 shingle fixture.
+
+    Column semantics (round-10 advisor): the emitted ``jaccard`` is
+    HETEROGENEOUS — the MinHash ESTIMATE for ``decided_by = 'signature'``
+    rows (Hoeffding-bounded, within eps of true J except w.p.
+    2*exp(-2*num_hashes*eps^2)), the exact value for ``decided_by =
+    'exact'`` rows. Downstream consumers needing exact similarities must
+    filter ``decided_by = 'exact'`` or rerun the all-exact pipeline
+    (``minhash_near_dup_pairs``) on the emitted id pairs."""
     return D.minhash_near_dup_pairs_two_phase(
         _shingled_docs(spark, sf_dir), eps=_TWO_PHASE_EPS
     )

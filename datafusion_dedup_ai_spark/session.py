@@ -108,14 +108,25 @@ def build_session(
     # skew_confs divide by the measured shuffle compression ratio. Takes
     # precedence over the raw-byte envs above when set.
     if "SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED" in os.environ:
-        derived = skew_confs(
-            int(os.environ["SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED"]),
-            float(
-                os.environ.get(
-                    "SPARK_GRAFT_SKEW_RATIO", str(TEXT_SHUFFLE_COMPRESSION_RATIO)
-                )
-            ),
+        try:
+            target = int(os.environ["SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED"])
+        except ValueError as e:
+            raise ValueError(
+                "SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED must be an integer "
+                "byte count (e.g. 1048576); got "
+                f"{os.environ['SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED']!r}"
+            ) from e
+        ratio_raw = os.environ.get(
+            "SPARK_GRAFT_SKEW_RATIO", str(TEXT_SHUFFLE_COMPRESSION_RATIO)
         )
+        try:
+            ratio = float(ratio_raw)
+        except ValueError as e:
+            raise ValueError(
+                "SPARK_GRAFT_SKEW_RATIO must be a float compression ratio "
+                f"(e.g. 7.0); got {ratio_raw!r}"
+            ) from e
+        derived = skew_confs(target, ratio)
         for k, v in derived.items():
             builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():

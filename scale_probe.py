@@ -1128,16 +1128,25 @@ def _x100_row_ok(row: dict) -> bool:
     per-unit cost staying within 2x of the 10x cost; ungated rows pass."""
     gate = row.get("gated")
     if gate is True:
-        return row.get("exponent", 0.0) <= MAX_EXPONENT
+        # Missing gate fields FAIL (round-10 advisor): a corrupted/truncated
+        # prior artifact row must not flip all_linearish to true via a
+        # permissive default.
+        if "exponent" not in row:
+            return False
+        return row["exponent"] <= MAX_EXPONENT
     if isinstance(gate, str) and gate.startswith("per_"):
         pairs = [
             (k, k.replace("_10x", "_100x"))
             for k in row
             if k.startswith("s_per_1k_") and k.endswith("_10x")
         ]
+        if not pairs:
+            return False
         for k10, k100 in pairs:
             k_late = k100 if k100 in row else k100.replace("_100x", "_30x")
-            if k_late in row and row[k_late] > 2.0 * row[k10]:
+            if k_late not in row:
+                return False
+            if row[k_late] > 2.0 * row[k10]:
                 return False
         return True
     return True

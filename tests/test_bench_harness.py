@@ -56,6 +56,34 @@ def test_bench_final_line_fits_driver_tail_window():
             "unit": "sec",
             "queries": {name: 999.999 for name in bench.HEADLINE},
             "sf": 0.001,
+            "load1_start": 99.99,
+            "load1_end": 99.99,
+            "conditions_factor": 9.999,
+            "value_normalized": 9999.999,
+            "calib_attempts": 3,
+            "conditions_warning": "box not idle at start",
         }
     )
     assert len(line) < 1800, f"final JSON line {len(line)} chars"
+
+
+def test_calibration_reference_filters_by_sf():
+    """The trailing-median reference only consumes committed artifacts at
+    the SAME sf: a sf0.001 smoke run has no sf0.001 history and must get no
+    factor at all, while the sf0.1 reference exists (9 committed rounds)
+    and covers every calibration query."""
+    import bench
+
+    assert bench._calibration_reference(0.001) == {}
+    ref = bench._calibration_reference(0.1)
+    assert set(ref) == set(bench.CALIBRATION)
+    # floor-class queries: trailing medians are sub-2s at sf0.1
+    assert all(0.0 < v < 2.0 for v in ref.values())
+
+
+def test_calibration_queries_are_headline_members():
+    """Calibration rows must come from HEADLINE so every committed artifact
+    carries them (the reference is self-maintaining round over round)."""
+    import bench
+
+    assert set(bench.CALIBRATION) <= set(bench.HEADLINE)

@@ -198,6 +198,66 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     assert all(k in ("train", "val", "test") for k in stats["splits"])
 
 
+def test_cli_curate_bpe_tokens(spark, tmp_path):
+    """`curate --bpe-tokens` trains a BPE vocab on the input corpus and the
+    manifest carries per-doc n_bpe_tokens: positive for every survivor,
+    equal to the library replay (train on corpus word counts -> greedy
+    longest-match encode), and summed into stats.json per split."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dedup_ai_spark.functions import text as T
+    from datafusion_dedup_ai_spark.operators import tokenizer as TK
+    from datafusion_dedup_ai_spark.queries_curation import (
+        training_manifest_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog and keeps "
+                "running through the quiet green field toward the river "
+                "bank every morning"),
+            (4, "a completely different sentence about ships and harbors "
+                "sailing across the open sea under a clear northern sky"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    from datafusion_dedup_ai_spark.__main__ import main
+
+    out_dir = str(tmp_path / "curated_bpe")
+    rc = main(["curate", inp, "--out", out_dir, "--bpe-tokens"], spark=spark)
+    assert rc == 0
+
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+    rows = {r["doc_id"]: r for r in manifest.collect()}
+    assert all(r["n_bpe_tokens"] > 0 for r in rows.values())
+
+    wc = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    pieces = TK.bpe_vocab_pieces([(r["tok"], r["c"]) for r in wc])
+    want = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in training_manifest_frame(docs, bpe_pieces=pieces).collect()
+    }
+    assert {d: r["n_bpe_tokens"] for d, r in rows.items()} == want
+
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        stats = json.load(f)
+    for split, s in stats["splits"].items():
+        assert s["n_bpe_tokens"] == sum(
+            r["n_bpe_tokens"] for r in rows.values() if r["split"] == split
+        )
+
+
 def test_cli_curate_missing_column_rc1(spark, tmp_path):
     inp = str(tmp_path / "bad.parquet")
     spark.range(3).write.parquet(inp)

@@ -680,6 +680,16 @@ def test_two_phase_eps_extremes_route_all_one_way(spark, shingled):
     assert got == want
 
 
+def test_two_phase_negative_eps_rejected(spark, shingled):
+    """eps < 0 flips hi < lo: below-threshold estimates would be emitted as
+    'signature'-accepted with no exact check (round-10 advisor). Must raise
+    at entry, before any Spark work."""
+    import pytest
+
+    with pytest.raises(ValueError, match="eps"):
+        D.minhash_near_dup_pairs_two_phase(shingled, eps=-0.01)
+
+
 def test_two_phase_borderline_takes_exact_branch(spark):
     """A pair whose signature estimate lands inside the +-eps band is
     exact-verified: its emitted jaccard is the TRUE set jaccard, not the

@@ -19,6 +19,56 @@ from datafusion_dedup_ai_spark.session import (
 )
 
 
+def test_skew_env_parse_errors_name_the_var(monkeypatch):
+    """Malformed SPARK_GRAFT_SKEW_* env values must fail with a message
+    naming the variable and the expected format, not a bare int()/float()
+    ValueError (round-10 advisor)."""
+    from datafusion_dedup_ai_spark.session import build_session
+
+    monkeypatch.setenv("SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED", "1MiB")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED"):
+        build_session(app_name="never-built")
+
+    monkeypatch.setenv("SPARK_GRAFT_SKEW_TARGET_UNCOMPRESSED", "1048576")
+    monkeypatch.setenv("SPARK_GRAFT_SKEW_RATIO", "fast")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SKEW_RATIO"):
+        build_session(app_name="never-built")
+
+
+def test_scale_probe_gate_missing_fields_fail():
+    """Merge-mode gate re-derivation treats missing fields as FAILURE: a
+    truncated prior SCALE100.json row must not flip all_linearish to true
+    via permissive defaults (round-10 advisor)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe_mod",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "scale_probe.py",
+        ),
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    ok = sp._x100_row_ok
+    assert ok({"gated": True, "exponent": 0.5})
+    assert not ok({"gated": True})  # missing exponent -> fail, not pass
+    assert ok(
+        {"gated": "per_pair_cost", "s_per_1k_pairs_10x": 1.0,
+         "s_per_1k_pairs_100x": 1.5}
+    )
+    # no per-unit keys at all -> fail
+    assert not ok({"gated": "per_pair_cost"})
+    # late-scale key absent -> fail (was: silently passed)
+    assert not ok({"gated": "per_pair_cost", "s_per_1k_pairs_10x": 1.0})
+    assert not ok(
+        {"gated": "per_pair_cost", "s_per_1k_pairs_10x": 1.0,
+         "s_per_1k_pairs_100x": 2.1}
+    )
+
+
 def test_skew_confs_derivation():
     confs = skew_confs(1 << 20, compression_ratio=8.0)
     thr = int(confs["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"])
