@@ -17,7 +17,7 @@ Importing this module populates the registry from the per-domain packs.
 
 from __future__ import annotations
 
-# Registration order = ROUND10_WINDOW first, then import order. KNOWN
+# Registration order = ROUND11_WINDOW first, then import order. KNOWN
 # HARNESS LIMITATION (flagged for the harness owners; see also README
 # "Correctness verification"): the external driver's correctness run
 # evaluates only the first ~50 registered queries, so with 150 registered
@@ -58,71 +58,71 @@ from datafusion_dedup_ai_spark.registry import (  # noqa: F401
 )
 
 # == rotation.compute_rotation_window(registered, gated,
-#    rotation.load_validation_history(through_round=9)) — do not hand-edit;
+#    rotation.load_validation_history(through_round=10)) — do not hand-edit;
 #    test_entry_contract.py::test_window_matches_rotation_policy enforces it.
 #
-# ROUND10_WINDOW = tier 0 (the round-10 gated addition
-# minhash_two_phase_pairs, never driver-validated), then the r7-staleness
-# tier (47 entries — round 9 stamped the r7 tier's alphabetical head plus
-# its own tier-0 gates, leaving the rest of the r7 tier as the stalest
-# gated entries), then the alphabetical head of the r8 tier.
-ROUND10_WINDOW = [
+# ROUND11_WINDOW = tier 0 (the round-10 session's gated addition
+# training_manifest_bpe, never driver-validated), then the r8-staleness
+# tier (the pack round 8 validated and no later round has re-stamped —
+# round 10 consumed the r7 tier, so the r8 pack is now the stalest), then
+# the alphabetical head of the r9 tier.
+ROUND11_WINDOW = [
     # staleness tier 0: never driver-validated
-    "minhash_two_phase_pairs",
-    # staleness tier r7
-    "canonical_mapping",
-    "canonical_summary",
-    "clean_corpus",
-    "cluster_b3_metrics",
-    "cluster_review",
-    "cluster_stats",
-    "collocation_scores",
-    "company_base_names",
-    "corpus_top_terms",
-    "cosine_topk",
-    "dedup_cluster_partition",
-    "doc_fingerprints",
-    "doc_language_id",
-    "doc_quality_scores",
-    "doc_repetition_stats",
-    "doc_tfidf_topterms",
-    "doc_token_stats",
-    "duplicate_substring_spans",
-    "embedding_dedup_clusters",
-    "embedding_near_pairs",
-    "enriched_clusters",
-    "exact_dedup_documents",
-    "exact_dedup_events",
-    "heavy_hitter_terms",
-    "hourly_value_ohlc",
-    "incremental_cluster_update",
-    "incremental_exact_new_docs",
-    "incremental_near_dup_matches",
-    "industry_classification",
-    "kmv_distinct_by_type",
-    "label_centroid_drift",
-    "levenshtein_matched_pairs",
-    "lsh_width_report",
-    "matched_pairs",
-    "minhash_estimate_report",
-    "minhash_near_dup_pairs",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "normalize_names",
-    "phonetic_blocked_pairs",
-    "positional_index",
-    "rrf_fused_ranking",
-    "simhash_fingerprints",
-    "simhash_near_pairs",
-    "streaming_attribution_join",
-    "token_cluster_canonical",
-    "user_event_features",
+    "training_manifest_bpe",
     # staleness tier r8
-    "acctbal_close_suppliers",
-    "benchmark_contamination",
+    "bloom_incremental_new_docs",
+    "bloom_incremental_new_docs_wide",
+    "bm25_retrieval_topk",
+    "chunk_packing",
+    "cluster_train_test_split",
+    "corpus_shuffle_positions",
+    "cube_order_counts",
+    "customer_nations_with_orders",
+    "customer_order_coverage",
+    "customer_running_revenue",
+    "customers_without_orders",
+    "dedup_quality_representatives",
+    "distinct_order_stats",
+    "doc_chunks",
+    "doc_dup_shingle_fraction",
+    "doc_pii_redacted",
+    "doc_sample_hash",
+    "doc_substring_trimmed",
+    "event_date_parts",
+    "event_quality_quarantine",
+    "finished_only_customers",
+    "host_url_stats",
+    "hourly_event_stats",
+    "json_event_stats",
+    "lateral_top_orders",
+    "media_frame_samples",
+    "media_payload_stats",
+    "nation_customer_roster",
+    "orders_asof_prev",
+    "orders_profile",
+    "part_string_features",
+    "pricing_summary",
+    "quantity_quantiles",
+    "region_order_stats",
+    "repeat_status_customers",
+    "revenue_grouping_sets",
+    "rollup_order_counts",
+    "source_quality_percentiles",
+    "source_stratified_sample",
+    "status_custkey_setops",
+    "status_pivot_by_priority",
+    "streaming_stateful_first_events",
+    "top_revenue_orders",
+    "training_dataset_manifest",
+    "url_canonical_mapping",
+    "user_daily_gapfill",
+    "user_sessions",
+    "window_topk_orders",
+    # staleness tier r9
+    "ab_test_report",
 ]
 
-promote_window(ROUND10_WINDOW)
+promote_window(ROUND11_WINDOW)
 
 # re-export the flagship for __spark_entry__.entry()
 from datafusion_dedup_ai_spark.queries_dedup import q_dedup_clusters  # noqa: F401
