@@ -195,9 +195,11 @@ def lsh_buckets_adaptive_path(sf_dir: str) -> str:
 def materialize_lsh_buckets_adaptive(spark: SparkSession, sf_dir: str) -> str:
     """The corpus-size-ADAPTIVE twin of materialize_lsh_buckets, for the
     ad-hoc batch-dedup composite (embedding_dedup_clusters): n_bits =
-    lsh_bits_for(count) — the SAME count-derived value
+    lsh_bits_schedule(count) — the SAME count-derived per-table schedule
     composite_near_pairs passes to lsh_near_pairs, so fixture and Spark
-    side agree at every sf. Round-6 probe rationale in lsh_bits_for."""
+    side agree at every sf (uniform, hence hash-identical to the round-6
+    lsh_bits_for fixture, at sf0.01/sf0.1). Round-6 probe rationale in
+    lsh_bits_for; round-11 dithering rationale in lsh_bits_schedule."""
     path = lsh_buckets_adaptive_path(sf_dir)
     if path not in _written:
         from datafusion_dedup_ai_spark.operators import similarity_search as S
@@ -208,7 +210,7 @@ def materialize_lsh_buckets_adaptive(spark: SparkSession, sf_dir: str) -> str:
             atomic_parquet_overwrite,
         )
 
-        n_bits = S.lsh_bits_for(emb.count())
+        n_bits = S.lsh_bits_schedule(emb.count())
         atomic_parquet_overwrite(
             S.lsh_bucketize(emb, n_tables=16, n_bits=n_bits, seed=7), path
         )

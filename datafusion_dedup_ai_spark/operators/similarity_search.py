@@ -95,12 +95,46 @@ def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int) -> np.ndarray:
     return np.array(flat, dtype=np.float64).reshape(n_tables, n_bits, dim)
 
 
+def _hyperplanes_schedule(
+    schedule: list[int], dim: int, seed: int
+) -> np.ndarray:
+    """Per-table hyperplanes for a bit SCHEDULE (lsh_bits_schedule): table t
+    consumes ``schedule[t] * dim`` gaussians in table order, then is
+    zero-padded to ``max(schedule)`` rows. Padded rows project to exactly
+    0.0, so their sign bit is False and they contribute nothing to the
+    bucket code — a table with schedule[t] bits behaves bit-identically to
+    a standalone ``schedule[t]``-bit table. A UNIFORM schedule consumes the
+    RNG stream in the same order as ``_hyperplanes`` and therefore yields
+    the identical planes (pinned in tests/test_similarity.py), so every
+    pre-schedule fixture/gate is unchanged."""
+    rng = random.Random(seed)
+    mx = max(schedule)
+    planes = np.zeros((len(schedule), mx, dim), dtype=np.float64)
+    for t, bits in enumerate(schedule):
+        flat = [rng.gauss(0.0, 1.0) for _ in range(bits * dim)]
+        planes[t, :bits, :] = np.array(flat, dtype=np.float64).reshape(
+            bits, dim
+        )
+    return planes
+
+
+def _as_schedule(n_bits, n_tables: int) -> list[int]:
+    if isinstance(n_bits, int):
+        return [n_bits] * n_tables
+    sched = list(n_bits)
+    if len(sched) != n_tables:
+        raise ValueError(
+            f"bit schedule has {len(sched)} entries but n_tables={n_tables}"
+        )
+    return sched
+
+
 def lsh_codes(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 8,
-    n_bits: int = 4,
+    n_bits: int | list[int] = 4,
     dim: int = 64,
     seed: int = 7,
     extra_probes: int = 0,
@@ -121,8 +155,27 @@ def lsh_codes(
     size is unchanged); measured on the sf0.01 fixture: +1 probe lifts
     topk recall 0.72 -> 0.96 at 8x4 tables. At scale multi-probe is how
     LSH keeps recall while CUTTING n_tables (index memory): each probe
-    costs one more bucket lookup, not another stored table."""
-    planes = _hyperplanes(n_tables, n_bits, dim, seed)  # (T, B, D)
+    costs one more bucket lookup, not another stored table.
+
+    ``n_bits`` may be a per-table SCHEDULE (list[int], one entry per table
+    — see lsh_bits_schedule): mixed widths smooth the ceil
+    quantization of the corpus-adaptive width so expected bucket load
+    tracks the fractional log2 target at every N. Schedules are
+    batch-dedup machinery (extra_probes must be 0 — multi-probe margin
+    ranking assumes one uniform width); a uniform schedule is
+    bit-identical to the int path."""
+    schedule = _as_schedule(n_bits, n_tables)
+    uniform = len(set(schedule)) == 1
+    if not uniform and extra_probes:
+        raise ValueError(
+            "multi-probe (extra_probes > 0) requires a uniform bit width; "
+            f"got schedule {schedule}"
+        )
+    n_bits = max(schedule)
+    if uniform:
+        planes = _hyperplanes(n_tables, n_bits, dim, seed)  # (T, B, D)
+    else:
+        planes = _hyperplanes_schedule(schedule, dim, seed)  # (T, Bmax, D)
     flat = planes.reshape(n_tables * n_bits, dim)
     n_codes = 1 + min(extra_probes, n_bits)
 
@@ -162,7 +215,11 @@ def explode_codes(
     n_bits: int = 4,
 ) -> DataFrame:
     """(id, table, bucket) from a codes array — the join-ready form. The
-    posexplode index recovers the table as idx // codes_per_table."""
+    posexplode index recovers the table as idx // codes_per_table. A bit
+    SCHEDULE normalizes to its max width — schedules force extra_probes=0
+    (lsh_codes), so n_codes is 1 either way."""
+    if not isinstance(n_bits, int):
+        n_bits = max(n_bits)
     n_codes = 1 + min(extra_probes, n_bits)
     out = codes_df.select(
         id_col, F.posexplode(codes_col).alias("pos", "bucket")
@@ -177,7 +234,7 @@ def lsh_bucketize(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 8,
-    n_bits: int = 4,
+    n_bits: int | list[int] = 4,
     dim: int = 64,
     seed: int = 7,
     extra_probes: int = 0,
@@ -265,6 +322,44 @@ def lsh_bits_for(
     import math
 
     return min(max_bits, max(min_bits, math.ceil(math.log2(max(1.0, n_rows / target_bucket)))))
+
+
+def lsh_bits_schedule(
+    n_rows: int,
+    n_tables: int = 16,
+    target_bucket: int = 64,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> list[int]:
+    """Per-table bit widths that DITHER lsh_bits_for's ceil (round-10
+    verdict #3): the real-valued width is b = log2(N / target_bucket), but
+    an integer per-table width quantizes the mean bucket load by up to 2x
+    between decades (measured 39 vs 49 at the 10x/100x embconst corpora —
+    SCALE.md round-10), which shows up as a >1 one-decade wall exponent on
+    the candidate machinery even though per-candidate cost is flat.
+
+    Mix floor/ceil widths so EXPECTED candidate mass matches fractional b
+    exactly: with x tables at lo+1 and T-x at lo = floor(b), the bucket
+    self-join's expected collision mass is proportional to
+    sum_t 2^-bits_t = (T - x/2) * 2^-lo; setting it equal to T * 2^-b
+    gives x = 2T(1 - 2^(lo-b)), rounded. Continuous in N: x = 0 when b is
+    integral and x -> T as b -> lo+1, so the schedule degrades to the
+    uniform lsh_bits_for width at both ends of every decade — in
+    particular it is UNIFORM at sf0.01 (clamped to min_bits) and sf0.1
+    (b = 4.97 -> all 16 tables at 5), so every committed fixture hash is
+    unchanged. Deterministic given N; wider tables are assigned to the
+    TAIL of the table list (any fixed assignment works — recall depends
+    only on the multiset of widths)."""
+    import math
+
+    b = math.log2(max(1.0, n_rows / target_bucket))
+    b = min(float(max_bits), max(float(min_bits), b))
+    lo = math.floor(b)
+    if lo >= max_bits:
+        return [max_bits] * n_tables
+    x = round(2 * n_tables * (1.0 - 2.0 ** (lo - b)))
+    x = min(n_tables, max(0, x))
+    return [lo] * (n_tables - x) + [lo + 1] * x
 
 
 def lsh_topk(
@@ -381,7 +476,7 @@ def lsh_near_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     n_tables: int = 16,
-    n_bits: int = 4,
+    n_bits: int | list[int] = 4,
     dim: int = 64,
     seed: int = 7,
     max_bucket_size: int | None = None,

@@ -209,13 +209,21 @@ def composite_near_pairs(emb: DataFrame) -> DataFrame:
     (a restated threshold/param set silently stops mirroring the query under
     test when either side changes).
 
-    Round-6: n_bits adapts to the corpus count (S.lsh_bits_for) — the
-    fixture-tuned 4-bit default is quadratic beyond fixture scale (probe:
-    exponent 1.43 at 10x), and the oracle fixture computes the SAME bits
-    from the same count (hash_fixtures.materialize_lsh_buckets), so the
-    gate holds at every sf. The count is one metadata-cheap job on the
-    embeddings scan, paid once per composite construction."""
-    n_bits = S.lsh_bits_for(emb.count())
+    Round-6: n_bits adapts to the corpus count — the fixture-tuned 4-bit
+    default is quadratic beyond fixture scale (probe: exponent 1.43 at
+    10x), and the oracle fixture computes the SAME bits from the same
+    count (hash_fixtures.materialize_lsh_buckets_adaptive), so the gate
+    holds at every sf. The count is one metadata-cheap job on the
+    embeddings scan, paid once per composite construction.
+
+    Round-11: the adaptive width is a per-table SCHEDULE
+    (S.lsh_bits_schedule) rather than a single ceil'd integer — the ceil
+    quantized mean bucket load by up to 2x between decades, which read as
+    a 1.17 one-decade wall exponent on the candidate machinery at tau=0.8
+    (round-10 verdict #3). Uniform (hence hash-identical to the old path)
+    at sf0.01/sf0.1; mixed floor/ceil widths at probe scales so expected
+    candidate mass is linear in N at every N."""
+    n_bits = S.lsh_bits_schedule(emb.count())
     return S.lsh_near_pairs(emb, threshold=NEAR_DUP_THRESHOLD, n_bits=n_bits)
 
 
@@ -348,7 +356,7 @@ def q_lsh_width_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     rows = []
-    for mode, bits in (("fixed", 4), ("adaptive", S.lsh_bits_for(n))):
+    for mode, bits in (("fixed", 4), ("adaptive", S.lsh_bits_schedule(n))):
         b = S.lsh_bucketize(emb, n_tables=16, n_bits=bits, seed=7)
         cand = (
             b.alias("a")

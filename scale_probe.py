@@ -984,7 +984,7 @@ def main_x100(only: set | None = None) -> None:
         def edc_once(sf_dir, tau):
             clear()
             emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-            bits = SS.lsh_bits_for(emb.count())
+            bits = SS.lsh_bits_schedule(emb.count())
             t0 = time.time()
             pairs = SS.lsh_near_pairs(emb, threshold=tau, n_bits=bits).persist()
             n_edges = pairs.count()
@@ -1033,20 +1033,21 @@ def main_x100(only: set | None = None) -> None:
         flush_phase("embedding_dedup_clusters@embconst_tau035_10x_to_100x")
 
         # dedup tau: MACHINERY gate. The work unit is the CANDIDATE (bucket
-        # co-occurrence): candidate count is provably O(N) — ceil in
-        # lsh_bits_for guarantees mean bucket load <= target_bucket, so
-        # candidates <= N * target * n_tables / 2 — but the ceil quantizes the
-        # load by up to 2x between decades (measured 39 vs 49 here), so the
-        # WALL exponent over one decade carries that wobble plus data skew and
-        # is recorded ungated; the gate is per-1k-candidate cost, the number
-        # that would expose a real superlinearity in the join/verify machinery.
+        # co-occurrence): candidate count is provably O(N) — the adaptive
+        # width keeps mean bucket load <= target_bucket, so candidates <=
+        # N * target * n_tables / 2. Round 10 recorded the one-decade WALL
+        # exponent ungated at 1.17 because lsh_bits_for's ceil quantized the
+        # load by up to 2x between decades (measured 39 vs 49 here); round 11
+        # replaced the ceil with the dithered per-table lsh_bits_schedule
+        # (expected candidate mass linear in N at every N), so the wall
+        # exponent is now GATED directly alongside the per-1k-candidate cost.
         def edc_cands(sf_dir):
             from datafusion_dedup_ai_spark.operators import (
                 similarity_search as SS2,
             )
 
             emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-            bits = SS2.lsh_bits_for(emb.count())
+            bits = SS2.lsh_bits_schedule(emb.count())
             b = SS2.lsh_bucketize(emb, "vec_id", "embedding", 16, bits, 64, 7)
             return (
                 b.alias("a")
@@ -1073,16 +1074,16 @@ def main_x100(only: set | None = None) -> None:
         report["embedding_dedup_clusters@embconst_tau080_10x_to_100x"] = {
             "t_10x_s": round(t10, 3),
             "t_100x_s": round(t100, 3),
-            "wall_exponent_ungated": round(exp, 3),
+            "exponent": round(exp, 3),
             "candidates_10x": k10,
             "candidates_100x": k100,
             "s_per_1k_cands_10x": round(1000 * c10, 5),
             "s_per_1k_cands_100x": round(1000 * c100, 5),
             "edges_10x": m10,
             "edges_100x": m100,
-            "gated": "per_candidate_cost",
+            "gated": True,
         }
-        ok = ok and c100 <= 2.0 * c10
+        ok = ok and c100 <= 2.0 * c10 and exp <= MAX_EXPONENT
         flush_phase("embedding_dedup_clusters@embconst_tau080_10x_to_100x")
 
     if only is not None:

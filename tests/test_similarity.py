@@ -315,12 +315,14 @@ def test_adaptive_fixture_and_composite_agree_on_bits(spark, sf_dir):
     import duckdb
 
     from datafusion_dedup_ai_spark.operators import hash_fixtures as HF
-    from datafusion_dedup_ai_spark.operators.similarity_search import lsh_bits_for
+    from datafusion_dedup_ai_spark.operators.similarity_search import (
+        lsh_bits_schedule,
+    )
     from datafusion_dedup_ai_spark.sources.readers import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    bits = lsh_bits_for(n)
+    bits = max(lsh_bits_schedule(n))
     path = HF.materialize_lsh_buckets_adaptive(spark, sf_dir)
     rows = duckdb.sql(
         f"SELECT COUNT(*) AS c, MAX(bucket) AS mb FROM '{path}/*.parquet'"
@@ -328,6 +330,110 @@ def test_adaptive_fixture_and_composite_agree_on_bits(spark, sf_dir):
     assert rows[0] == n * 16  # one code per (vec, table)
     assert rows[1] < 2**bits
     assert rows[1] >= 2 ** (bits - 1)  # top bit actually used somewhere
+
+
+def test_lsh_bits_schedule_dithers_the_ceil():
+    """Round-11 (round-10 verdict #3): lsh_bits_for's ceil quantizes mean
+    bucket load by up to 2x between decades (the 1.17 one-decade wall
+    exponent at tau=0.8). The per-table schedule mixes floor/ceil widths so
+    EXPECTED candidate mass (sum_t 2^-bits_t) tracks the fractional log2
+    target continuously — within half a table's worth at every N — while
+    staying uniform (hash-identical to lsh_bits_for) at the committed
+    fixture scales."""
+    import math
+
+    from datafusion_dedup_ai_spark.operators.similarity_search import (
+        lsh_bits_for,
+        lsh_bits_schedule,
+    )
+
+    # uniform == lsh_bits_for at the gated fixture scales
+    assert lsh_bits_schedule(0) == [4] * 16
+    assert lsh_bits_schedule(500) == [4] * 16       # sf0.01
+    assert lsh_bits_schedule(2_000) == [5] * 16     # sf0.1
+    assert lsh_bits_schedule(10**12) == [16] * 16   # clamp
+    # mixed at the probe corpora, bounded by floor/ceil of the real width
+    for n in (20_000, 200_000, 1_000_000):
+        sched = lsh_bits_schedule(n)
+        assert len(sched) == 16
+        b = min(16.0, max(4.0, math.log2(n / 64)))
+        assert set(sched) <= {math.floor(b), math.ceil(b)}
+        assert max(sched) <= lsh_bits_for(n)
+        # expected collision mass matches the fractional target: the
+        # effective width -log2(mean 2^-bits) is within the rounding step
+        # (one table of the 16 flipping floor<->ceil moves it <= ~0.05)
+        eff = -math.log2(sum(2.0**-x for x in sched) / 16)
+        assert abs(eff - b) < 0.05, (n, sched, eff, b)
+    # continuity at decade boundaries: N just above an exact power keeps
+    # nearly all tables at the floor width instead of jumping to the ceil
+    exact = 64 * 2**8  # b exactly 8
+    assert lsh_bits_schedule(exact) == [8] * 16
+    just_above = lsh_bits_schedule(exact + exact // 50)  # b ~ 8.03
+    assert just_above.count(8) >= 15
+
+
+def test_lsh_codes_uniform_schedule_bit_identical(spark, emb):
+    """A uniform list schedule must produce byte-identical codes to the int
+    path (same RNG consumption order), so pre-schedule fixtures and gates
+    are untouched by the round-11 change."""
+    a = {
+        r["vec_id"]: r["codes"]
+        for r in S.lsh_codes(emb, n_tables=4, n_bits=5).collect()
+    }
+    b = {
+        r["vec_id"]: r["codes"]
+        for r in S.lsh_codes(emb, n_tables=4, n_bits=[5, 5, 5, 5]).collect()
+    }
+    assert a == b
+
+
+def test_lsh_codes_mixed_schedule_per_table_semantics(spark, emb):
+    """Each table of a mixed schedule behaves exactly like a standalone
+    table of its own width drawn from the shared RNG stream: table t's
+    codes stay below 2^bits_t, and the WIDE tables' low bits match a
+    uniform-floor run's codes only where the extra plane's sign bit is 0
+    (structural: codes are bounded and the widest bit is actually used)."""
+    sched = [4, 4, 5, 6]
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in S.lsh_codes(emb, n_tables=4, n_bits=sched).collect()
+    }
+    maxima = [0, 0, 0, 0]
+    for arr in codes.values():
+        assert len(arr) == 4
+        for t, c in enumerate(arr):
+            assert 0 <= c < 2 ** sched[t], (t, c)
+            maxima[t] = max(maxima[t], c)
+    # the top bit of each width is exercised somewhere in the corpus
+    for t, bits in enumerate(sched):
+        assert maxima[t] >= 2 ** (bits - 1), (t, maxima[t])
+    # multi-probe refuses mixed widths (margin ranking assumes uniform)
+    with pytest.raises(ValueError, match="uniform bit width"):
+        S.lsh_codes(emb, n_tables=4, n_bits=sched, extra_probes=1)
+    with pytest.raises(ValueError, match="schedule has"):
+        S.lsh_codes(emb, n_tables=4, n_bits=[4, 4])
+
+
+def test_lsh_near_pairs_schedule_matches_exact_on_high_cosine(spark, emb):
+    """lsh_near_pairs with a mixed schedule keeps the recall contract where
+    it matters: identical/high-cosine vectors collide in EVERY table
+    whatever its width, so the tau=0.8 pair set equals the quadratic
+    baseline's exactly on this fixture."""
+    from datafusion_dedup_ai_spark.operators.similarity_search import (
+        near_duplicate_embeddings,
+    )
+
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in near_duplicate_embeddings(emb, threshold=0.8).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_near_pairs(
+            emb, threshold=0.8, n_bits=[4] * 8 + [5] * 8
+        ).collect()
+    }
+    assert want == got
 
 
 def test_lsh_near_pairs_screen_is_exact_safe(spark, emb):
