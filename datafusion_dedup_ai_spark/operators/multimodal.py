@@ -108,6 +108,44 @@ def load_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(materialize_media(spark, sf_dir))
 
 
+def media_features_fixture_path(sf_dir: str) -> str:
+    from datafusion_dedup_ai_spark.materialize import sf_cache_key
+
+    return os.path.join(
+        _REPO_ROOT,
+        ".materialized",
+        sf_cache_key(sf_dir),
+        "media_features.parquet",
+    )
+
+
+def materialize_media_features(spark: SparkSession, sf_dir: str) -> str:
+    """(doc_id, byte_entropy): the Arrow featurizer's ONE non-SQL column,
+    materialized once per process so the media_feature_histograms oracle
+    can hash-gate the full feature row (round-10 verdict #8). Everything
+    else the featurizer emits — n_bytes, the 16 high-nibble bins, their
+    JSON rendering — is re-derived from the raw payload IN SQL by the
+    oracle (the byte-walk media_nibble_histograms already proves
+    cross-engine); only the Shannon entropy double rides through this
+    fixture, because numpy's pairwise log2-sum has no ULP-stable SQL
+    replay. Same pattern as hash_fixtures (xxhash64) and the hyperplane
+    buckets: the non-SQL step is pinned by its own tests
+    (tests/test_multimodal.py recomputes the entropy in pure Python) and
+    the SQL replays the rest."""
+    path = media_features_fixture_path(sf_dir)
+    if path not in _written:
+        from datafusion_dedup_ai_spark.materialize import (
+            atomic_parquet_overwrite,
+        )
+
+        feats = extract_features(load_media(spark, sf_dir))
+        atomic_parquet_overwrite(
+            feats.select("doc_id", "byte_entropy"), path
+        )
+        _written.add(path)
+    return path
+
+
 def decode_media(payload_bytes: bytes, media_type: str):
     """Real decoders (PIL/libav/opencv) are unavailable in this container.
     Codec-present environments do NOT edit this module: pass

@@ -88,11 +88,60 @@ def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(media)
 
 
-@register("media_feature_histograms", None)
+def _media_features_glob() -> str:
+    """DuckDB-side path to the featurizer-entropy fixture (see
+    materialize_media_features), resolved lazily like _media_glob."""
+    from datafusion_dedup_ai_spark.materialize import ensure_fixture_session
+
+    spark = ensure_fixture_session(
+        M.media_features_fixture_path(oracle_sf_dir())
+    )
+    if spark is not None:
+        M.materialize_media_features(spark, oracle_sf_dir())
+    return os.path.join(
+        M.media_features_fixture_path(oracle_sf_dir()), "*.parquet"
+    )
+
+
+def _media_feature_histograms_oracle() -> str:
+    """Hash-gate for the Arrow featurizer (round-10 verdict #8, upgrading
+    the last deterministic rows-only row): n_bytes, all 16 high-nibble
+    bins, and their JSON rendering are re-derived from the RAW payload in
+    SQL (the byte-walk of the media_nibble_histograms oracle — the
+    featurizer's ``arr >> 4`` histogram IS the high-nibble count), so the
+    featurizer's arithmetic is cross-engine verified bin by bin; only the
+    Shannon-entropy double joins in from the materialized fixture (numpy's
+    pairwise log2-sum has no ULP-stable SQL replay; its formula is pinned
+    in pure Python in tests/test_multimodal.py)."""
+    nibbles = "0123456789ABCDEF"
+    bins = [
+        f"CAST(length(hi) - length(translate(hi, '{c}', '')) AS BIGINT)"
+        for c in nibbles
+    ]
+    json_expr = "'[' || " + " || ',' || ".join(bins) + " || ']'"
+    return f"""
+    WITH h AS (
+        SELECT doc_id, media_type,
+               CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+               regexp_replace(hex(payload), '(.)(.)', '\\1', 'g') AS hi
+        FROM '{_media_glob()}'
+    )
+    SELECT h.doc_id, h.media_type, h.n_bytes,
+           f.byte_entropy,
+           {json_expr} AS byte_histogram_json
+    FROM h JOIN '{_media_features_glob()}' f ON f.doc_id = h.doc_id
+    """
+
+
+@register("media_feature_histograms", _media_feature_histograms_oracle)
 def q_media_feature_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas featurization of binary payloads (16-bin
     byte histogram + entropy) — the plumbing a real image/audio featurizer
-    drops into, fed by the true-binary parquet scan."""
+    drops into, fed by the true-binary parquet scan. Hash-gated since
+    round 11: the oracle re-derives n_bytes + all 16 bins + the JSON
+    rendering from the raw payload in SQL and joins the entropy from the
+    materialized featurizer fixture (see
+    _media_feature_histograms_oracle)."""
     media = M.load_media(spark, sf_dir)
     feats = M.extract_features(media)
     # Serialize the histogram for the contract surface: the driver's rows-only
