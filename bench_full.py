@@ -40,6 +40,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # --only a,b,c: time a subset with the identical methodology (adjudicating
+    # a single row round-over-round without a 40-minute full pass). Subset
+    # runs print their JSON to stdout and do NOT touch BENCH_FULL.json — the
+    # committed artifact is always a complete pass.
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     import __spark_entry__ as entry_mod
     from datafusion_dedup_ai_spark.queries_extras import (
@@ -68,6 +75,8 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         if warm_dir:
             try:
                 fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
@@ -115,6 +124,11 @@ def main() -> None:
             "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         },
     }
+    if only is not None:
+        out["subset_only"] = sorted(only)
+        print(json.dumps(out))
+        spark.stop()
+        return
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)

@@ -447,8 +447,84 @@ def main() -> None:
     )
 
 
+def crossover_main(query: str, data_dir: str) -> None:
+    """--crossover <query> <data_dir>: the round-8 bm25/textrank crossover
+    method as a reproducible one-liner (round-10 verdict #5 asks it for
+    kn_doc_scores at 100x). Spark first — the registered query at data_dir,
+    min-of-2 after a warm-up, with scale_probe's clear+GC discipline — then
+    the Spark JVM is stopped and asserted dead, then DuckDB runs the
+    registered oracle SQL (for kn the oracle IS the full workload: it nests
+    ngram_lm_counts and recomputes everything from raw text) as medians of
+    $SPARK_GRAFT_BENCH_REPEATS (default 3). One JSON line to stdout;
+    conditions included. The data_dir must hold the table(s) the query
+    reads (build with scale_probe.build_scaled)."""
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from datafusion_dedup_ai_spark.session import build_session
+    from datafusion_dedup_ai_spark.sources.readers import TESTDATA_TABLES
+
+    oracles = entry_mod.oracle_sql()
+    qs = entry_mod.queries()
+    if query not in oracles:
+        raise SystemExit(f"{query} has no registered oracle")
+
+    spark = build_session(app_name="crossover")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def spark_once() -> tuple[float, int]:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+        t0 = time.perf_counter()
+        n = qs[query](spark, data_dir).count()
+        return time.perf_counter() - t0, n
+
+    spark_once()  # warm-up
+    (t_spark, n_spark) = min((spark_once() for _ in range(2)), key=lambda x: x[0])
+    _stop_spark_and_assert_idle()
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(data_dir, f"{t}.parquet")
+        if os.path.isdir(p) or os.path.exists(p):
+            src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    load_before = os.getloadavg()
+    runs, n_duck = [], 0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        n_duck = len(con.execute(oracles[query]).fetchall())
+        runs.append(round(time.perf_counter() - t0, 3))
+    print(
+        json.dumps(
+            {
+                "metric": "crossover",
+                "query": query,
+                "data_dir": data_dir,
+                "spark_s": round(t_spark, 3),
+                "spark_rows": n_spark,
+                "duckdb_median_s": sorted(runs)[len(runs) // 2],
+                "duckdb_runs": runs,
+                "duckdb_rows": n_duck,
+                "conditions": {
+                    "cpus": os.cpu_count(),
+                    "loadavg_before": [round(v, 2) for v in load_before],
+                    "loadavg_after": [round(v, 2) for v in os.getloadavg()],
+                    "repeats": repeats,
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if "--full" in sys.argv[1:]:
+    if "--crossover" in sys.argv[1:]:
+        i = sys.argv.index("--crossover")
+        crossover_main(sys.argv[i + 1], sys.argv[i + 2])
+    elif "--full" in sys.argv[1:]:
         full_workload_main()
     else:
         main()

@@ -274,6 +274,38 @@ def build_scaled_embeddings_constdup(
     )
 
 
+def build_widened_embeddings(
+    spark, src_dir: str, dst: str, replicas: int = 4
+) -> None:
+    """Production-width embeddings from an existing (constdup-scaled) dim-64
+    corpus (round-10 verdict #7 — the SQ8 prescreen's payload claim is about
+    dim >= ~256, unmeasured at that width on this testdata): tile each
+    vector ``replicas`` times, replica r > 0 under a replica-specific
+    deterministic sign mask. A shared-per-replica sign mask is an orthogonal
+    transform applied to BOTH sides of every pair, so each replica's dot
+    equals the base dot and the widened cosine equals the dim-64 cosine
+    EXACTLY — same pair structure, same candidate mass, 4x the payload and
+    fold work. Composes with build_scaled_embeddings_constdup's copy flips
+    (both are diagonal +-1 maps on the base dims)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+
+    def _mask(r):
+        return lambda x, j: F.when(
+            F.pmod(F.xxhash64(F.lit(7000 + r), j), F.lit(2)) == 0, x
+        ).otherwise(-x)
+
+    reps = [F.col("embedding")] + [
+        F.transform(F.col("embedding"), _mask(r)) for r in range(1, replicas)
+    ]
+    emb.select(
+        "vec_id", F.concat(*reps).alias("embedding"), "label"
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet")
+    )
+
+
 def build_scaled_events(spark, src_sf: str, dst: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
@@ -796,13 +828,16 @@ def main_x100(only: set | None = None) -> None:
         "minhash_planted30",
         "two_phase_planted100",
     )
+    w100 = "/tmp/spark_graft_scale100_embwide"
     need_doc = any(want_phase(p) for p in phases_doc)
-    need_emb = want_phase("semantic") or want_phase("edc")
+    need_wide = want_phase("sq8wide")
+    need_emb = want_phase("semantic") or want_phase("edc") or need_wide
 
     spark = build_session(app_name="scale-probe-100x")
     doc_dirs = (d10, d30, d100, c10, c100) if need_doc else ()
     emb_dirs = (e10, e100) if need_emb else ()
-    for d in doc_dirs + emb_dirs:
+    wide_dirs = (w100,) if need_wide else ()
+    for d in doc_dirs + emb_dirs + wide_dirs:
         if os.path.isdir(d):
             shutil.rmtree(d)
     if need_doc:
@@ -814,6 +849,8 @@ def main_x100(only: set | None = None) -> None:
     if need_emb:
         build_scaled_embeddings_constdup(spark, src, e10, 10)
         build_scaled_embeddings_constdup(spark, src, e100, 100)
+    if need_wide:
+        build_widened_embeddings(spark, e100, w100, replicas=4)
 
     qs = entry_mod.queries()
     report = {}
@@ -1086,6 +1123,53 @@ def main_x100(only: set | None = None) -> None:
         ok = ok and c100 <= 2.0 * c10 and exp <= MAX_EXPONENT
         flush_phase("embedding_dedup_clusters@embconst_tau080_10x_to_100x")
 
+    if want_phase("sq8wide"):
+        # 7) SQ8 prescreen at PRODUCTION vector width (round-10 verdict #7):
+        # the dim-64 measurements said the screen loses at tau=0.8 because
+        # the verify there is fold-CPU-bound, and claimed the 8x payload cut
+        # pays at dim >= ~256 — a claim with no measurement at that width.
+        # w100 is the embconst-100x corpus widened to dim 256 by per-replica
+        # sign masks (pair structure and candidate mass IDENTICAL to the
+        # dim-64 corpus — see build_widened_embeddings), so any on/off delta
+        # is purely the screen's payload-vs-extra-fold tradeoff at 4x width.
+        # Decision rows (no gate): they set lsh_near_pairs' auto-screen
+        # width threshold.
+        from datafusion_dedup_ai_spark.operators import (
+            similarity_search as SSW,
+        )
+
+        def sq8_once(sf_dir, tau, scr, dim):
+            clear()
+            emb = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            )
+            bits = SSW.lsh_bits_schedule(emb.count())
+            t0 = time.time()
+            n = SSW.lsh_near_pairs(
+                emb, threshold=tau, n_bits=bits, dim=dim, screen=scr
+            ).count()
+            return time.time() - t0, n
+
+        for tau in (0.35, 0.8):
+            sq8_once(w100, tau, False, 256)  # shape/JIT warm-up
+            t_off, n_off = sq8_once(w100, tau, False, 256)
+            t_on, n_on = sq8_once(w100, tau, True, 256)
+            row = {
+                "t_100x_screen_off_s": round(t_off, 3),
+                "t_100x_screen_on_s": round(t_on, 3),
+                "pairs_off": n_off,
+                "pairs_on": n_on,
+                "dim": 256,
+                "tau": tau,
+                "speedup_on_vs_off": round(t_off / max(t_on, 1e-6), 3),
+                "gated": "decision_row",
+            }
+            report[f"sq8_prescreen_dim256@embwide_100x_tau{tau}"] = row
+            if n_on != n_off:
+                row["pair_count_mismatch"] = True
+                ok = False  # exact-safety violated — never acceptable
+            flush_phase(f"sq8_prescreen_dim256@embwide_100x_tau{tau}")
+
     if only is not None:
         # merge mode: keep the prior artifact's rows for phases not rerun,
         # then re-derive all_linearish from every merged row's own gate
@@ -1128,6 +1212,8 @@ def _x100_row_ok(row: dict) -> bool:
     rows gate on MAX_EXPONENT; *_cost rows gate on the 100x (or 30x)
     per-unit cost staying within 2x of the 10x cost; ungated rows pass."""
     gate = row.get("gated")
+    if row.get("pair_count_mismatch"):
+        return False  # SQ8 screen exact-safety violated
     if gate is True:
         # Missing gate fields FAIL (round-10 advisor): a corrupted/truncated
         # prior artifact row must not flip all_linearish to true via a
