@@ -481,9 +481,29 @@ def lsh_near_pairs(
     seed: int = 7,
     max_bucket_size: int | None = None,
     screen: bool = False,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Scale-safe near-duplicate pairs: LSH bucket self-join generates
     candidates, exact cosine verifies them — no crossJoin anywhere.
+
+    ``corpus_rows`` (an optional count hint; computed with one cheap
+    single-column job when omitted and needed) drives the VERIFY-JOIN
+    STRATEGY — the round-11 fix for the probe-measured payload wall. The
+    candidate frame is |candidates| skinny (id_a, id_b) rows, but joining
+    it to the vector table twice by shuffle attaches a full double[] per
+    side and re-shuffles the widened rows — at the embconst-100x corpus
+    (147M candidates) that is a ~75 GB shuffle at dim 64 and a ~600 GB
+    ENOSPC at dim 256, and it read as per-candidate cost GROWING 1.59x
+    over a decade (spill pressure), i.e. a 1.3 wall exponent on machinery
+    whose candidate count is linear. When the (id -> vector, self-dot)
+    map fits a broadcast (corpus_rows * dim * 8 bytes <= ~256 MiB), both
+    verify joins become map-side broadcast-hash joins: the candidate
+    frame never carries a payload through an exchange, per-candidate cost
+    is flat, and the verify is spill-free at any candidate volume. Beyond
+    the broadcast budget (billions of vectors at cluster scale) it falls
+    back to the shuffle join — there ``screen=True`` is the payload
+    lever. Plan-asserted in tests/test_plans.py; output identical either
+    way (same join semantics).
     ``screen=True`` inserts an SQ8 exact-safe prescreen that bounds the
     payload the verify join shuffles (see inline note); output is
     bit-identical with the screen on or off (pinned in tests). Off by
@@ -547,6 +567,15 @@ def lsh_near_pairs(
         )
         .distinct()
     )
+    # Verify-join strategy (round-11, see docstring): broadcast the vector
+    # map when it fits so candidates never carry payloads through a shuffle.
+    if corpus_rows is None:
+        corpus_rows = corpus.select(id_col).count()
+    bcast = corpus_rows * dim * 8 <= 256 * 1024 * 1024
+
+    def _vec_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     if screen:
         # SQ8 EXACT-SAFE prescreen (round-10): the verify join's cost at
         # scale is candidate rows x two full vector payloads (~0.5 KiB/side
@@ -615,8 +644,8 @@ def lsh_near_pairs(
             )
         )
         cand = (
-            cand.join(qa, "id_a")
-            .join(qb, "id_b")
+            cand.join(_vec_side(qa), "id_a")
+            .join(_vec_side(qb), "id_b")
             .where(
                 approx + bound
                 >= F.lit(threshold) * F.sqrt(F.col("naa") * F.col("nbb"))
@@ -636,8 +665,8 @@ def lsh_near_pairs(
         self_dot(F.col(vec_col)).alias("nbb"),
     )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        cand.join(_vec_side(va), "id_a")
+        .join(_vec_side(vb), "id_b")
         .withColumn(
             "cosine",
             cosine_with_norms(

@@ -223,8 +223,11 @@ def composite_near_pairs(emb: DataFrame) -> DataFrame:
     (round-10 verdict #3). Uniform (hence hash-identical to the old path)
     at sf0.01/sf0.1; mixed floor/ceil widths at probe scales so expected
     candidate mass is linear in N at every N."""
-    n_bits = S.lsh_bits_schedule(emb.count())
-    return S.lsh_near_pairs(emb, threshold=NEAR_DUP_THRESHOLD, n_bits=n_bits)
+    n = emb.count()
+    n_bits = S.lsh_bits_schedule(n)
+    return S.lsh_near_pairs(
+        emb, threshold=NEAR_DUP_THRESHOLD, n_bits=n_bits, corpus_rows=n
+    )
 
 
 def _embedding_dedup_clusters_oracle() -> str:

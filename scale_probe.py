@@ -1021,9 +1021,12 @@ def main_x100(only: set | None = None) -> None:
         def edc_once(sf_dir, tau):
             clear()
             emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-            bits = SS.lsh_bits_schedule(emb.count())
+            n_emb = emb.count()
+            bits = SS.lsh_bits_schedule(n_emb)
             t0 = time.time()
-            pairs = SS.lsh_near_pairs(emb, threshold=tau, n_bits=bits).persist()
+            pairs = SS.lsh_near_pairs(
+                emb, threshold=tau, n_bits=bits, corpus_rows=n_emb
+            ).persist()
             n_edges = pairs.count()
             edges = pairs.select(
                 F.col("id_a").alias("row_order_a"),
@@ -1143,10 +1146,16 @@ def main_x100(only: set | None = None) -> None:
             emb = spark.read.parquet(
                 os.path.join(sf_dir, "embeddings.parquet")
             )
-            bits = SSW.lsh_bits_schedule(emb.count())
+            n_emb = emb.count()
+            bits = SSW.lsh_bits_schedule(n_emb)
             t0 = time.time()
             n = SSW.lsh_near_pairs(
-                emb, threshold=tau, n_bits=bits, dim=dim, screen=scr
+                emb,
+                threshold=tau,
+                n_bits=bits,
+                dim=dim,
+                screen=scr,
+                corpus_rows=n_emb,
             ).count()
             return time.time() - t0, n
 

@@ -96,6 +96,16 @@ def test_embedding_dedup_clusters_no_cartesian(spark, sf_dir):
         j in pairs_plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), "bucket equi-join missing from edge-generator plan"
+    # Round-11 verify-join strategy: the (id -> vector, self-dot) map fits
+    # the broadcast budget at every fixture/probe corpus on this testdata,
+    # so BOTH verify joins must be broadcast-hash — candidates never carry
+    # a vector payload through an exchange (the 100x probe measured the
+    # shuffle form as a 1.59x per-candidate cost growth / ENOSPC at dim
+    # 256; see lsh_near_pairs docstring).
+    assert pairs_plan.count("BroadcastHashJoin") >= 2, (
+        "verify joins are not broadcast — candidate rows would shuffle "
+        "full vector payloads"
+    )
 
 
 def test_dedup_clusters_single_cogroup_execution(spark, sf_dir):
