@@ -480,7 +480,7 @@ def lsh_near_pairs(
     dim: int = 64,
     seed: int = 7,
     max_bucket_size: int | None = None,
-    screen: bool = False,
+    screen: bool | None = None,
     corpus_rows: int | None = None,
 ) -> DataFrame:
     """Scale-safe near-duplicate pairs: LSH bucket self-join generates
@@ -501,18 +501,32 @@ def lsh_near_pairs(
     frame never carries a payload through an exchange, per-candidate cost
     is flat, and the verify is spill-free at any candidate volume. Beyond
     the broadcast budget (billions of vectors at cluster scale) it falls
-    back to the shuffle join — there ``screen=True`` is the payload
-    lever. Plan-asserted in tests/test_plans.py; output identical either
-    way (same join semantics).
-    ``screen=True`` inserts an SQ8 exact-safe prescreen that bounds the
-    payload the verify join shuffles (see inline note); output is
-    bit-identical with the screen on or off (pinned in tests). Off by
-    default: at this testdata's dim=64 the per-candidate fold CPU
-    dominates and the screen only pays at tau far below the band
-    (measured embconst-100x: 154s -> 127s at tau 0.35, but 147s -> 207s at
-    tau 0.8 where the extra int fold buys nothing). It is the lever for
-    WIDE vectors (dim >= ~256, where the 8x payload cut dwarfs one extra
-    int8 fold) — production embedding dims, not this fixture's.
+    back to the shuffle join — there the SQ8 screen AUTO-ENABLES as the
+    payload lever (round 11; see ``screen``). Plan-asserted in
+    tests/test_plans.py; output identical either way (same join
+    semantics).
+    ``screen`` inserts an SQ8 exact-safe prescreen that bounds the payload
+    the verify join shuffles (see inline note); output is bit-identical
+    with the screen on or off (pinned in tests). The default (None) is
+    REGIME-DRIVEN, set by the round-11 dim-256 measurements
+    (SCALE100.json sq8_prescreen rows): auto-enable exactly when the
+    vector map is beyond the broadcast budget but the int8 code map is
+    not. Measured basis —
+
+    * vector map fits broadcast (embwide-10x, 60k x dim 256): the verify
+      is already payload-free map-side and the screen only adds fold work
+      (27.3s -> 50.4s at tau 0.35; 27.8s -> 76.7s at tau 0.8) — OFF;
+    * vector map beyond the budget, code map within (embwide-100x, 600k x
+      dim 256, 147M candidates): screen OFF the verify join shuffles two
+      dim-256 double[] per candidate (~600 GB) and died ENOSPC on an
+      80-GB-free box — there is no completable screen-off plan — while
+      screen ON completes (701s / 2.9M pairs at tau 0.35, 371s at tau
+      0.8) with the code joins broadcast — ON;
+    * narrow vectors beyond the budget (dim 64, round-10 embconst-100x):
+      the per-candidate fold CPU dominates and the shuffle fits disk —
+      screen on LOST at tau 0.8 (147s -> 207s) — so the auto rule also
+      requires production width (dim >= 256), where the 8x payload cut
+      dwarfs one extra int8 fold.
 
     Shape: bucketize once (one Arrow-batched matmul pass), equi-join on
     (table, bucket) with id_a < id_b, distinct, then exact-verify cosine >=
@@ -575,6 +589,29 @@ def lsh_near_pairs(
 
     def _vec_side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df
+
+    # The SCREEN's phase-1 joins carry int8 CODES (1 B/dim + ~48 B of
+    # scale/asum/norm meta), not double[] vectors — an ~8x smaller map that
+    # stays broadcastable long after the vector map outgrows the budget,
+    # which is exactly the regime the screen exists for (dim >= ~256 beyond
+    # the vector-broadcast budget: the first dim-256 100x run shuffled the
+    # code map alongside 147M candidates and died ENOSPC). Gated separately
+    # so the candidate frame stays payload-free through phase 1 even when
+    # the final verify join must shuffle.
+    bcast_codes = corpus_rows * (dim + 48) <= 256 * 1024 * 1024
+
+    def _code_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_codes else df
+
+    if screen is None:
+        # Regime-driven default (docstring): once the vector map outgrows
+        # the broadcast budget the unscreened verify shuffles full double[]
+        # payloads per candidate — measured non-completable at dim 256 —
+        # while the screen bounds that payload. The width term is also
+        # measured: at dim 64 the fold CPU dominates and the screen LOSES
+        # even beyond the broadcast budget (round-10 embconst-100x: 147s ->
+        # 207s at tau 0.8), so only production widths auto-enable.
+        screen = (not bcast) and dim >= 256
 
     if screen:
         # SQ8 EXACT-SAFE prescreen (round-10): the verify join's cost at
@@ -644,8 +681,8 @@ def lsh_near_pairs(
             )
         )
         cand = (
-            cand.join(_vec_side(qa), "id_a")
-            .join(_vec_side(qb), "id_b")
+            cand.join(_code_side(qa), "id_a")
+            .join(_code_side(qb), "id_b")
             .where(
                 approx + bound
                 >= F.lit(threshold) * F.sqrt(F.col("naa") * F.col("nbb"))

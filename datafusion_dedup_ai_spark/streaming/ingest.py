@@ -103,11 +103,18 @@ def start_near_dup_ingest(
     the failure cases a naive two-write sink misses:
 
     * **Crash between the corpus write and the index append** would leave
-      survivors invisible to future matching. Every batch therefore starts
-      by RECONCILING: corpus docs missing from the index (an id-only
-      anti-join — cheap) get their signatures appended from the corpus
+      survivors invisible to future matching. The FIRST batch after every
+      (re)start therefore RECONCILES: corpus docs missing from the index
+      (an id-only anti-join) get their signatures appended from the corpus
       rows. The corpus is the authority; the index is a self-healing
-      derived structure.
+      derived structure. First-batch-only (round 11) because the crash
+      window only opens across a restart — a foreachBatch failure kills
+      the query, and the healthy sink appends to both structures itself —
+      while a per-batch reconcile is an O(|corpus|) scan+anti-join job per
+      micro-batch: the one super-linear term in an otherwise
+      |batch|-proportional sink (a production sink runs thousands of
+      micro-batches against an ever-growing corpus). Later batches
+      re-derive index presence with the cheap sidecar probe.
     * **Docs too short to shingle** (fewer than 2 tokens) would have empty
       shingle sets, silently vanish from the index, and bypass dedup
       forever. The sink's shingle step falls back to the full text as a
@@ -166,8 +173,15 @@ def start_near_dup_ingest(
             MI.build_minhash_index(_shingled(corpus), index_dir, id_col=id_col)
         return True
 
+    reconciled = False  # first-batch-after-(re)start reconcile (docstring)
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        have_index = _sync_index_with_corpus()
+        nonlocal reconciled
+        if reconciled:
+            have_index = MI.index_exists(index_dir)
+        else:
+            have_index = _sync_index_with_corpus()
+            reconciled = True
         sh = _shingled(batch_df).persist()
         survivors_sh = None
         try:
@@ -303,10 +317,14 @@ def start_semantic_ingest(
     is the exactly-once mechanism. The failure-case details mirror the text
     sink:
 
-    * **Crash between corpus write and index append**: every batch starts by
-      reconciling — corpus vectors missing from the index (id anti-join) get
-      their codes appended from the corpus rows. Corpus is the authority,
-      the index self-heals.
+    * **Crash between corpus write and index append**: the FIRST batch
+      after every (re)start reconciles — corpus vectors missing from the
+      index (id anti-join) get their codes appended from the corpus rows.
+      Corpus is the authority, the index self-heals. First-batch-only
+      (round 11), same argument as the text sink: the crash window only
+      opens across a restart, and the per-batch form was an O(|corpus|)
+      job per micro-batch — super-linear for a long-running sink. Later
+      batches use the cheap sidecar-existence probe.
     * **Zero vectors** have undefined cosine — under Spark's default ANSI
       mode the division THROWS (and with ANSI off it yields NULL, which
       never clears the threshold either way) — so zero-norm vectors must
@@ -370,10 +388,17 @@ def start_semantic_ingest(
             )
         return True
 
+    reconciled = False  # first-batch-after-(re)start reconcile (docstring)
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        have_index = _sync_index_with_corpus()
+        nonlocal reconciled
+        if reconciled:
+            have_index = VI.index_exists(index_dir)
+        else:
+            have_index = _sync_index_with_corpus()
+            reconciled = True
         batch = batch_df.withColumn(
             "_zero", _norm2(batch_df) == 0.0
         ).persist()
@@ -404,19 +429,23 @@ def start_semantic_ingest(
                     .select(F.col("batch_id").alias(id_col))
                     .distinct()
                 )
-                corpus = spark.read.parquet(corpus_dir)
-                exact_zero = (
-                    kept.where(F.col("_zero"))
-                    .join(
-                        corpus.select(vec_col),
-                        [vec_col],
-                        "left_semi",
+                drop = matched
+                # zero-norm vectors are a degenerate edge case; only pay
+                # the corpus scan for their exact semi-join when the batch
+                # actually has one (batch is persisted — the probe is cheap)
+                if not batch.where(F.col("_zero")).isEmpty():
+                    corpus = spark.read.parquet(corpus_dir)
+                    exact_zero = (
+                        kept.where(F.col("_zero"))
+                        .join(
+                            corpus.select(vec_col),
+                            [vec_col],
+                            "left_semi",
+                        )
+                        .select(id_col)
                     )
-                    .select(id_col)
-                )
-                kept = kept.join(
-                    matched.unionByName(exact_zero), id_col, "left_anti"
-                )
+                    drop = matched.unionByName(exact_zero)
+                kept = kept.join(drop, id_col, "left_anti")
             in_batch = lsh_near_pairs(
                 kept.where(~F.col("_zero")),
                 id_col=id_col,

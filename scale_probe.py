@@ -1131,15 +1131,33 @@ def main_x100(only: set | None = None) -> None:
         # the dim-64 measurements said the screen loses at tau=0.8 because
         # the verify there is fold-CPU-bound, and claimed the 8x payload cut
         # pays at dim >= ~256 — a claim with no measurement at that width.
-        # w100 is the embconst-100x corpus widened to dim 256 by per-replica
-        # sign masks (pair structure and candidate mass IDENTICAL to the
-        # dim-64 corpus — see build_widened_embeddings), so any on/off delta
-        # is purely the screen's payload-vs-extra-fold tradeoff at 4x width.
-        # Decision rows (no gate): they set lsh_near_pairs' auto-screen
-        # width threshold.
+        # w100/w10 are the embconst corpora widened to dim 256 by
+        # per-replica sign masks (pair structure and candidate mass
+        # IDENTICAL to the dim-64 corpora — see build_widened_embeddings).
+        #
+        # The first w100 run answered the headline question more bluntly
+        # than a timing row: screen OFF at dim 256 the verify join shuffles
+        # 147M candidates x two dim-256 double[] payloads (~600 GB) — the
+        # vector map (600k x 256 x 8 = 1.2 GiB) is beyond the broadcast
+        # budget, and the box died ENOSPC (80 GB free). There is NO
+        # completable screen-off plan at that width/volume on this box, so:
+        #
+        #   * exact-safety + both-modes timing run on w10 (60k x dim 256 —
+        #     the vector map fits broadcast, both modes complete): pair
+        #     equality on/off FAILS the probe if violated;
+        #   * w100 rows time screen ON (codes broadcast under the separate
+        #     code-map gate) and attempt screen OFF once under try/except —
+        #     a disk failure is recorded as completed_off=False, the
+        #     planted-100x ENOSPC precedent (evidence of the corpus's
+        #     payload mass, not of machinery).
         from datafusion_dedup_ai_spark.operators import (
             similarity_search as SSW,
         )
+
+        w10 = "/tmp/spark_graft_scale10_embwide"
+        if os.path.isdir(w10):
+            shutil.rmtree(w10)
+        build_widened_embeddings(spark, e10, w10, replicas=4)
 
         def sq8_once(sf_dir, tau, scr, dim):
             clear()
@@ -1160,23 +1178,52 @@ def main_x100(only: set | None = None) -> None:
             return time.time() - t0, n
 
         for tau in (0.35, 0.8):
-            sq8_once(w100, tau, False, 256)  # shape/JIT warm-up
-            t_off, n_off = sq8_once(w100, tau, False, 256)
+            sq8_once(w10, tau, False, 256)  # shape/JIT warm-up
+            t_off10, n_off10 = sq8_once(w10, tau, False, 256)
+            t_on10, n_on10 = sq8_once(w10, tau, True, 256)
+            row = {
+                "t_10x_screen_off_s": round(t_off10, 3),
+                "t_10x_screen_on_s": round(t_on10, 3),
+                "pairs_off": n_off10,
+                "pairs_on": n_on10,
+                "dim": 256,
+                "tau": tau,
+                "regime": "vector map fits broadcast (123 MiB)",
+                "gated": "decision_row",
+            }
+            report[f"sq8_prescreen_dim256@embwide_10x_tau{tau}"] = row
+            if n_on10 != n_off10:
+                row["pair_count_mismatch"] = True
+                ok = False  # exact-safety violated — never acceptable
+            flush_phase(f"sq8_prescreen_dim256@embwide_10x_tau{tau}")
+
+        # w100: screen-off attempted ONCE (payload mass is tau-independent
+        # — candidates are bucket co-occurrences, tau only gates the verify
+        # filter), screen-on timed per tau.
+        off_row: dict = {"attempted": True}
+        try:
+            t_off, n_off = sq8_once(w100, 0.35, False, 256)
+            off_row.update(
+                {"completed": True, "t_s": round(t_off, 3), "pairs": n_off}
+            )
+        except Exception as e:  # noqa: BLE001 — record, don't die (ENOSPC)
+            off_row.update(
+                {"completed": False, "error": type(e).__name__,
+                 "detail": str(e)[:200]}
+            )
+        for tau in (0.35, 0.8):
             t_on, n_on = sq8_once(w100, tau, True, 256)
             row = {
-                "t_100x_screen_off_s": round(t_off, 3),
                 "t_100x_screen_on_s": round(t_on, 3),
-                "pairs_off": n_off,
                 "pairs_on": n_on,
                 "dim": 256,
                 "tau": tau,
-                "speedup_on_vs_off": round(t_off / max(t_on, 1e-6), 3),
+                "screen_off_100x": off_row,
+                "regime": "vector map beyond broadcast budget (1.2 GiB); "
+                "int8 code map broadcast (separate gate)",
                 "gated": "decision_row",
             }
             report[f"sq8_prescreen_dim256@embwide_100x_tau{tau}"] = row
-            if n_on != n_off:
-                row["pair_count_mismatch"] = True
-                ok = False  # exact-safety violated — never acceptable
             flush_phase(f"sq8_prescreen_dim256@embwide_100x_tau{tau}")
 
     if only is not None:

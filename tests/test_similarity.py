@@ -456,3 +456,85 @@ def test_lsh_near_pairs_screen_is_exact_safe(spark, emb):
         assert on == off, f"screen changed output at tau={tau}"
         if tau <= 0.35:
             assert off, "fixture should have pairs at the low thresholds"
+
+
+def test_lsh_near_pairs_screen_exact_in_mixed_broadcast_regime(spark, emb):
+    """Round-11: the screen's phase-1 joins carry int8 codes and get their
+    own broadcast gate (bcast_codes), separate from the vector-map gate —
+    at dim >= ~256 the code map stays broadcastable after the vector map
+    outgrows the budget. Force that mixed regime via the corpus_rows hint
+    (1e6 rows x dim 64: vector map 512 MB > budget, code map ~107 MB <=
+    budget) and pin that the output is still bit-identical to the
+    all-broadcast unscreened run."""
+    from datafusion_dedup_ai_spark.operators import similarity_search as S
+
+    base = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.lsh_near_pairs(emb, threshold=0.35, screen=False).collect()
+    }
+    mixed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.lsh_near_pairs(
+            emb, threshold=0.35, screen=True, corpus_rows=1_000_000
+        ).collect()
+    }
+    assert mixed == base
+    assert base, "fixture should have pairs at tau=0.35"
+
+
+def test_lsh_near_pairs_auto_screen_policy(spark, emb):
+    """Round-11 measured default (SCALE100 sq8_prescreen rows): screen=None
+    auto-enables the SQ8 prescreen only when (a) the vector map is beyond
+    the broadcast budget AND (b) the width is production-scale (dim >= 256
+    — at dim 64 the fold CPU dominates and the screen loses). Pin both
+    sides: at dim 64 the auto plan must equal the screen=False plan even
+    beyond-budget; at dim 256 beyond-budget the auto output must equal the
+    unscreened output (exact-safety of the engaged screen)."""
+    from datafusion_dedup_ai_spark.operators import similarity_search as S
+
+    import re
+
+    def plan_shape(df):
+        # expression IDs (#123L) and lambda-variable counters (x_27) are
+        # unique per DataFrame instance; strip both so structurally
+        # identical plans compare equal
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+L?", "#", s)
+        return re.sub(r"\b(lambda [a-z]+)_\d+", r"\1", s)
+
+    # (a) dim 64 beyond-budget: auto stays OFF — identical logical plan
+    auto64 = S.lsh_near_pairs(emb, threshold=0.35, corpus_rows=10_000_000)
+    off64 = S.lsh_near_pairs(
+        emb, threshold=0.35, screen=False, corpus_rows=10_000_000
+    )
+    assert plan_shape(auto64) == plan_shape(off64), (
+        "auto screen engaged at dim 64 — policy regression"
+    )
+
+    # (b) dim 256 beyond-vector-budget: auto engages, output unchanged
+    def _mask(r):
+        return lambda x, j: F.when(
+            F.pmod(F.xxhash64(F.lit(9000 + r), j), F.lit(2)) == 0, x
+        ).otherwise(-x)
+
+    reps = [F.col("embedding")] + [
+        F.transform(F.col("embedding"), _mask(r)) for r in (1, 2, 3)
+    ]
+    wide = emb.select(
+        "vec_id", F.concat(*reps).alias("embedding"), "label"
+    ).cache()
+    kw = dict(threshold=0.35, dim=256, corpus_rows=10_000_000)
+    assert plan_shape(S.lsh_near_pairs(wide, **kw)) != plan_shape(
+        S.lsh_near_pairs(wide, screen=False, **kw)
+    ), "auto screen did NOT engage at dim 256 beyond-budget"
+    auto = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.lsh_near_pairs(wide, **kw).collect()
+    }
+    off = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.lsh_near_pairs(wide, screen=False, **kw).collect()
+    }
+    wide.unpersist()
+    assert auto == off
+    assert auto, "widened fixture should still have pairs at tau=0.35"
