@@ -61,13 +61,16 @@ from datafusion_dedup_ai_spark.registry import (  # noqa: F401
 #    rotation.load_validation_history(through_round=10)) — do not hand-edit;
 #    test_entry_contract.py::test_window_matches_rotation_policy enforces it.
 #
-# ROUND11_WINDOW = tier 0 (the round-10 session's gated addition
-# training_manifest_bpe, never driver-validated), then the r8-staleness
-# tier (the pack round 8 validated and no later round has re-stamped —
-# round 10 consumed the r7 tier, so the r8 pack is now the stalest), then
-# the alphabetical head of the r9 tier.
+# ROUND11_WINDOW = tier 0 (this round's gated additions, never
+# driver-validated: media_feature_histograms — hash-gated this round via
+# the entropy fixture + SQL byte-walk — and training_manifest_bpe), then
+# the r8-staleness tier (the pack round 8 validated and no later round
+# has re-stamped — round 10 consumed the r7 tier, so the r8 pack is now
+# the stalest). The two tier-0 entries fill the window to 50, so no r9
+# tier head this round.
 ROUND11_WINDOW = [
     # staleness tier 0: never driver-validated
+    "media_feature_histograms",
     "training_manifest_bpe",
     # staleness tier r8
     "bloom_incremental_new_docs",
@@ -118,8 +121,6 @@ ROUND11_WINDOW = [
     "user_daily_gapfill",
     "user_sessions",
     "window_topk_orders",
-    # staleness tier r9
-    "ab_test_report",
 ]
 
 promote_window(ROUND11_WINDOW)
