@@ -17,7 +17,7 @@ Importing this module populates the registry from the per-domain packs.
 
 from __future__ import annotations
 
-# Registration order = ROUND11_WINDOW first, then import order. KNOWN
+# Registration order = ROUND12_WINDOW first, then import order. KNOWN
 # HARNESS LIMITATION (flagged for the harness owners; see also README
 # "Correctness verification"): the external driver's correctness run
 # evaluates only the first ~50 registered queries, so with 150 registered
@@ -58,72 +58,70 @@ from datafusion_dedup_ai_spark.registry import (  # noqa: F401
 )
 
 # == rotation.compute_rotation_window(registered, gated,
-#    rotation.load_validation_history(through_round=10)) — do not hand-edit;
+#    rotation.load_validation_history(through_round=11)) — do not hand-edit;
 #    test_entry_contract.py::test_window_matches_rotation_policy enforces it.
 #
-# ROUND11_WINDOW = tier 0 (this round's gated additions, never
-# driver-validated: media_feature_histograms — hash-gated this round via
-# the entropy fixture + SQL byte-walk — and training_manifest_bpe), then
-# the r8-staleness tier (the pack round 8 validated and no later round
-# has re-stamped — round 10 consumed the r7 tier, so the r8 pack is now
-# the stalest). The two tier-0 entries fill the window to 50, so no r9
-# tier head this round.
-ROUND11_WINDOW = [
-    # staleness tier 0: never driver-validated
-    "media_feature_histograms",
-    "training_manifest_bpe",
-    # staleness tier r8
-    "bloom_incremental_new_docs",
-    "bloom_incremental_new_docs_wide",
-    "bm25_retrieval_topk",
-    "chunk_packing",
-    "cluster_train_test_split",
-    "corpus_shuffle_positions",
-    "cube_order_counts",
-    "customer_nations_with_orders",
-    "customer_order_coverage",
-    "customer_running_revenue",
-    "customers_without_orders",
-    "dedup_quality_representatives",
-    "distinct_order_stats",
-    "doc_chunks",
-    "doc_dup_shingle_fraction",
-    "doc_pii_redacted",
-    "doc_sample_hash",
-    "doc_substring_trimmed",
-    "event_date_parts",
-    "event_quality_quarantine",
-    "finished_only_customers",
-    "host_url_stats",
-    "hourly_event_stats",
-    "json_event_stats",
-    "lateral_top_orders",
-    "media_frame_samples",
-    "media_payload_stats",
-    "nation_customer_roster",
-    "orders_asof_prev",
-    "orders_profile",
-    "part_string_features",
-    "pricing_summary",
-    "quantity_quantiles",
-    "region_order_stats",
-    "repeat_status_customers",
-    "revenue_grouping_sets",
-    "rollup_order_counts",
-    "source_quality_percentiles",
-    "source_stratified_sample",
-    "status_custkey_setops",
-    "status_pivot_by_priority",
-    "streaming_stateful_first_events",
-    "top_revenue_orders",
-    "training_dataset_manifest",
-    "url_canonical_mapping",
-    "user_daily_gapfill",
-    "user_sessions",
-    "window_topk_orders",
+# ROUND12_WINDOW = the r9-staleness tier in full: round 11 re-validated
+# the r8 relational/curation pack (plus the two tier-0 gated additions),
+# so the pack round 9 validated — html extraction, tokenizer/LM, ANN
+# gates, streaming ingest, curation samplers — is now the stalest. The
+# tier is exactly 50 entries, so it fills the window with no spillover
+# into the r10 tier.
+ROUND12_WINDOW = [
+    # staleness tier r9
+    "ab_test_report",
+    "ann_lsh_topk_gated",
+    "boilerplate_source_stats",
+    "bpe_pair_counts",
+    "candidate_pairs",
+    "chunk_dedup_stats",
+    "cluster_balanced_sample",
+    "cms_term_frequencies",
+    "cross_source_priority_dedup",
+    "doc_char_diversity",
+    "doc_containment_pairs",
+    "doc_token_commonness",
+    "dsir_importance_weights",
+    "dup_graph_metrics",
+    "ensemble_dedup_decisions",
+    "event_funnel",
+    "event_transition_matrix",
+    "fuzzy_benchmark_contamination",
+    "gopher_quality_flags",
+    "hard_negative_mining",
+    "html_text_extraction",
+    "incremental_semantic_matches",
+    "kmv_distinct_sketch",
+    "kn_doc_scores",
+    "langid_confusion_matrix",
+    "length_bucket_batches",
+    "linear_quality_scores",
+    "media_near_dup_pairs",
+    "media_nibble_histograms",
+    "multimodal_curation_decisions",
+    "near_dup_tier_agreement",
+    "ngram_lm_counts",
+    "per_source_quality_filter",
+    "semantic_dedup_embeddings",
+    "source_datasheet",
+    "source_mixture_sample",
+    "source_overlap_matrix",
+    "source_upsampling_plan",
+    "streaming_near_dup_ingest",
+    "streaming_semantic_ingest",
+    "streaming_sliding_counts",
+    "text_dedup_clusters",
+    "text_dedup_clusters_star",
+    "textrank_keywords",
+    "token_budget_selection",
+    "tokenized_length_stats",
+    "user_retention_cohorts",
+    "value_outliers_mad",
+    "vocab_oov_rate",
+    "weighted_doc_sample",
 ]
 
-promote_window(ROUND11_WINDOW)
+promote_window(ROUND12_WINDOW)
 
 # re-export the flagship for __spark_entry__.entry()
 from datafusion_dedup_ai_spark.queries_dedup import q_dedup_clusters  # noqa: F401

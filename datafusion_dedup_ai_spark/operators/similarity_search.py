@@ -510,8 +510,12 @@ def lsh_near_pairs(
     with the screen on or off (pinned in tests). The default (None) is
     REGIME-DRIVEN, set by the round-11 dim-256 measurements
     (SCALE100.json sq8_prescreen rows): auto-enable exactly when the
-    vector map is beyond the broadcast budget but the int8 code map is
-    not. Measured basis —
+    vector map is beyond the broadcast budget AND dim >= 256. The int8
+    code map's own broadcast gate is deliberately NOT part of the auto
+    rule — even when the code map must shuffle too, it is ~8x lighter
+    per candidate than the double[] payload it replaces, so the screen
+    remains the right default in that regime; the gate only decides
+    whether the phase-1 code joins broadcast or shuffle. Measured basis —
 
     * vector map fits broadcast (embwide-10x, 60k x dim 256): the verify
       is already payload-free map-side and the screen only adds fold work

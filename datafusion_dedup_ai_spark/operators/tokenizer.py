@@ -113,6 +113,47 @@ def greedy_token_count(word: str, pieces: frozenset[str], max_len: int) -> int:
     return n
 
 
+def merge_order_token_count(word: str, merges: list[tuple[str, str]]) -> int:
+    """TRUE BPE application (Sennrich et al. 2016): start from characters
+    and repeatedly apply the LOWEST-RANK merge present anywhere in the
+    symbol sequence (leftmost-first non-overlapping rewrite, mirroring
+    training), until no listed merge applies. Returns the surviving symbol
+    count; characters unseen in training survive as single symbols, same
+    as greedy's single-char fallback.
+
+    This is the measurement twin for the greedy longest-match rule the
+    production apply path uses (round-11 verdict #6): the two rules CAN
+    diverge — greedy consumes the longest vocab piece even when that
+    blocks a lower-rank merge spanning the boundary (pinned example in
+    tests/test_tokenizer.py: vocab {ab, bc, bcd} on "abcd" -> greedy
+    ab|c|d = 3 tokens, merge-order a|bcd = 2) — but on the testdata
+    vocabulary they agree EXACTLY: corpus-frequency-weighted divergence
+    0 of 84,819 tokens (sf0.01) and 0 of 847,248 (sf0.1), pinned in
+    test_greedy_matches_merge_order_on_testdata_vocab. The greedy rule
+    therefore stays the production encode (integer-exact and
+    SQL-replayable, which rank-state application is not without carrying
+    rank lists through the recursion); revisit the pin if the vocabulary
+    regime changes (real BPE vocabs of 30k+ merges diverge ~1% — the
+    bound to re-measure, not assume)."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        best: int | None = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == a and syms[i + 1] == b:
+                syms[i : i + 2] = [a + b]
+            i += 1
+    return len(syms)
+
+
 def encoded_word_lengths(distinct_words: DataFrame, pieces: list[str]) -> DataFrame:
     """(tok, n_bpe): greedy longest-match token count per DISTINCT word —
     the vocabulary-sized Arrow-batched Python step. ``pieces`` is the

@@ -127,10 +127,13 @@ def start_near_dup_ingest(
     ``compact_max_files``: every append adds at least one small parquet
     file, so a long-running sink decays into thousands of files. When set,
     the sink compacts the index in place (compact_minhash_index) whenever
-    its file count exceeds the threshold. A crash mid-swap is covered by
-    the reconcile step: the brief data-dir-missing window reads as
-    index_exists()==False and the next batch rebuilds from the corpus (the
-    authority), so the contract is unchanged.
+    its file count exceeds the threshold. A crash mid-swap is covered
+    two ways: a compaction crash kills the query, and the first batch
+    after the restart reconciles from the corpus (the authority); and
+    even mid-run, a batch that observes index_exists()==False rebuilds
+    via the same corpus-authority sync rather than from its own
+    survivors, so older corpus ids can never silently drop out of
+    matching (round-11 advisor note).
     """
     from datafusion_dedup_ai_spark.functions import text as T
     from datafusion_dedup_ai_spark.operators import minhash_index as MI
@@ -214,7 +217,15 @@ def start_near_dup_ingest(
             if MI.index_exists(index_dir):
                 MI.append_minhash_index(survivors_sh, index_dir, id_col=id_col)
             else:
-                MI.build_minhash_index(survivors_sh, index_dir, id_col=id_col)
+                # No index mid-run (first batch of a fresh sink, or the
+                # out-of-contract case of the index vanishing out-of-band):
+                # rebuild from the CORPUS authority, not from this batch's
+                # survivors alone — the corpus write above already includes
+                # them, and a survivors-only build would silently drop every
+                # older corpus id from matching until a restart (round-11
+                # advisor note). On a fresh sink the corpus contains exactly
+                # this batch's survivors, so the cost is identical.
+                _sync_index_with_corpus()
             if compact_max_files is not None:
                 from datafusion_dedup_ai_spark.sources.layout import (
                     parquet_files,
@@ -468,16 +479,18 @@ def start_semantic_ingest(
                     indexable, index_dir, id_col=id_col, vec_col=vec_col
                 )
             else:
-                VI.build_vector_index(
-                    indexable,
-                    index_dir,
-                    id_col=id_col,
-                    vec_col=vec_col,
-                    n_bits=index_n_bits,
-                )
+                # Rebuild from the CORPUS authority (same rationale as the
+                # text sink: a survivors-only build after an out-of-band
+                # index loss would drop older corpus ids from matching
+                # until a restart; the corpus write above already includes
+                # this batch, so a fresh sink pays the same cost either
+                # way). _sync applies the zero-norm filter itself.
+                _sync_index_with_corpus()
             # Same small-files maintenance as the text sink: compact the
             # index in place once appends exceed the file threshold; a
-            # crash mid-swap self-heals via the reconcile step.
+            # crash mid-swap kills the query and the first batch after
+            # restart reconciles from the corpus (and a mid-run missing
+            # index rebuilds via the corpus-authority sync above).
             if compact_max_files is not None:
                 from datafusion_dedup_ai_spark.sources.layout import (
                     parquet_files,

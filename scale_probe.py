@@ -119,6 +119,15 @@ RESET_HOOKS = {
 }
 MAX_EXPONENT = 1.35  # fail the probe if wall time grows super-linearly
 
+# Dedicated gate for the tau=0.8 embedding-cluster machinery (round-11
+# verdict #4): the probe-wide 1.35 is a quadratic-catcher, not the claim —
+# the claim is ~linear candidate machinery, so the 3-POINT FITTED slope
+# (10x/30x/100x, least squares on log wall vs log factor) gates at ~1.05.
+# A 3-point fit over a decade-and-a-half absorbs the denominator noise
+# that made the two committed 2-point exponents disagree (1.027 vs 1.211
+# on a ~10s base).
+EDC_TAU08_MAX_SLOPE = 1.05
+
 
 def build_scaled(spark, src_sf: str, dst: str, factor: int) -> None:
     from pyspark.sql import functions as F
@@ -814,6 +823,7 @@ def main_x100(only: set | None = None) -> None:
     c10 = "/tmp/spark_graft_scale10_constdup"
     c100 = "/tmp/spark_graft_scale100_constdup"
     e10 = "/tmp/spark_graft_scale10_embconst"
+    e30 = "/tmp/spark_graft_scale30_embconst"
     e100 = "/tmp/spark_graft_scale100_embconst"
     # ``only`` (--only phase,phase): rerun a subset of phases and MERGE
     # into the committed SCALE100.json — untouched phases keep their prior
@@ -827,15 +837,18 @@ def main_x100(only: set | None = None) -> None:
         "incremental_constdup",
         "minhash_planted30",
         "two_phase_planted100",
+        "curate100",
     )
     w100 = "/tmp/spark_graft_scale100_embwide"
     need_doc = any(want_phase(p) for p in phases_doc)
     need_wide = want_phase("sq8wide")
     need_emb = want_phase("semantic") or want_phase("edc") or need_wide
+    # the 30x midpoint exists only for the edc 3-point fit
+    need_e30 = want_phase("edc")
 
     spark = build_session(app_name="scale-probe-100x")
     doc_dirs = (d10, d30, d100, c10, c100) if need_doc else ()
-    emb_dirs = (e10, e100) if need_emb else ()
+    emb_dirs = ((e10, e100) if need_emb else ()) + ((e30,) if need_e30 else ())
     wide_dirs = (w100,) if need_wide else ()
     for d in doc_dirs + emb_dirs + wide_dirs:
         if os.path.isdir(d):
@@ -849,6 +862,8 @@ def main_x100(only: set | None = None) -> None:
     if need_emb:
         build_scaled_embeddings_constdup(spark, src, e10, 10)
         build_scaled_embeddings_constdup(spark, src, e100, 100)
+    if need_e30:
+        build_scaled_embeddings_constdup(spark, src, e30, 30)
     if need_wide:
         build_widened_embeddings(spark, e100, w100, replicas=4)
 
@@ -969,6 +984,58 @@ def main_x100(only: set | None = None) -> None:
         }
         ok = ok and cost100 <= 2.0 * cost10
         flush_phase("minhash_two_phase_pairs@planted_10x_to_100x")
+
+    if want_phase("curate100"):
+        # 4b) the curate CLI END-TO-END at planted 10x -> 100x (round-11
+        # verdict #5): every operator has its own probe row, but the
+        # composed journey a user actually runs (`python -m
+        # datafusion_dedup_ai_spark curate` = clean_corpus -> exact dedup
+        # -> near-dup removal -> 80/10/10 split -> chunk counts -> manifest
+        # + stats) had only fixture-scale e2e tests — and a composition can
+        # re-execute a stage its parts don't (the kn pair re-execution
+        # class). Wall-gated on the 10x->100x exponent; --bpe-tokens
+        # measured on/off at 100x and recorded ungated (it adds one
+        # vocabulary-sized collect + the per-distinct-word encode, both
+        # sub-linear terms by construction).
+        import datafusion_dedup_ai_spark.__main__ as CLI
+
+        curate_out = "/tmp/spark_graft_curate_probe_out"
+
+        def curate_once(sf_dir, bpe=False):
+            if os.path.isdir(curate_out):
+                shutil.rmtree(curate_out)
+            clear()
+            argv = [
+                os.path.join(sf_dir, "documents.parquet"),
+                "--out",
+                curate_out,
+            ] + (["--bpe-tokens"] if bpe else [])
+            t0 = time.time()
+            rc = CLI.curate_main(argv, spark=spark)
+            dt = time.time() - t0
+            assert rc == 0, f"curate CLI failed rc={rc} at {sf_dir}"
+            stats = json.load(open(os.path.join(curate_out, "stats.json")))
+            return dt, stats
+
+        curate_once(d10)  # warm
+        t10, s10 = min((curate_once(d10) for _ in range(2)), key=lambda x: x[0])
+        t100, s100 = curate_once(d100)
+        t100b, s100b = curate_once(d100, bpe=True)
+        exp = math.log(max(t100, 1e-6) / max(t10, 1e-6)) / math.log(10)
+        report["curate_cli@planted_10x_to_100x"] = {
+            "t_10x_s": round(t10, 3),
+            "t_100x_s": round(t100, 3),
+            "exponent": round(exp, 3),
+            "t_100x_bpe_s": round(t100b, 3),
+            "bpe_overhead_x": round(t100b / max(t100, 1e-6), 2),
+            "input_docs_100x": s100["input_docs"],
+            "kept_docs_100x": s100["kept_docs"],
+            "kept_docs_100x_bpe": s100b["kept_docs"],
+            "train_tokens_100x": s100["splits"]["train"]["n_tokens"],
+            "gated": True,
+        }
+        ok = ok and exp <= MAX_EXPONENT
+        flush_phase("curate_cli@planted_10x_to_100x")
 
     if want_phase("semantic"):
         # 5) semantic dedup at constdup 10x -> 100x (round-9 verdict #6):
@@ -1102,28 +1169,51 @@ def main_x100(only: set | None = None) -> None:
                 .count()
             )
 
+        # Round-12 (round-11 verdict #4): the 2-point exponent on a ~10s
+        # base is denominator noise — the two committed runs read 1.027 and
+        # 1.211 from t_10x spreads of 7.7s vs 12.9s alone. Settle it with a
+        # 3-POINT least-squares fit (10x/30x/100x) over >=3 repeats at the
+        # noisy 10x base, gated at the DEDICATED ~linear slope bound
+        # (EDC_TAU08_MAX_SLOPE), not the probe-wide quadratic-catcher.
         tau = 0.8
-        k10, k100 = edc_cands(e10), edc_cands(e100)
-        edc_once(e10, tau)
-        t10, m10 = min((edc_once(e10, tau) for _ in range(2)), key=lambda x: x[0])
+        k10, k30, k100 = edc_cands(e10), edc_cands(e30), edc_cands(e100)
+        edc_once(e10, tau)  # warm
+        t10, m10 = min((edc_once(e10, tau) for _ in range(3)), key=lambda x: x[0])
+        t30, m30 = min((edc_once(e30, tau) for _ in range(2)), key=lambda x: x[0])
         t100, m100 = min(
             (edc_once(e100, tau) for _ in range(2)), key=lambda x: x[0]
         )
+        xs = [math.log(10.0), math.log(30.0), math.log(100.0)]
+        ys = [math.log(max(t, 1e-6)) for t in (t10, t30, t100)]
+        xbar, ybar = sum(xs) / 3, sum(ys) / 3
+        slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+            (x - xbar) ** 2 for x in xs
+        )
         exp = math.log(max(t100, 1e-6) / max(t10, 1e-6)) / math.log(10)
-        c10, c100 = t10 / max(k10, 1), t100 / max(k100, 1)
+        c10, c30, c100 = (
+            t10 / max(k10, 1),
+            t30 / max(k30, 1),
+            t100 / max(k100, 1),
+        )
         report["embedding_dedup_clusters@embconst_tau080_10x_to_100x"] = {
             "t_10x_s": round(t10, 3),
+            "t_30x_s": round(t30, 3),
             "t_100x_s": round(t100, 3),
-            "exponent": round(exp, 3),
+            "fitted_slope": round(slope, 3),
+            "max_slope": EDC_TAU08_MAX_SLOPE,
+            "exponent_2pt": round(exp, 3),
             "candidates_10x": k10,
+            "candidates_30x": k30,
             "candidates_100x": k100,
             "s_per_1k_cands_10x": round(1000 * c10, 5),
+            "s_per_1k_cands_30x": round(1000 * c30, 5),
             "s_per_1k_cands_100x": round(1000 * c100, 5),
             "edges_10x": m10,
+            "edges_30x": m30,
             "edges_100x": m100,
-            "gated": True,
+            "gated": "fitted_slope",
         }
-        ok = ok and c100 <= 2.0 * c10 and exp <= MAX_EXPONENT
+        ok = ok and c100 <= 2.0 * c10 and slope <= EDC_TAU08_MAX_SLOPE
         flush_phase("embedding_dedup_clusters@embconst_tau080_10x_to_100x")
 
     if want_phase("sq8wide"):
@@ -1277,6 +1367,18 @@ def _x100_row_ok(row: dict) -> bool:
         if "exponent" not in row:
             return False
         return row["exponent"] <= MAX_EXPONENT
+    if gate == "fitted_slope":
+        # 3-point rows (round-11 verdict #4): the dedicated ~linear bound
+        # on the least-squares slope, plus the per-candidate cost band.
+        if "fitted_slope" not in row:
+            return False
+        if row["fitted_slope"] > row.get("max_slope", EDC_TAU08_MAX_SLOPE):
+            return False
+        c10 = row.get("s_per_1k_cands_10x")
+        c100 = row.get("s_per_1k_cands_100x")
+        return (
+            c10 is not None and c100 is not None and c100 <= 2.0 * c10
+        )
     if isinstance(gate, str) and gate.startswith("per_"):
         pairs = [
             (k, k.replace("_10x", "_100x"))

@@ -61,6 +61,16 @@ def test_bench_final_line_fits_driver_tail_window():
             "conditions_factor": 9.999,
             "value_normalized": 9999.999,
             "calib_attempts": 3,
+            "calib_ref": "trailing",
+            # outlier stamp is capped at 5 entries in bench.py; worst-case
+            # long names here
+            "query_ratio_outliers": {
+                "fuzzy_benchmark_contamination": 99.99,
+                "embedding_dedup_clusters": 99.99,
+                "incremental_cluster_update": 99.99,
+                "duplicate_substring_spans": 99.99,
+                "semantic_dedup_embeddings": 99.99,
+            },
             "conditions_warning": "box not idle at start",
         }
     )
@@ -68,17 +78,40 @@ def test_bench_final_line_fits_driver_tail_window():
 
 
 def test_calibration_reference_filters_by_sf():
-    """The trailing-median reference only consumes committed artifacts at
-    the SAME sf: a sf0.001 smoke run has no sf0.001 history and must get no
-    factor at all, while the sf0.1 reference exists (9 committed rounds)
-    and covers every calibration query."""
+    """The reference only covers the SAME sf: a sf0.001 smoke run has no
+    sf0.001 history (and the pinned CALIB_REF.json is sf0.1) so it must get
+    no factor at all, while the sf0.1 reference exists and covers every
+    calibration query."""
     import bench
 
-    assert bench._calibration_reference(0.001) == {}
-    ref = bench._calibration_reference(0.1)
+    ref001, _src = bench._calibration_reference(0.001)
+    assert ref001 == {}
+    ref, src = bench._calibration_reference(0.1)
     assert set(ref) == set(bench.CALIBRATION)
-    # floor-class queries: trailing medians are sub-2s at sf0.1
-    assert all(0.0 < v < 2.0 for v in ref.values())
+    assert all(v > 0.0 for v in ref.values())
+    # mid-weight probes (round-11 verdict #2) sit above the sub-second
+    # floor class so one noisy floor row can't tilt the geomean
+    assert ref["clean_corpus"] > 1.0
+    if src == "pinned":
+        # the committed certified-idle reference must carry its evidence
+        pinned = json.load(open(bench.CALIB_REF_PATH))
+        cert = pinned["certification"]
+        assert cert["factor_vs_prior_ref"] is None or (
+            cert["factor_vs_prior_ref"] <= bench.CALIB_REF_WRITE_MAX
+        )
+        # and the full headline medians for the per-query ratio stamp
+        assert set(pinned["headline"]) >= set(bench.HEADLINE)
+
+
+def test_headline_reference_matches_pinned_sf():
+    """_headline_reference returns the pinned run's medians only at the
+    pinned SF; other SFs get no per-query ratio stamp."""
+    import bench
+
+    assert bench._headline_reference(0.001) == {}
+    href = bench._headline_reference(0.1)
+    if href:  # present once CALIB_REF.json is committed
+        assert set(href) >= set(bench.CALIBRATION)
 
 
 def test_calibration_queries_are_headline_members():

@@ -84,13 +84,13 @@ DRIVER_WINDOW = 50
 
 def test_window_matches_rotation_policy():
     """Since round 8 (round-7 advice, medium — window composition must not
-    be discretionary): the pinned ROUND11_WINDOW literal must equal the
+    be discretionary): the pinned ROUND12_WINDOW literal must equal the
     deterministic staleness-first rotation computed from the committed
-    CORRECTNESS_r01..r10.json artifacts (rotation.py, green-rows-only
+    CORRECTNESS_r01..r11.json artifacts (rotation.py, green-rows-only
     history since the round-8 advisor fix). A hand-edit of the window, a
     new artifact sneaking into the frozen history, or a policy drift all
     fail here."""
-    from datafusion_dedup_ai_spark.entry_queries import ROUND11_WINDOW
+    from datafusion_dedup_ai_spark.entry_queries import ROUND12_WINDOW
     from datafusion_dedup_ai_spark.rotation import (
         compute_rotation_window,
         load_validation_history,
@@ -99,17 +99,17 @@ def test_window_matches_rotation_policy():
     registered = list(entry_mod.queries())
     gated = set(entry_mod.oracle_sql())
     computed = compute_rotation_window(
-        registered, gated, load_validation_history(through_round=10)
+        registered, gated, load_validation_history(through_round=11)
     )
-    assert ROUND11_WINDOW == computed, (
-        "ROUND11_WINDOW diverges from the rotation policy; first diff: "
-        + str(next((a, b) for a, b in zip(ROUND11_WINDOW, computed) if a != b))
+    assert ROUND12_WINDOW == computed, (
+        "ROUND12_WINDOW diverges from the rotation policy; first diff: "
+        + str(next((a, b) for a, b in zip(ROUND12_WINDOW, computed) if a != b))
     )
 
 
 def test_priority_packs_inside_driver_window():
     """The driver's correctness run evaluates only the first ~50 registered
-    queries (observed: exactly 50 rows in rounds 1-10). The ROUND11_WINDOW
+    queries (observed: exactly 50 rows in rounds 1-11). The ROUND12_WINDOW
     list (the policy-computed rotation — see
     test_window_matches_rotation_policy) must occupy the window exactly,
     and every window slot must carry a hash-gate oracle. Everything
@@ -120,7 +120,7 @@ def test_priority_packs_inside_driver_window():
     import subprocess
     import sys
 
-    from datafusion_dedup_ai_spark.entry_queries import ROUND11_WINDOW
+    from datafusion_dedup_ai_spark.entry_queries import ROUND12_WINDOW
 
     # Registration order must be measured the way the DRIVER sees it — a
     # fresh interpreter importing only __spark_entry__. Inside pytest the
@@ -141,18 +141,18 @@ def test_priority_packs_inside_driver_window():
         ).stdout.strip()
     )
     ordered, gated = out[0], set(out[1])
-    assert len(ROUND11_WINDOW) == DRIVER_WINDOW
-    assert ordered[:DRIVER_WINDOW] == ROUND11_WINDOW, (
-        "round-10 driver window drifted from ROUND11_WINDOW; first diff: "
+    assert len(ROUND12_WINDOW) == DRIVER_WINDOW
+    assert ordered[:DRIVER_WINDOW] == ROUND12_WINDOW, (
+        "round-10 driver window drifted from ROUND12_WINDOW; first diff: "
         + str(
             next(
                 (a, b)
-                for a, b in zip(ordered, ROUND11_WINDOW)
+                for a, b in zip(ordered, ROUND12_WINDOW)
                 if a != b
             )
         )
     )
-    ungated = [n for n in ROUND11_WINDOW if n not in gated]
+    ungated = [n for n in ROUND12_WINDOW if n not in gated]
     assert not ungated, (
         f"round-10 window slots without a hash-gate oracle: {ungated}"
     )
