@@ -186,7 +186,16 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier). Model training (two driver-side sample collects shared by
     ivf/pq/ivfpq) happens inside _ann_tier_frames before the timed loop
     and is reported as the separate "train" row, so contention in the
-    training collects is distinguishable from tier scan cost."""
+    training collects is distinguishable from tier scan cost.
+
+    COST NOTE: serializing the tiers for honest per-tier walls roughly
+    doubles the report's own bench row vs the old lazy five-branch union
+    (measured at HEAD, idle box: 8.75s vs the union's 4.11s BENCH_FULL
+    median at sf0.1) — the union overlapped all five tiers' stages across
+    the cores; serial jobs each underutilize. Accepted deliberately: this
+    row is self-grading DIAGNOSTICS (recall + timing adjudication), not a
+    production serving path — a real ANN deployment runs ONE tier, whose
+    cost the per-tier wall_s now reports directly."""
     import time as _time
 
     emb = load_table(spark, sf_dir, "embeddings")

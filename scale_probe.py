@@ -832,31 +832,36 @@ def main_x100(only: set | None = None) -> None:
     def want_phase(name: str) -> bool:
         return only is None or any(tag in name for tag in only)
 
-    phases_doc = (
-        "minhash_constdup",
-        "incremental_constdup",
-        "minhash_planted30",
-        "two_phase_planted100",
-        "curate100",
-    )
     w100 = "/tmp/spark_graft_scale100_embwide"
-    need_doc = any(want_phase(p) for p in phases_doc)
+    # build only the corpora the selected phases consume (the constdup
+    # docs build alone is minutes of wall the planted-only phases never
+    # read)
+    need_planted = any(
+        want_phase(p)
+        for p in ("minhash_planted30", "two_phase_planted100", "curate100")
+    )
+    need_constdup = want_phase("minhash_constdup") or want_phase(
+        "incremental_constdup"
+    )
     need_wide = want_phase("sq8wide")
     need_emb = want_phase("semantic") or want_phase("edc") or need_wide
     # the 30x midpoint exists only for the edc 3-point fit
     need_e30 = want_phase("edc")
 
     spark = build_session(app_name="scale-probe-100x")
-    doc_dirs = (d10, d30, d100, c10, c100) if need_doc else ()
+    doc_dirs = ((d10, d30, d100) if need_planted else ()) + (
+        (c10, c100) if need_constdup else ()
+    )
     emb_dirs = ((e10, e100) if need_emb else ()) + ((e30,) if need_e30 else ())
     wide_dirs = (w100,) if need_wide else ()
     for d in doc_dirs + emb_dirs + wide_dirs:
         if os.path.isdir(d):
             shutil.rmtree(d)
-    if need_doc:
+    if need_planted:
         build_scaled(spark, src, d10, 10)
         build_scaled(spark, src, d30, 30)
         build_scaled(spark, src, d100, 100)
+    if need_constdup:
         build_scaled_constdup(spark, src, c10, 10)
         build_scaled_constdup(spark, src, c100, 100)
     if need_emb:
