@@ -20,7 +20,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datafusion_dedup_ai_spark.operators.similarity_search import cosine
+from datafusion_dedup_ai_spark.operators.similarity_search import (
+    cosine_with_norms,
+    self_dot,
+)
 
 Q_LEVELS = 127  # symmetric int8: codes in [-127, 127]
 
@@ -79,13 +82,22 @@ def quantized_topk(
     spill. Stage 2 joins the tiny candidate set back to the float corpus
     (k * oversample rows per query). Output schema matches the other ANN
     tiers: (query_id, neighbor_id, cosine, rk)."""
-    cq = quantize_int8(corpus, id_col, vec_col, out_id="neighbor_id")
-    qq = quantize_int8(queries, id_col, vec_col, out_id="query_id")
-    qq = qq.withColumnRenamed("qvec", "q_qvec").withColumnRenamed("scale", "q_scale")
-
     # approx cosine: (int_dot * sa * sb) / (|a| * |b|) with norms also taken
-    # from the codes — stage 1 never touches the float column.
+    # from the codes — stage 1 never touches the float column. The code
+    # norms are precomputed per SIDE below the join (the self_dot pattern):
+    # inline, the pair stage folded int_dot(qvec,qvec) once per (corpus,
+    # query) pair instead of once per corpus row — same expression over the
+    # same array, so the selected candidates are bit-identical.
     qnorm = lambda qv, s: F.sqrt(int_dot(qv, qv).cast("double")) * s  # noqa: E731
+    cq = quantize_int8(corpus, id_col, vec_col, out_id="neighbor_id").withColumn(
+        "_cn", qnorm(F.col("qvec"), F.col("scale"))
+    )
+    qq = quantize_int8(queries, id_col, vec_col, out_id="query_id")
+    qq = (
+        qq.withColumnRenamed("qvec", "q_qvec")
+        .withColumnRenamed("scale", "q_scale")
+        .withColumn("_qn", qnorm(F.col("q_qvec"), F.col("q_scale")))
+    )
     scored = (
         cq.crossJoin(F.broadcast(qq))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -96,10 +108,7 @@ def quantized_topk(
                 * F.col("scale")
                 * F.col("q_scale")
             )
-            / (
-                qnorm(F.col("qvec"), F.col("scale"))
-                * qnorm(F.col("q_qvec"), F.col("q_scale"))
-            ),
+            / (F.col("_cn") * F.col("_qn")),
         )
     )
     w1 = Window.partitionBy("query_id").orderBy(
@@ -111,12 +120,25 @@ def quantized_topk(
         .select("query_id", "neighbor_id")
     )
 
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        self_dot(F.col(vec_col)).alias("_nqq"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        self_dot(F.col(vec_col)).alias("_ncc"),
+    )
     rescored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("_nqq"), F.col("_ncc")
+            ),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -154,23 +176,28 @@ def train_pq_codebooks(
     n_iter: int = 10,
     sample_size: int = 2048,
     seed: int = 11,
+    sample: np.ndarray | None = None,
 ):
     """Per-subspace k-means codebooks, shape (m, k_codes, dim//m), trained on
     a deterministic driver-side sample of L2-normalized vectors.
 
     Same scale justification as train_spherical_centroids: the model is
     m * k * dsub floats (a few KB), trained on ~10^4 sampled rows and
-    broadcast — the corpus-sized pass is only the assignment map."""
+    broadcast — the corpus-sized pass is only the assignment map. Pass a
+    precollected ``sample`` (similarity_search.sample_normalized_vectors)
+    to share one TakeOrdered collect across trainers — identical rows and
+    normalization, so the codebooks are bit-identical either way."""
     import random
 
-    rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(sample_size)
-        .collect()
+    from datafusion_dedup_ai_spark.operators.similarity_search import (
+        sample_normalized_vectors,
     )
-    X = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
-    X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+
+    X = (
+        sample
+        if sample is not None
+        else sample_normalized_vectors(corpus, id_col, vec_col, sample_size)
+    )
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -274,15 +301,24 @@ def _adc_rerank(
         .select("query_id", "neighbor_id")
     )
     qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        self_dot(F.col(vec_col)).alias("_nqq"),
     )
     cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        self_dot(F.col(vec_col)).alias("_ncc"),
     )
     rescored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("_nqq"), F.col("_ncc")
+            ),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -33,8 +33,9 @@ from pyspark.sql import functions as F
 
 from datafusion_dedup_ai_spark.materialize import _REPO_ROOT, sf_cache_key
 from datafusion_dedup_ai_spark.operators.similarity_search import (
-    cosine,
+    cosine_with_norms,
     ivf_assign_cells,
+    self_dot,
     train_spherical_centroids,
 )
 
@@ -83,12 +84,24 @@ def semantic_dedup(
     cost model assumes cells stay bounded."""
     if cells is None:
         cells = assign_semantic_cells(corpus, id_col, vec_col, n_cells, seed)
-    v = corpus.select(F.col(id_col), F.col(vec_col).alias("_v")).join(
-        cells.select(F.col(id_col), "cell"), id_col
+    # Persist the (id, cell) assignment: it feeds the cell-size probe, both
+    # sides of the within-cell self-join, and the final keep/drop join —
+    # unpersisted, the Arrow matmul pass executed once PER CONSUMER (three
+    # ArrowEvalPython scans in the round-12 'before' plan, plus a fourth at
+    # the probe). Two longs per row (16 B/row — far below the corpus
+    # payload), the documented-exception persist class; released by
+    # bench.py's per-run cache clear / session teardown.
+    from pyspark import StorageLevel
+
+    cells = cells.select(F.col(id_col), "cell").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     if max_cell_rows is not None:
+        # The probe reads the persisted assignment alone — cells and corpus
+        # are 1:1 on the id, so joining the corpus in first only added a
+        # scan to a count the cell column fully determines.
         biggest = (
-            v.groupBy("cell").agg(F.count("*").alias("n")).agg(F.max("n")).collect()
+            cells.groupBy("cell").agg(F.count("*").alias("n")).agg(F.max("n")).collect()
         )[0][0]
         if biggest is not None and biggest > max_cell_rows:
             raise ValueError(
@@ -97,16 +110,35 @@ def semantic_dedup(
                 "quadratic per cell — raise n_cells so cells stay bounded, or "
                 "raise max_cell_rows explicitly if this size is intended"
             )
+    v = corpus.select(F.col(id_col), F.col(vec_col).alias("_v")).join(
+        cells, id_col
+    )
+    # Per-vector self-dots precomputed in the projections (self_dot /
+    # cosine_with_norms, the lsh_near_pairs verify pattern): the within-cell
+    # pair scan otherwise folds dot(a,a) and dot(b,b) once per PAIR
+    # (quadratic-per-cell) instead of once per vector — a third of the fold
+    # work for bit-identical cosines, so the oracle mirror is unchanged.
     a = v.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col("_v").alias("va")
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("va"),
+        self_dot(F.col("_v")).alias("naa"),
     )
     b = v.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col("_v").alias("vb")
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("vb"),
+        self_dot(F.col("_v")).alias("nbb"),
     )
     dup = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("naa"), F.col("nbb")
+            ),
+        )
         .where(F.col("cos") >= tau)
         .groupBy("id_b")
         .agg(F.min("id_a").alias("dup_of"), F.max("cos").alias("max_cos"))

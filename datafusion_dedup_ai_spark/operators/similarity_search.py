@@ -69,15 +69,32 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast the (small) query set,
     score every corpus vector, keep k by (cosine desc, id asc). At cluster
-    scale the corpus stays partitioned; only queries move."""
+    scale the corpus stays partitioned; only queries move.
+
+    Self-dots are precomputed per SIDE in the projections below the join
+    (self_dot / cosine_with_norms): the pair stage otherwise folds
+    dot(q,q) and dot(c,c) once per (query, corpus) PAIR — |queries| x the
+    necessary fold work on the corpus side. Bit-identical cosine, so the
+    oracle mirrors are unchanged."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        self_dot(F.col(vec_col)).alias("_nqq"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        self_dot(F.col(vec_col)).alias("_ncc"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("_nqq"), F.col("_ncc")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -398,12 +415,25 @@ def lsh_topk(
         )
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        self_dot(F.col(vec_col)).alias("_nqq"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        self_dot(F.col(vec_col)).alias("_ncc"),
+    )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("_nqq"), F.col("_ncc")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -724,23 +754,19 @@ def lsh_near_pairs(
 # ---------------------------------------------------------------------------
 
 
-def train_spherical_centroids(
+def sample_normalized_vectors(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
-    n_iter: int = 10,
     sample_size: int = 2048,
-    seed: int = 7,
 ) -> np.ndarray:
-    """Spherical k-means centroids (unit-normalized, cosine geometry) trained
-    on a deterministic driver-side sample.
-
-    The collect here is intentional and scale-safe: the model is k x dim
-    floats (a few KB) and k-means needs only a representative sample, not the
-    corpus — at 100 TB you still train on ~10^4 sampled rows and broadcast
-    the centroids. The sample is the first `sample_size` ids (TakeOrdered,
-    no global sort)."""
+    """The shared driver-side training sample: first `sample_size` ids
+    (TakeOrdered, no global sort), L2-normalized float64 — exactly the
+    matrix both model trainers (spherical k-means, PQ codebooks) consume.
+    Collect it ONCE and pass it via their ``sample`` parameter when
+    training several models over the same corpus (round-12:
+    _ann_tier_frames paid two identical TakeOrdered collects per report
+    build)."""
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy("i")
@@ -749,6 +775,33 @@ def train_spherical_centroids(
     )
     X = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    return X
+
+
+def train_spherical_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iter: int = 10,
+    sample_size: int = 2048,
+    seed: int = 7,
+    sample: np.ndarray | None = None,
+) -> np.ndarray:
+    """Spherical k-means centroids (unit-normalized, cosine geometry) trained
+    on a deterministic driver-side sample.
+
+    The collect here is intentional and scale-safe: the model is k x dim
+    floats (a few KB) and k-means needs only a representative sample, not the
+    corpus — at 100 TB you still train on ~10^4 sampled rows and broadcast
+    the centroids. The sample is the first `sample_size` ids (TakeOrdered,
+    no global sort); pass a precollected ``sample``
+    (sample_normalized_vectors) to share one collect across trainers."""
+    X = (
+        sample
+        if sample is not None
+        else sample_normalized_vectors(corpus, id_col, vec_col, sample_size)
+    )
     rng = random.Random(seed)
     k = min(n_cells, len(X))
     centroids = X[rng.sample(range(len(X)), k)].copy()
@@ -844,12 +897,25 @@ def ivf_topk(
         )
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        self_dot(F.col(vec_col)).alias("_nqq"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        self_dot(F.col(vec_col)).alias("_ncc"),
+    )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("_nqq"), F.col("_ncc")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

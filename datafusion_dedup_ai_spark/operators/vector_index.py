@@ -39,9 +39,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_dedup_ai_spark.operators.similarity_search import (
-    cosine,
+    cosine_with_norms,
     explode_codes,
     lsh_codes,
+    self_dot,
 )
 
 _META_FILE = "_index_meta.json"
@@ -236,14 +237,28 @@ def incremental_semantic_matches_indexed(
         )
         .distinct()
     )
+    # Self-dots precomputed per side (self_dot / cosine_with_norms, the
+    # lsh_near_pairs verify pattern): bit-identical cosine, a third of the
+    # per-candidate fold work.
     bv = batch_emb.select(
-        F.col(id_col).alias("batch_id"), F.col(vec_col).alias("bv")
+        F.col(id_col).alias("batch_id"),
+        F.col(vec_col).alias("bv"),
+        self_dot(F.col(vec_col)).alias("_nbb"),
     )
-    cv = idx.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    cv = idx.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        self_dot(F.col(vec_col)).alias("_ncc"),
+    )
     return (
         cands.join(bv, "batch_id")
         .join(cv, "corpus_id")
-        .withColumn("cosine", cosine(F.col("bv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                F.col("bv"), F.col("cv"), F.col("_nbb"), F.col("_ncc")
+            ),
+        )
         .where(F.col("cosine") >= threshold)
         .select("batch_id", "corpus_id", "cosine")
     )

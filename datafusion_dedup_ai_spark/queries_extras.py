@@ -77,20 +77,26 @@ def q_text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dedup pass, materialized. Singletons keep their own id.
 
     Scale shape: the pair generator is the bucketed LSH tier (no quadratic
-    scan); label propagation iterates two shuffles x O(component diameter) —
-    near-dup components are shallow (dup groups, not social graphs). The
-    same composition as embedding_dedup_clusters, over text instead of
-    embeddings. Hash-gated since round 5: the oracle replays the whole
-    pipeline INCLUDING connected components (recursive-CTE transitive
-    closure — label propagation's min-id-per-component semantics ARE
-    SQL-expressible at oracle scale); the component step's equivalence to a
-    driver-side union-find stays pinned in tests/test_similarity.py, and
-    recall of the pair tier in tests/test_dedup_ext.py."""
+    scan); components route through the SIZE ROUTER
+    (cluster_components_auto, round-12 — the incremental_cluster_update
+    pattern): near-dup edge lists are pair-density-bounded, so the
+    single-task union-find labels them without LP's per-iteration shuffle
+    rounds + convergence count jobs (at bench scale those were ~1s of
+    pure job-launch overhead on a graph one task labels in milliseconds),
+    while graphs beyond the 2M-edge threshold still take the LP scale
+    path — O(component diameter) shuffle rounds; near-dup components are
+    shallow (dup groups, not social graphs). The same composition as
+    embedding_dedup_clusters, over text instead of embeddings. Hash-gated
+    since round 5: the oracle replays the whole pipeline INCLUDING
+    connected components (recursive-CTE transitive closure — min-id
+    component labels are backend-independent, equivalence pinned in
+    tests/test_clustering_equiv.py); recall of the pair tier in
+    tests/test_dedup_ext.py."""
     from datafusion_dedup_ai_spark.operators.clustering import (
-        cluster_label_propagation,
+        cluster_components_auto,
     )
 
-    return _text_dedup_clusters_impl(spark, sf_dir, cluster_label_propagation)
+    return _text_dedup_clusters_impl(spark, sf_dir, cluster_components_auto)
 
 
 def _text_dedup_clusters_impl(spark, sf_dir, cc) -> DataFrame:
@@ -1798,22 +1804,32 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical plan surgery as cosine_topk -> ann_topk_tiers, so the exact
     query stays the graded baseline."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Self-dots precomputed per side (self_dot / cosine_with_norms):
+    # bit-identical cosine, a third of the per-pair fold work on the
+    # corpus-x-queries scoring scan.
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qv"),
+        S.self_dot(F.col("embedding")).alias("_nqq"),
     )
     c = emb.select(
         F.col("vec_id").alias("negative_id"),
         F.col("label").alias("negative_label"),
         F.col("embedding").alias("cv"),
+        S.self_dot(F.col("embedding")).alias("_ncc"),
     )
     from pyspark.sql import Window
 
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("negative_label") != F.col("q_label"))
-        .withColumn("cosine", S.cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            S.cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("_nqq"), F.col("_ncc")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("negative_id").asc()

@@ -118,10 +118,13 @@ def _ann_tier_frames(
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     # Train each driver-side model ONCE and share it across tiers (the ivf
     # and ivfpq tiers use the same spherical centroids; pq and ivfpq the
-    # same codebooks) — building the five-tier report costs two sample
-    # collects, not five.
-    centroids = S.train_spherical_centroids(emb, n_cells=16, seed=7)
-    books = train_pq_codebooks(emb, m=16, k_codes=32, seed=11)
+    # same codebooks) — and share ONE sample collect between the two
+    # trainers (round-12): both consume the identical TakeOrdered,
+    # L2-normalized sample, so building the five-tier report costs one
+    # sample collect, not two (models bit-identical either way).
+    X = S.sample_normalized_vectors(emb)
+    centroids = S.train_spherical_centroids(emb, n_cells=16, seed=7, sample=X)
+    books = train_pq_codebooks(emb, m=16, k_codes=32, seed=11, sample=X)
     return {
         "lsh": S.lsh_topk(emb, queries, k=TOP_K),
         "ivf": S.ivf_topk(
@@ -309,9 +312,21 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bitwise-mirrored cosine verify + recursive-CTE connected components
     from the materialized hyperplane-bucket fixture; edge recall vs the
     exact quadratic reference and component equivalence vs driver-side
-    union-find stay pinned in tests/test_similarity.py."""
+    union-find stay pinned in tests/test_similarity.py.
+
+    Round-12: components route through the SIZE ROUTER
+    (cluster_components_auto — the incremental_cluster_update pattern)
+    instead of unconditional label propagation: near-dup edge lists are
+    pair-density-bounded, and at bench scale (3,270 edges at sf0.1) LP's
+    per-iteration shuffle rounds + convergence count jobs were ~5s of the
+    10s query for a graph one task labels in milliseconds. Beyond the
+    2M-edge threshold the router still takes the LP scale path, so the
+    100 TB story is unchanged; both backends emit cluster_id =
+    min(vec_id) per component, so the hash gate is untouched (measured
+    identical; backend equivalence pinned in
+    tests/test_clustering_equiv.py)."""
     from datafusion_dedup_ai_spark.operators.clustering import (
-        cluster_label_propagation,
+        cluster_components_auto,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -319,7 +334,7 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").alias("row_order_a"), F.col("id_b").alias("row_order_b")
     )
-    labels = cluster_label_propagation(edges).select(
+    labels = cluster_components_auto(edges).select(
         F.col("row_order").alias("vec_id"), "cluster_id"
     )
     full = emb.select("vec_id").join(labels, "vec_id", "left").select(
