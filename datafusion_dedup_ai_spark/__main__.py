@@ -86,6 +86,16 @@ def _build_curate_parser() -> argparse.ArgumentParser:
         "real-tokenizer n_bpe_tokens per doc (token-budget planning "
         "consumes these; whitespace n_tokens is the cheap default)",
     )
+    p.add_argument(
+        "--near-dup-tier",
+        choices=("exact", "minhash"),
+        default="exact",
+        help="near-dup victim generator: 'exact' (word-bigram Jaccard "
+        "self-join — ground truth, quadratic in per-shingle document "
+        "frequency) or 'minhash' (LSH candidates + two-phase verify at "
+        "the same threshold — the scale tier; recall follows the LSH "
+        "S-curve, see clean_corpus_frame)",
+    )
     return p
 
 
@@ -137,7 +147,9 @@ def curate_main(argv: list[str], spark=None) -> int:
                 .collect()
             )
             bpe_pieces = TK.bpe_vocab_pieces([(r["tok"], r["c"]) for r in wc])
-        manifest = training_manifest_frame(docs, bpe_pieces=bpe_pieces)
+        manifest = training_manifest_frame(
+            docs, bpe_pieces=bpe_pieces, near_dup_tier=args.near_dup_tier
+        )
         manifest.write.mode("overwrite").parquet(
             os.path.join(out_dir, "manifest.parquet")
         )
@@ -158,6 +170,7 @@ def curate_main(argv: list[str], spark=None) -> int:
         stats = {
             "input_docs": n_in,
             "kept_docs": sum(r["n_docs"] for r in stats_rows),
+            "near_dup_tier": args.near_dup_tier,
             "splits": {
                 r["split"]: {
                     "n_docs": r["n_docs"],

@@ -589,7 +589,9 @@ def q_training_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def training_manifest_frame(
-    docs: DataFrame, bpe_pieces: list[str] | None = None
+    docs: DataFrame,
+    bpe_pieces: list[str] | None = None,
+    near_dup_tier: str = "exact",
 ) -> DataFrame:
     """Library form over an arbitrary (doc_id, text, ...) frame — the
     `curate` CLI subcommand runs this on a user parquet; the registered
@@ -602,10 +604,16 @@ def training_manifest_frame(
     consumes. Whitespace ``n_tokens`` stays the cheap default: the BPE
     column costs one corpus-side explode plus a vocabulary-sized Arrow
     encode and a broadcast join (the q_tokenized_length_stats shape — the
-    Python step is O(|vocab|) by Heaps' law, never O(corpus))."""
+    Python step is O(|vocab|) by Heaps' law, never O(corpus)).
+
+    ``near_dup_tier`` passes through to clean_corpus_frame (round-12):
+    "exact" is the registered hash-gated pipeline; "minhash" swaps the
+    near-dup victim stage to the LSH + two-phase verify tier — the scale
+    configuration (see clean_corpus_frame's docstring for the recall
+    semantics and the measured 100x basis)."""
     from datafusion_dedup_ai_spark.queries_text import clean_corpus_frame
 
-    kept = clean_corpus_frame(docs)
+    kept = clean_corpus_frame(docs, near_dup_tier=near_dup_tier)
     d = docs.select("doc_id", "text")
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     split = (

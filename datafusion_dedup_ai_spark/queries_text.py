@@ -667,10 +667,39 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus_frame(load_spread(spark, sf_dir, "documents"))
 
 
-def clean_corpus_frame(d: DataFrame) -> DataFrame:
+def clean_corpus_frame(d: DataFrame, near_dup_tier: str = "exact") -> DataFrame:
     """Library form of clean_corpus over an arbitrary (doc_id, text, ...)
     frame — the `curate` CLI subcommand runs this on a user parquet; the
-    registered q_clean_corpus binds it to the sf documents table."""
+    registered q_clean_corpus binds it to the sf documents table.
+
+    ``near_dup_tier`` selects the near-dup victim generator (round-12 —
+    the scale swap this docstring always promised, now implemented because
+    the curate@100x probe measured the exact tier non-completable):
+
+    * ``"exact"`` (default, what the registered hash-gated query runs):
+      the exact word-bigram Jaccard self-join — ground truth, but the
+      shingle equi-join is quadratic in per-shingle document frequency, so
+      on corpora whose vocabulary doesn't grow with N (the planted-100x
+      probe corpus: 500k docs over ~931 distinct shingles) its shuffle is
+      unrunnable (measured ENOSPC at 100x, the round-9 all-exact verify
+      failure class).
+    * ``"minhash"``: MinHash-LSH candidates + the TWO-PHASE verify
+      (minhash_near_dup_pairs_two_phase — signature screen, borderline
+      band exact) at the same Jaccard threshold, victims by the same
+      drop-the-higher-id rule. Recall follows the LSH S-curve instead of
+      being exact (at J=0.2 the 16x4 catch probability is ~2.5%, rising to
+      ~65% at J=0.5 — so a minhash-tier manifest KEEPS marginal near-dups
+      the exact tier would drop); on the fixed-seed test corpora the
+      two-phase pair set equals the all-exact MinHash pair set (pinned in
+      tests/test_dedup_ext.py), making minhash-tier victims a subset of
+      exact-tier victims there (asserted in tests/test_cli.py). This is
+      the 100 TB configuration: the planted-100x corpus that ENOSPCs the
+      exact tier completes on it (SCALE100.json curate row).
+    """
+    if near_dup_tier not in ("exact", "minhash"):
+        raise ValueError(
+            f"near_dup_tier must be 'exact' or 'minhash', got {near_dup_tier!r}"
+        )
     scored = d.select(
         "doc_id",
         "text",
@@ -699,6 +728,19 @@ def clean_corpus_frame(d: DataFrame) -> DataFrame:
     sh = exact_kept.select(
         "doc_id", T.distinct_shingles(F.col("text")).alias("shingles")
     )
+    if near_dup_tier == "minhash":
+        from datafusion_dedup_ai_spark.operators.dedup import (
+            minhash_near_dup_pairs_two_phase,
+        )
+
+        victims = (
+            minhash_near_dup_pairs_two_phase(sh, threshold=JACCARD_THRESHOLD)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        return exact_kept.join(victims, "doc_id", "left_anti").select(
+            "doc_id", "n_tokens", "quality"
+        )
     sizes = sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")

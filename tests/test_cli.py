@@ -264,3 +264,71 @@ def test_cli_curate_missing_column_rc1(spark, tmp_path):
     from datafusion_dedup_ai_spark.__main__ import main
 
     assert main(["curate", inp, "--out", str(tmp_path / "o")], spark=spark) == 1
+
+
+def test_cli_curate_minhash_tier(spark, tmp_path):
+    """`curate --near-dup-tier minhash` (round-12: the scale swap
+    clean_corpus's docstring specifies — the exact shingle self-join is
+    unrunnable on constant-vocabulary corpora at 100x, measured ENOSPC in
+    the curate probe) runs the LSH + two-phase-verify victim stage:
+
+    * deterministic (two runs, identical manifests);
+    * victims are a SUBSET of the exact tier's on this fixture (the
+      two-phase pair set equals the all-exact MinHash pair set on
+      fixed-seed corpora — tests/test_dedup_ext.py — and LSH candidates
+      are a subset of all pairs), so every minhash-tier survivor set
+      contains the exact-tier survivors;
+    * stats.json records which tier produced it.
+    """
+    import json
+
+    from datafusion_dedup_ai_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    inp = str(tmp_path / "docs.parquet")
+    docs.select("doc_id", "text").write.parquet(inp)
+
+    from datafusion_dedup_ai_spark.__main__ import main
+
+    out_mh = str(tmp_path / "curated_mh")
+    assert main(
+        ["curate", inp, "--out", out_mh, "--near-dup-tier", "minhash"],
+        spark=spark,
+    ) == 0
+    out_mh2 = str(tmp_path / "curated_mh2")
+    assert main(
+        ["curate", inp, "--out", out_mh2, "--near-dup-tier", "minhash"],
+        spark=spark,
+    ) == 0
+    out_exact = str(tmp_path / "curated_exact")
+    assert main(["curate", inp, "--out", out_exact], spark=spark) == 0
+
+    mh = {
+        r["doc_id"]: (r["split"], r["n_tokens"], r["n_chunks"])
+        for r in spark.read.parquet(
+            os.path.join(out_mh, "manifest.parquet")
+        ).collect()
+    }
+    mh2 = {
+        r["doc_id"]: (r["split"], r["n_tokens"], r["n_chunks"])
+        for r in spark.read.parquet(
+            os.path.join(out_mh2, "manifest.parquet")
+        ).collect()
+    }
+    exact = {
+        r["doc_id"]: (r["split"], r["n_tokens"], r["n_chunks"])
+        for r in spark.read.parquet(
+            os.path.join(out_exact, "manifest.parquet")
+        ).collect()
+    }
+    assert mh == mh2, "minhash tier must be deterministic"
+    assert set(exact) <= set(mh), (
+        "exact-tier survivors must survive the minhash tier too "
+        "(LSH victims are a subset of exact victims on this fixture)"
+    )
+    for doc_id in exact:
+        assert mh[doc_id] == exact[doc_id]
+    with open(os.path.join(out_mh, "stats.json")) as f:
+        assert json.load(f)["near_dup_tier"] == "minhash"
+    with open(os.path.join(out_exact, "stats.json")) as f:
+        assert json.load(f)["near_dup_tier"] == "exact"
