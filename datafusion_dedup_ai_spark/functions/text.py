@@ -57,17 +57,27 @@ def distinct_shingles(col: Column) -> Column:
 
 
 def stopword_count(col: Column) -> Column:
-    t = tokens(col)
+    return stopword_count_from_tokens(tokens(col))
+
+
+def stopword_count_from_tokens(t: Column) -> Column:
     return F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("bigint")
 
 
 def quality_score(col: Column) -> Column:
     """Deterministic [0,1] quality heuristic: length band + lexical diversity
     + stopword presence band. Mirrors queries_text.sql_quality_score."""
-    t = tokens(col)
+    return quality_score_from_tokens(tokens(col))
+
+
+def quality_score_from_tokens(t: Column) -> Column:
+    """quality_score over a precomputed token-array column (round-13:
+    callers that score several signals from the same tokenization can
+    project the split once instead of re-deriving it inside every fold —
+    identical expression tree given t = tokens(text))."""
     n_tok = F.size(t).cast("double")
     n_distinct = F.size(F.array_distinct(t)).cast("double")
-    sw = stopword_count(col).cast("double")
+    sw = stopword_count_from_tokens(t).cast("double")
     len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     diversity = n_distinct / n_tok
     sw_ratio = sw / n_tok
@@ -78,14 +88,25 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_marker_count(col: Column, lang: str) -> Column:
+    return lang_marker_count_from_tokens(tokens(col), lang)
+
+
+def lang_marker_count_from_tokens(t: Column, lang: str) -> Column:
     markers = LANG_MARKERS[lang]
-    return F.size(F.filter(tokens(col), lambda x: x.isin(*markers))).cast("bigint")
+    return F.size(F.filter(t, lambda x: x.isin(*markers))).cast("bigint")
 
 
 def lang_id(col: Column) -> Column:
     """Pick the language with the most marker hits; ties -> language code
     ascending; zero hits -> 'und'."""
-    counts = [(lang, lang_marker_count(col, lang)) for lang in sorted(LANG_MARKERS)]
+    return lang_id_from_tokens(tokens(col))
+
+
+def lang_id_from_tokens(t: Column) -> Column:
+    counts = [
+        (lang, lang_marker_count_from_tokens(t, lang))
+        for lang in sorted(LANG_MARKERS)
+    ]
     best = None
     best_count = None
     # argmax with deterministic tie-break, expression-composed: fold langs in

@@ -191,27 +191,29 @@ def cluster_label_propagation(edges: DataFrame, max_iters: int = 50) -> DataFram
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # Convergence check FOLDED INTO the iteration (round-13, round-12
+        # verdict #6): the round's frame carries the previous label as
+        # `_old` next to the new one, so "any label changed?" is a filter
+        # over rows this round's job computes anyway. The old shape joined
+        # new_labels back to labels (two extra Exchanges + a sort-merge
+        # join per round) and probed it with limit(1).count(), whose
+        # early-exit left checkpoint partitions unmaterialized — the
+        # backfill ran as a SECOND job per round. Now: one full count per
+        # round = one job that materializes the checkpoint and answers
+        # convergence; same least/coalesce math, identical labels.
+        upd = (
             labels.join(neigh_min, labels["v"] == neigh_min["src"], "left")
             .select(
                 F.col("v"),
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                     "label"
                 ),
             )
+            .localCheckpoint(eager=False)
         )
-        # Convergence check: any label changed? Non-eager checkpoint + one
-        # diff action per round (the convergence count materializes the
-        # checkpoint — same one-job-per-round shape as the star backend).
-        new_labels = new_labels.localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = upd.where(F.col("_old") != F.col("label")).count()
+        labels = upd.select("v", "label")
         if changed == 0:
             break
     return labels.select(F.col("v").alias("row_order"), F.col("label").alias("cluster_id"))

@@ -82,26 +82,41 @@ def semantic_dedup(
     silently running a quadratic join over it — the fix at scale is MORE
     CELLS (n_cells ~ N / target_cell_size), not a bigger cap; SemDeDup's
     cost model assumes cells stay bounded."""
+    caller_cells = cells is not None
     if cells is None:
         cells = assign_semantic_cells(corpus, id_col, vec_col, n_cells, seed)
-    # Persist the (id, cell) assignment: it feeds the cell-size probe, both
-    # sides of the within-cell self-join, and the final keep/drop join —
-    # unpersisted, the Arrow matmul pass executed once PER CONSUMER (three
-    # ArrowEvalPython scans in the round-12 'before' plan, plus a fourth at
-    # the probe). Two longs per row (16 B/row — far below the corpus
-    # payload), the documented-exception persist class; released by
-    # bench.py's per-run cache clear / session teardown.
+    # Persist the computed (id, cell) assignment: it feeds the cell-size
+    # probe, both sides of the within-cell self-join, and the final
+    # keep/drop join — unpersisted, the Arrow matmul pass executed once PER
+    # CONSUMER (three ArrowEvalPython scans in the round-12 'before' plan,
+    # plus a fourth at the probe). Two longs per row (16 B/row — far below
+    # the corpus payload), the documented-exception persist class; released
+    # by bench.py's per-run cache clear / session teardown. A
+    # CALLER-SUPPLIED frame is left alone (round-12 advisor): the caller
+    # owns its lifecycle (the fixture path hands in a parquet-backed frame
+    # with no matmul to deduplicate), and pinning it here leaked an
+    # unreleasable persist.
     from pyspark import StorageLevel
 
-    cells = cells.select(F.col(id_col), "cell").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cells = cells.select(F.col(id_col), "cell")
+    if not caller_cells:
+        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
     if max_cell_rows is not None:
-        # The probe reads the persisted assignment alone — cells and corpus
-        # are 1:1 on the id, so joining the corpus in first only added a
-        # scan to a count the cell column fully determines.
+        # The probe reads the assignment alone when WE computed it (1:1
+        # with corpus ids by construction — joining the corpus in first
+        # only added a scan to a count the cell column fully determines).
+        # A caller-supplied assignment may cover a superset of the corpus
+        # (round-12 advisor), so the probe there counts the frame the
+        # within-cell join actually consumes: the corpus-semi-joined one.
+        probe = (
+            cells
+            if not caller_cells
+            else cells.join(
+                corpus.select(F.col(id_col)), id_col, "left_semi"
+            )
+        )
         biggest = (
-            cells.groupBy("cell").agg(F.count("*").alias("n")).agg(F.max("n")).collect()
+            probe.groupBy("cell").agg(F.count("*").alias("n")).agg(F.max("n")).collect()
         )[0][0]
         if biggest is not None and biggest > max_cell_rows:
             raise ValueError(

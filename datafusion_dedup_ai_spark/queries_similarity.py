@@ -186,20 +186,30 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Timings vary run to run by nature; the report stays rows-only, and the
     EAGER per-tier execution this requires is the report grading itself,
     not a hot-path collect (the aggregates collected are one row per
-    tier). Model training (two driver-side sample collects shared by
+    tier). Model training (one driver-side sample collect shared by
     ivf/pq/ivfpq) happens inside _ann_tier_frames before the timed loop
     and is reported as the separate "train" row, so contention in the
     training collects is distinguishable from tier scan cost.
 
-    COST NOTE: serializing the tiers for honest per-tier walls roughly
-    doubles the report's own bench row vs the old lazy five-branch union
-    (measured at HEAD, idle box: 8.75s vs the union's 4.11s BENCH_FULL
-    median at sf0.1) — the union overlapped all five tiers' stages across
-    the cores; serial jobs each underutilize. Accepted deliberately: this
-    row is self-grading DIAGNOSTICS (recall + timing adjudication), not a
-    production serving path — a real ANN deployment runs ONE tier, whose
-    cost the per-tier wall_s now reports directly."""
+    Round-13 (round-12 verdict #2): the five tier gradings run as ONE
+    OVERLAPPED execution — each tier's eager count is submitted from its
+    own driver thread (guide §2.6: actions are only sequential because
+    the driver calls them sequentially) and its wall_s is measured on
+    that thread around its own job. Round-12 serialized the tiers for
+    attribution and measured the cost at ~2x the report row (8.75s vs
+    the lazy union's 4.11s at sf0.1: five serial local-mode jobs each
+    underutilize the cores). Overlapping keeps the attribution — a
+    tier-specific regression still shows in that tier's own wall, and
+    box-wide contention still inflates all five — while the stages share
+    the cores again. The one semantic shift, deliberate and visible
+    here: walls are PER-TIER-UNDER-OVERLAP, so they co-inflate with each
+    other and sum to more than the report's own wall; they adjudicate
+    RELATIVE drift (which tier absorbed it), which is what the r11
+    mystery row actually needed."""
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
@@ -209,6 +219,8 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # most of the repeat work) but k-rows-per-query cheap, and it makes
     # the single-execution guarantee structural rather than
     # optimizer-dependent. Released with the session / bench cache clear.
+    # The n_expected count below also materializes it BEFORE the
+    # overlapped tier jobs, so no two threads race to compute the cache.
     exact = (
         S.brute_force_topk(emb, queries, k=TOP_K)
         .select("query_id", "neighbor_id")
@@ -218,19 +230,37 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = _time.perf_counter()
     tiers = _ann_tier_frames(spark, sf_dir)
     train_wall = _time.perf_counter() - t0
-    rows = []
-    for tier, df in tiers.items():
+
+    def _grade(item: tuple[str, DataFrame]) -> tuple[str, int, float]:
+        tier, df = item
+        spark.sparkContext.setJobDescription(f"ann_recall_report: grade {tier}")
         t0 = _time.perf_counter()
         n_matched = (
             df.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
         )
+        return tier, n_matched, round(_time.perf_counter() - t0, 3)
+
+    # inheritable_thread_target: job group/description are JVM-thread-local
+    # under pinned-thread mode; the wrapper carries the parent's properties
+    # into the pool threads so each graded job is labelled and cancellable
+    # with the session's group.
+    with ThreadPoolExecutor(max_workers=len(tiers)) as pool:
+        graded = {
+            tier: (n_matched, wall)
+            for tier, n_matched, wall in pool.map(
+                inheritable_thread_target(_grade), tiers.items()
+            )
+        }
+    rows = []
+    for tier in tiers:
+        n_matched, wall = graded[tier]
         rows.append(
             (
                 tier,
                 n_matched,
                 n_expected,
                 float(n_matched) / float(n_expected),
-                round(_time.perf_counter() - t0, 3),
+                wall,
             )
         )
     # the training row: recall fields are vacuous (graded tiers carry them)

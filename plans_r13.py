@@ -1,14 +1,15 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for headline queries into plans/r12/.
+"""Capture .explain('formatted') for headline queries into plans/r13/.
 
 Usage:
-    python plans_r12.py before [query ...]   # write <q>_before.txt
-    python plans_r12.py after  [query ...]   # write <q>_after.txt
+    python plans_r13.py before [query ...]   # write <q>_before.txt
+    python plans_r13.py after  [query ...]   # write <q>_after.txt
 
 With no query names, captures every HEADLINE query from bench.py. The
 suffix file is only written when absent OR when the stage is 'after'
-(re-capture after a change); 'before' files are write-once so the
-pre-optimization evidence can't be clobbered by a later run.
+(re-capture after a change); 'before' files are write-once — also with
+explicit names (round-12 advisor: the old `and not names` clause let an
+explicit-name invocation clobber pre-optimization evidence).
 
 Note: queries whose construction is eager (ann_recall_report collects its
 rows driver-side) explain as a LocalTableScan — the plan evidence for those
@@ -22,7 +23,7 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-OUT = os.path.join(REPO, "plans", "r12")
+OUT = os.path.join(REPO, "plans", "r13")
 
 
 def capture(df, path: str) -> None:
@@ -48,14 +49,11 @@ def main() -> None:
     from datafusion_dedup_ai_spark.session import build_session
     import __spark_entry__ as entry_mod
 
-    spark = build_session(app_name=f"plans-r12-{stage}")
+    spark = build_session(app_name=f"plans-r13-{stage}")
     qs = entry_mod.queries()
     todo = names or HEADLINE
     for name in todo:
         path = os.path.join(OUT, f"{name}_{stage}.txt")
-        # before-files are write-once UNCONDITIONALLY (round-12 advisor:
-        # the old `and not names` clause let an explicit-name invocation
-        # clobber pre-optimization evidence)
         if stage == "before" and os.path.exists(path):
             print(f"skip {name} (before exists)")
             continue

@@ -1274,10 +1274,17 @@ def main_x100(only: set | None = None) -> None:
             "edges_100x": m100,
             "gated": "machinery_vs_mass",
         }
+        # Round-13 (round-12 advisor): the machinery-vs-mass gate alone
+        # would silently track a super-linear candidate GENERATOR (wall
+        # tracks mass, mass blows up, row still passes) — so the workload
+        # itself is also bounded: the fitted mass slope must stay under the
+        # probe-wide quadratic-catcher MAX_EXPONENT (measured ~1.10 on this
+        # geometry; 1.35 is a generator-regression tripwire, not a tune).
         ok = (
             ok
             and c100 <= 2.0 * c10
             and slope <= mass_slope + EDC_TAU08_MAX_SLOPE_EXCESS
+            and mass_slope <= MAX_EXPONENT
         )
         flush_phase("embedding_dedup_clusters@embconst_tau080_10x_to_100x")
 
@@ -1442,6 +1449,11 @@ def _x100_row_ok(row: dict) -> bool:
             return False
         excess = row.get("max_slope_excess", EDC_TAU08_MAX_SLOPE_EXCESS)
         if row["fitted_slope"] > row["candidate_mass_slope"] + excess:
+            return False
+        # round-13 (round-12 advisor): also bound the WORKLOAD — a
+        # super-linear candidate generator must not pass just because the
+        # per-candidate machinery tracked its blow-up.
+        if row["candidate_mass_slope"] > MAX_EXPONENT:
             return False
         c10 = row.get("s_per_1k_cands_10x")
         c100 = row.get("s_per_1k_cands_100x")

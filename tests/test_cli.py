@@ -323,8 +323,16 @@ def test_cli_curate_minhash_tier(spark, tmp_path):
     }
     assert mh == mh2, "minhash tier must be deterministic"
     assert set(exact) <= set(mh), (
-        "exact-tier survivors must survive the minhash tier too "
-        "(LSH victims are a subset of exact victims on this fixture)"
+        "exact-tier survivors must survive the minhash tier too. "
+        "FIXTURE-DEPENDENT (round-12 advisor): this subset property holds "
+        "because on the fixed-seed sf0.001 corpus the two-phase pair set "
+        "equals the all-exact MinHash pair set (no signature-accepted pair "
+        "with true Jaccard below threshold — pinned in "
+        "tests/test_dedup_ext.py). If the fixture corpus or minhash seeds "
+        "change, a signature-accepted sub-threshold pair can break the "
+        "subset with the code still correct — re-derive victims from the "
+        "two-phase frame filtered to exact-verified J >= threshold before "
+        "blaming the CLI."
     )
     for doc_id in exact:
         assert mh[doc_id] == exact[doc_id]
