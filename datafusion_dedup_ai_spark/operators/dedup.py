@@ -167,10 +167,35 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become a candidate
     pair. Emits distinct (id_a < id_b). The band bucket is the shuffle key;
-    hot buckets (boilerplate docs) are the skew to salt/cap at scale."""
-    buckets = band_buckets(signatures, id_col, sig_col, bands, rows_per_band)
+    hot buckets (boilerplate docs) are the skew to salt/cap at scale.
+
+    Round-13 (the lsh_near_pairs emit-once pattern, guide §2.4): a pair
+    agreeing in several bands used to be emitted once per band and
+    deduplicated by a global `.distinct()` — an exchange of the full
+    collision-incidence mass plus a hash aggregate over every candidate,
+    whose map-side partial agg removes ~nothing (a pair's duplicates live
+    under different (band, bucket) keys). Each exploded row now carries
+    the doc's full per-band bucket array (`bands` longs), and the
+    self-join emits a pair only at its FIRST agreeing band — unique by
+    construction, so the distinct exchange + aggregate are gone and the
+    pair SET is identical (every agreeing pair has a first agreeing
+    band)."""
+    band_hashes = [
+        F.xxhash64(F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band))
+        for b in range(bands)
+    ]
+    withb = signatures.select(
+        F.col(id_col), F.array(*band_hashes).alias("_bkts")
+    )
+    buckets = withb.select(
+        F.col(id_col), "_bkts", F.posexplode("_bkts").alias("band", "bucket")
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
+    first_match = F.array_position(
+        F.zip_with(F.col("a._bkts"), F.col("b._bkts"), lambda x, y: x == y),
+        F.lit(True),
+    )
     return (
         a.join(
             b,
@@ -178,10 +203,10 @@ def lsh_candidate_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .where(first_match == F.col("a.band").cast("long") + F.lit(1))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
     )
 
 

@@ -587,8 +587,55 @@ def lsh_near_pairs(
       where per-bit collision is ~0.86 and the same operator prunes
       aggressively; tune (n_bits up, n_tables down) with the threshold.
     """
-    b = lsh_bucketize(corpus, id_col, vec_col, n_tables, n_bits, dim, seed)
-    if max_bucket_size is not None:
+    if max_bucket_size is None:
+        # EMIT-ONCE candidates (round-13, round-12 verdict #3): a pair
+        # colliding in several tables used to be emitted once per collision
+        # and deduplicated by a global `distinct()` — a full exchange of the
+        # INCIDENCE mass plus a final hash aggregate over every candidate,
+        # and the map-side partial aggregate below that exchange removed
+        # ~nothing (duplicates of a pair live in different (table, bucket)
+        # groups, hence different map partitions). The bucketized rows now
+        # carry their full per-table code SIGNATURE (the `codes` array the
+        # explode already derives from — n_tables longs/row), and the
+        # self-join emits a pair ONLY at its first signature-matching
+        # table: output rows are unique by construction, so the distinct
+        # exchange + aggregate disappear outright (guide §2.4). The pair
+        # SET is identical — every colliding pair has a first matching
+        # table, and it is emitted exactly there.
+        codes = lsh_codes(corpus, id_col, vec_col, n_tables, n_bits, dim, seed)
+        b = codes.select(
+            F.col(id_col), "codes", F.posexplode("codes").alias("pos", "bucket")
+        ).select(
+            F.col(id_col), "codes", F.col("pos").cast("int").alias("table"), "bucket"
+        )
+        first_match = F.array_position(
+            F.zip_with(
+                F.col("a.codes"), F.col("b.codes"), lambda x, y: x == y
+            ),
+            F.lit(True),
+        )
+        cand = (
+            b.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .where(first_match == F.col("a.table").cast("long") + F.lit(1))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+        )
+    else:
+        # Bucket-size cap path keeps the incidence-join + distinct shape:
+        # the cap drops whole (table, bucket) groups BEFORE the join, so a
+        # pair's first SIGNATURE match may sit in a dropped bucket and the
+        # emit-once rule above would lose the pair a surviving table still
+        # vouches for. Cap semantics (recall knob, multi-table redundancy)
+        # are pinned in tests/test_similarity.py.
+        b = lsh_bucketize(corpus, id_col, vec_col, n_tables, n_bits, dim, seed)
         # Bucket-size cap as an unbounded window count over (table, bucket):
         # ONE pass, no separate size-aggregate job — the earlier persist +
         # broadcast-anti-join formulation pinned the bucketized frame in
@@ -601,20 +648,20 @@ def lsh_near_pairs(
             .where(F.col("_n") <= max_bucket_size)
             .drop("_n")
         )
-    cand = (
-        b.alias("a")
-        .join(
-            b.alias("b"),
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        cand = (
+            b.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
     # Verify-join strategy (round-11, see docstring): broadcast the vector
     # map when it fits so candidates never carry payloads through a shuffle.
     if corpus_rows is None:
